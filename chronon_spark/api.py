@@ -1,0 +1,326 @@
+"""User-facing configuration dataclasses.
+
+Mirrors the reference's Thrift API surface (reference: thrift/api.thrift —
+Source at :188-193, EventSource :109-129, EntitySource :139-159, Query
+:10-58, GroupBy :361-377, Aggregation :235-261, Join :404-437, Window
+thrift/common.thrift:5-14, Accuracy api.thrift:272-275) re-expressed as
+plain Python dataclasses. No Thrift / codegen — configs are authored in
+Python and handed straight to the Spark engine.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+# ---------------------------------------------------------------------------
+# Reserved columns (reference: api/.../Constants.scala:24-29)
+# ---------------------------------------------------------------------------
+TIME_COLUMN = "ts"  # event time, epoch MILLIS, LongType (enforced)
+PARTITION_COLUMN = "ds"  # date partition, string yyyy-MM-dd
+TIME_PARTITION_COLUMN = "ts_ds"  # date-of-ts helper column
+MUTATION_TIME_COLUMN = "mutation_ts"
+REVERSAL_COLUMN = "is_before"
+
+
+class TimeUnit(enum.Enum):
+    """reference: thrift/common.thrift:5-8"""
+
+    MINUTES = 60 * 1000
+    HOURS = 60 * 60 * 1000
+    DAYS = 24 * 60 * 60 * 1000
+
+    @property
+    def millis(self) -> int:
+        return self.value
+
+    @property
+    def suffix(self) -> str:
+        return {"MINUTES": "m", "HOURS": "h", "DAYS": "d"}[self.name]
+
+
+@dataclass(frozen=True)
+class Window:
+    """A sliding window length. ``None`` window = unbounded / lifetime.
+
+    reference: thrift/common.thrift:10-14; null-window handling
+    api/.../Extensions.scala:275-297.
+    """
+
+    length: int
+    time_unit: TimeUnit = TimeUnit.DAYS
+
+    @property
+    def millis(self) -> int:
+        return self.length * self.time_unit.millis
+
+    @property
+    def suffix(self) -> str:
+        return f"{self.length}{self.time_unit.suffix}"
+
+    def __str__(self) -> str:  # pragma: no cover
+        return self.suffix
+
+
+def sawtooth_hop_millis(window: Optional[Window]) -> int:
+    """Tail-hop size for a window — the sawtooth resolution.
+
+    >=12d -> 1d hops; >=12h -> 1h hops; else 5min hops; unbounded -> 1d.
+    reference: aggregator/.../windowing/Resolution.scala:38-48.
+    """
+    if window is None:
+        return TimeUnit.DAYS.millis
+    w = window.millis
+    if w >= 12 * TimeUnit.DAYS.millis:
+        return TimeUnit.DAYS.millis
+    if w >= 12 * TimeUnit.HOURS.millis:
+        return TimeUnit.HOURS.millis
+    return 5 * TimeUnit.MINUTES.millis
+
+
+class Operation(enum.Enum):
+    """Aggregation operators (reference: thrift/api.thrift:195-227)."""
+
+    MIN = "min"
+    MAX = "max"
+    FIRST = "first"
+    LAST = "last"
+    UNIQUE_COUNT = "unique_count"
+    APPROX_UNIQUE_COUNT = "approx_unique_count"
+    COUNT = "count"
+    SUM = "sum"
+    AVERAGE = "average"
+    VARIANCE = "variance"
+    SKEW = "skew"
+    KURTOSIS = "kurtosis"
+    APPROX_PERCENTILE = "approx_percentile"
+    FIRST_K = "first_k"
+    LAST_K = "last_k"
+    TOP_K = "top_k"
+    BOTTOM_K = "bottom_k"
+    HISTOGRAM = "histogram"
+    APPROX_FREQUENT_K = "approx_frequent_k"
+    APPROX_HEAVY_HITTERS_K = "approx_heavy_hitters_k"
+    UNIQUE_TOP_K = "unique_top_k"
+
+
+class Accuracy(enum.Enum):
+    """reference: thrift/api.thrift:272-275; inference Extensions.scala:562-572"""
+
+    TEMPORAL = "temporal"  # exact as-of per query timestamp
+    SNAPSHOT = "snapshot"  # as of end of previous day
+
+
+@dataclass
+class Aggregation:
+    """input_column x operation x windows x buckets.
+
+    ``windows=None`` means a single unbounded (lifetime) window.
+    ``buckets`` (string columns) turn the output into map<bucket, value>.
+    reference: thrift/api.thrift:235-261; unpack logic
+    api/.../Extensions.scala:275-297.
+    """
+
+    input_column: str
+    operation: Operation
+    arg_map: dict[str, Any] = field(default_factory=dict)
+    windows: Optional[list[Optional[Window]]] = None
+    buckets: Optional[list[str]] = None
+
+    def unpack(self) -> list["AggregationPart"]:
+        windows = self.windows if self.windows is not None else [None]
+        buckets = self.buckets if self.buckets else [None]
+        return [
+            AggregationPart(self.input_column, self.operation, dict(self.arg_map), w, b)
+            for w in windows
+            for b in buckets
+        ]
+
+
+@dataclass
+class AggregationPart:
+    """One (op, column, window, bucket) = one output column.
+
+    reference: thrift/api.thrift:264-270.
+    Output naming {input}_{op}[_{window}][_by_{bucket}], k-ops embed k
+    (reference: api/.../Extensions.scala:255-268).
+    """
+
+    input_column: str
+    operation: Operation
+    arg_map: dict[str, Any] = field(default_factory=dict)
+    window: Optional[Window] = None
+    bucket: Optional[str] = None
+
+    @property
+    def output_name(self) -> str:
+        op = self.operation.value
+        k = self.arg_map.get("k")
+        if k is not None and self.operation in (
+            Operation.FIRST_K,
+            Operation.LAST_K,
+            Operation.TOP_K,
+            Operation.BOTTOM_K,
+            Operation.UNIQUE_TOP_K,
+            Operation.APPROX_FREQUENT_K,
+            Operation.APPROX_HEAVY_HITTERS_K,
+        ):
+            # reference embeds k into the op name: last10, top5 ...
+            op = op.replace("_k", str(k))
+        name = f"{self.input_column}_{op}"
+        if self.window is not None:
+            name += f"_{self.window.suffix}"
+        if self.bucket is not None:
+            name += f"_by_{self.bucket}"
+        return name
+
+
+@dataclass
+class Query:
+    """Row-level projection/filter DSL applied at scan time.
+
+    ``selects`` maps output-name -> Spark SQL expression; None = select *.
+    reference: thrift/api.thrift:10-58; applied like TableUtils.scanDfBase
+    (spark/.../catalog/TableUtils.scala:611-649).
+    """
+
+    selects: Optional[dict[str, str]] = None
+    wheres: Optional[list[str]] = None
+    time_column: Optional[str] = None  # expression producing epoch-millis long
+    start_partition: Optional[str] = None
+    end_partition: Optional[str] = None
+    partition_column: Optional[str] = None  # override of 'ds'
+    setups: Optional[list[str]] = None  # SQL run before the job (UDF registration)
+
+
+@dataclass
+class EventSource:
+    """Immutable timestamped fact table.
+
+    ``table`` may be a warehouse table name or a direct parquet path.
+    reference: thrift/api.thrift:109-129.
+    """
+
+    table: str
+    query: Query = field(default_factory=Query)
+    is_cumulative: bool = False
+    topic: Optional[str] = None  # presence implies TEMPORAL accuracy inference
+
+
+@dataclass
+class EntitySource:
+    """Slowly-mutating dimension: daily snapshots + optional mutation log.
+
+    reference: thrift/api.thrift:139-159.
+    """
+
+    snapshot_table: str
+    query: Query = field(default_factory=Query)
+    mutation_table: Optional[str] = None
+
+
+Source = Any  # EventSource | EntitySource | JoinSource
+
+
+@dataclass
+class JoinSource:
+    """Output of one Join feeding another GroupBy (chaining).
+
+    reference: thrift/api.thrift:183-186; materialization
+    spark/.../GroupBy.scala:412-477 (replaceJoinSource).
+    """
+
+    join: "Join"
+    query: Query = field(default_factory=Query)
+
+
+@dataclass
+class GroupBy:
+    """Keyed feature set. reference: thrift/api.thrift:361-377."""
+
+    sources: list[Source]
+    key_columns: list[str]
+    aggregations: Optional[list[Aggregation]]  # None = no-agg passthrough (SELECT)
+    accuracy: Optional[Accuracy] = None
+    backfill_start_date: Optional[str] = None
+    derivations: Optional[dict[str, str]] = None  # out-name -> SQL expr over outputs
+    name: str = "group_by"
+
+    def inferred_accuracy(self) -> Accuracy:
+        """TEMPORAL iff any source has a topic, else SNAPSHOT.
+
+        reference: api/.../Extensions.scala:562-572.
+        """
+        if self.accuracy is not None:
+            return self.accuracy
+        for s in self.sources:
+            if getattr(s, "topic", None):
+                return Accuracy.TEMPORAL
+        return Accuracy.SNAPSHOT
+
+    def aggregation_parts(self) -> list[AggregationPart]:
+        if not self.aggregations:
+            return []
+        return [p for a in self.aggregations for p in a.unpack()]
+
+    def output_columns(self) -> list[str]:
+        return [p.output_name for p in self.aggregation_parts()]
+
+
+@dataclass
+class JoinPart:
+    """One GroupBy attached to a Join. reference: thrift/api.thrift:423-429."""
+
+    group_by: GroupBy
+    key_mapping: Optional[dict[str, str]] = None  # left-col -> groupby-key
+    prefix: Optional[str] = None
+
+    def full_prefix(self) -> str:
+        base = self.group_by.name.replace(".", "_")
+        return f"{self.prefix}_{base}" if self.prefix else base
+
+    def right_to_left_keys(self) -> dict[str, str]:
+        """groupby-key -> left column name."""
+        mapping = {v: k for k, v in (self.key_mapping or {}).items()}
+        return {k: mapping.get(k, k) for k in self.group_by.key_columns}
+
+
+@dataclass
+class Join:
+    """Left source enriched point-in-time-correctly with many GroupBys.
+
+    reference: thrift/api.thrift:404-437.
+    """
+
+    left: Source
+    join_parts: list[JoinPart]
+    skew_keys: Optional[dict[str, list[Any]]] = None
+    derivations: Optional[dict[str, str]] = None
+    row_ids: Optional[list[str]] = None
+    name: str = "join"
+
+
+@dataclass
+class StagingQuery:
+    """Free-form Spark SQL with date macros, fill-what's-missing.
+
+    reference: thrift/api.thrift:66-107; engine spark/.../batch/StagingQuery.scala:30-93.
+    Supported macros: {{ start_date }}, {{ end_date }}, {{ latest_date }},
+    {{ max_date(table=...) }}.
+    """
+
+    query: str
+    name: str = "staging_query"
+    start_partition: Optional[str] = None
+    setups: Optional[list[str]] = None
+
+
+# convenience: a source backed by a caller-supplied DataFrame factory, for
+# tests and for chaining without a warehouse.
+@dataclass
+class DataFrameSource:
+    factory: Callable[..., Any]  # (spark) -> DataFrame
+    query: Query = field(default_factory=Query)
+    is_cumulative: bool = False
+    topic: Optional[str] = None

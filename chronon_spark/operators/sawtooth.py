@@ -1,0 +1,347 @@
+"""Vectorized per-key sawtooth kernel for point-in-time (as-of) windows.
+
+Computes, for each query timestamp T, windowed aggregates over events with
+  ts in [ floor((T - window) / tailHop) * tailHop , T ]      (windowed)
+  ts in ( -inf, T ]                                          (unbounded)
+
+i.e. the reference's sawtooth boundary semantics: the window tail is
+rounded DOWN to the hop boundary (effective length sawtooths between w and
+w + tailHop) and the head is INCLUSIVE of events at exactly T.
+reference: SawtoothAggregator.scala:85-161 (computeWindows/cumulate),
+boundary inclusion :129-137 and SawtoothUdfSpec.scala:256-259; hop sizes
+Resolution.scala:38-48.
+
+The reference walks per-row mutable IRs over RDDs; this kernel instead runs
+inside Arrow batches (applyInPandas / cogroup.applyInPandas) on
+time-sorted numpy arrays:
+  * sum/count/moments  -> O(n) nan-prefix power sums + searchsorted
+  * min/max            -> O(n log n) sparse-table RMQ, O(1) per query
+  * first/last         -> index arithmetic over non-null positions
+  * k-ops / distinct   -> per-query slices (bounded by window)
+All windows share the same sorted arrays and searchsorted boundaries —
+the columnar analog of the reference's hop sharing / HopRangeCache
+(SawtoothAggregator.scala:248-306).
+
+A brute-force `naive_aggregate` oracle (the analog of the reference's
+NaiveAggregator, aggregator/src/test/.../NaiveAggregator.scala:26-57)
+lives here too and is used by the pytest suite.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Any, Optional
+
+import numpy as np
+
+from chronon_spark.api import AggregationPart, Operation, sawtooth_hop_millis
+
+
+def window_bounds(
+    event_ts: np.ndarray, query_ts: np.ndarray, part: AggregationPart
+) -> tuple[np.ndarray, np.ndarray]:
+    """(start_idx, end_idx) half-open event index ranges per query."""
+    end = np.searchsorted(event_ts, query_ts, side="right")  # head: ts <= T inclusive
+    if part.window is None:
+        start = np.zeros_like(end)
+    else:
+        hop = sawtooth_hop_millis(part.window)
+        tail_ts = ((query_ts - part.window.millis) // hop) * hop
+        start = np.searchsorted(event_ts, tail_ts, side="left")
+    return start, end
+
+
+class _RangeMinMax:
+    """Sparse-table RMQ over a float array (NaN = missing)."""
+
+    def __init__(self, vals: np.ndarray, is_max: bool):
+        self.is_max = is_max
+        fill = -np.inf if is_max else np.inf
+        base = np.where(np.isnan(vals), fill, vals.astype(np.float64, copy=False))
+        self.tables = [base]
+        n = len(base)
+        size = 1
+        while 2 * size <= n:
+            prev = self.tables[-1]
+            if is_max:
+                self.tables.append(np.maximum(prev[: n - 2 * size + 1], prev[size : n - size + 1]))
+            else:
+                self.tables.append(np.minimum(prev[: n - 2 * size + 1], prev[size : n - size + 1]))
+            size *= 2
+
+    def query(self, start: np.ndarray, end: np.ndarray) -> np.ndarray:
+        """range min/max over [start, end); empty -> NaN."""
+        out = np.full(len(start), np.nan)
+        length = end - start
+        mask = length > 0
+        if not mask.any():
+            return out
+        s, e, ln = start[mask], end[mask], length[mask]
+        k = np.floor(np.log2(ln)).astype(np.int64)
+        size = 1 << k
+        t = np.empty(len(s))
+        for kk in np.unique(k):
+            m = k == kk
+            tab = self.tables[kk]
+            a = tab[s[m]]
+            b = tab[e[m] - (size[m])]
+            t[m] = np.maximum(a, b) if self.is_max else np.minimum(a, b)
+        t[np.isinf(t)] = np.nan
+        out[mask] = t
+        return out
+
+
+def _prefix_powers(vals: np.ndarray, max_power: int) -> tuple[float, list[np.ndarray]]:
+    """(shift, prefixes) where prefixes[p][i] = sum of (vals[:i]-shift)**p
+    ignoring NaN; prefixes[p][0] = 0. Values are centered on their key-level
+    mean before accumulation: central moments are shift-invariant, and the
+    shift kills the catastrophic cancellation that raw prefix sums suffer
+    when subtracting window boundaries (long history, short window)."""
+    v = vals.astype(np.float64, copy=False)
+    nn = ~np.isnan(v)
+    shift = float(v[nn].mean()) if nn.any() else 0.0
+    out = [np.concatenate(([0], np.cumsum(nn)))]  # power 0 = count
+    filled = np.where(nn, v - shift, 0.0)
+    acc = np.ones_like(filled)
+    for _ in range(max_power):
+        acc = acc * filled
+        out.append(np.concatenate(([0.0], np.cumsum(acc))))
+    return shift, out
+
+
+_MOMENT_POWER = {
+    Operation.SUM: 1,
+    Operation.AVERAGE: 1,
+    Operation.VARIANCE: 2,
+    Operation.SKEW: 3,
+    Operation.KURTOSIS: 4,
+}
+
+
+def sawtooth_aggregate(
+    event_ts: np.ndarray,
+    event_vals: dict[str, np.ndarray],
+    query_ts: np.ndarray,
+    parts: list[AggregationPart],
+) -> dict[str, np.ndarray]:
+    """Per-key kernel. `event_ts` MUST be sorted ascending; `event_vals`
+    maps input column -> float/object array aligned with event_ts (NaN/None
+    = null). Returns output_name -> array aligned with query_ts (any order).
+    """
+    out: dict[str, Any] = {}
+    nq = len(query_ts)
+    # caches shared across parts touching the same input column
+    prefix_cache: dict[tuple[str, int], list[np.ndarray]] = {}
+    rmm_cache: dict[tuple[str, bool], _RangeMinMax] = {}
+    nn_idx_cache: dict[str, np.ndarray] = {}
+
+    for part in parts:
+        col = part.input_column
+        vals = event_vals[col]
+        start, end = window_bounds(event_ts, query_ts, part)
+        op = part.operation
+
+        if op in (Operation.COUNT, Operation.UNIQUE_COUNT):
+            if op == Operation.COUNT:
+                key = (col, 0)
+                if key not in prefix_cache:
+                    prefix_cache[key] = _prefix_powers(_as_float(vals), 0)
+                p0 = prefix_cache[key][1][0]
+                out[part.output_name] = (p0[end] - p0[start]).astype(np.int64)
+            else:
+                res = np.zeros(nq, dtype=np.int64)
+                for i in range(nq):
+                    if end[i] > start[i]:
+                        seg = vals[start[i] : end[i]]
+                        seg = seg[_notnull_mask(seg)]
+                        res[i] = len(np.unique(seg)) if len(seg) else 0
+                out[part.output_name] = res
+
+        elif op in _MOMENT_POWER:
+            need = _MOMENT_POWER[op]
+            key = (col, need)
+            if key not in prefix_cache:
+                prefix_cache[key] = _prefix_powers(_as_float(vals), need)
+            shift, p = prefix_cache[key]
+            n = p[0][end] - p[0][start]
+            nn = np.maximum(n, 1).astype(np.float64)
+            # s[i] are power sums of the SHIFTED values; central moments are
+            # shift-invariant, raw sum/mean add the shift back.
+            s = [None] + [p[i][end] - p[i][start] for i in range(1, need + 1)]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                if op == Operation.SUM:
+                    res = np.where(n > 0, s[1] + shift * n, np.nan)
+                elif op == Operation.AVERAGE:
+                    res = np.where(n > 0, shift + s[1] / nn, np.nan)
+                elif op == Operation.VARIANCE:
+                    mu = s[1] / nn
+                    res = np.where(n > 0, np.maximum(s[2] / nn - mu**2, 0.0), np.nan)
+                elif op == Operation.SKEW:
+                    mu = s[1] / nn
+                    m2 = np.maximum(s[2] / nn - mu**2, 0.0)
+                    m3 = s[3] / nn - 3 * mu * (s[2] / nn) + 2 * mu**3
+                    res = np.where((n < 3) | (m2 <= 0), np.nan, m3 / np.power(np.maximum(m2, 1e-300), 1.5))
+                else:  # KURTOSIS (excess)
+                    mu = s[1] / nn
+                    m2 = np.maximum(s[2] / nn - mu**2, 0.0)
+                    m4 = s[4] / nn - 4 * mu * (s[3] / nn) + 6 * mu**2 * (s[2] / nn) - 3 * mu**4
+                    res = np.where((n < 4) | (m2 <= 0), np.nan, m4 / np.maximum(m2, 1e-300) ** 2 - 3.0)
+            out[part.output_name] = res
+
+        elif op in (Operation.MIN, Operation.MAX):
+            key = (col, op == Operation.MAX)
+            if key not in rmm_cache:
+                rmm_cache[key] = _RangeMinMax(_as_float(vals), op == Operation.MAX)
+            out[part.output_name] = rmm_cache[key].query(start, end)
+
+        elif op in (Operation.FIRST, Operation.LAST):
+            if col not in nn_idx_cache:
+                nn_idx_cache[col] = np.flatnonzero(_notnull_mask(vals))
+            nn = nn_idx_cache[col]
+            res = np.full(nq, None, dtype=object)
+            if len(nn):
+                if op == Operation.FIRST:
+                    pos = np.searchsorted(nn, start, side="left")
+                    ok = (pos < len(nn)) & (nn[np.minimum(pos, len(nn) - 1)] < end)
+                    idx = nn[np.minimum(pos, len(nn) - 1)]
+                else:
+                    pos = np.searchsorted(nn, end, side="left") - 1
+                    ok = (pos >= 0) & (nn[np.maximum(pos, 0)] >= start)
+                    idx = nn[np.maximum(pos, 0)]
+                res[ok] = vals[idx[ok]]
+            out[part.output_name] = res
+
+        elif op in (Operation.FIRST_K, Operation.LAST_K, Operation.TOP_K, Operation.BOTTOM_K,
+                    Operation.UNIQUE_TOP_K):
+            k = int(part.arg_map.get("k", 10))
+            res = np.full(nq, None, dtype=object)
+            for i in range(nq):
+                if end[i] <= start[i]:
+                    res[i] = []
+                    continue
+                seg = vals[start[i] : end[i]]
+                m = _notnull_mask(seg)
+                seg = seg[m]
+                if op == Operation.FIRST_K:
+                    res[i] = list(seg[:k])
+                elif op == Operation.LAST_K:
+                    res[i] = list(seg[::-1][:k])
+                elif op == Operation.UNIQUE_TOP_K:
+                    res[i] = sorted(set(seg.tolist()), reverse=True)[:k]
+                else:
+                    srt = np.sort(seg)
+                    res[i] = list(srt[::-1][:k]) if op == Operation.TOP_K else list(srt[:k])
+            out[part.output_name] = res
+
+        elif op in (Operation.HISTOGRAM, Operation.APPROX_FREQUENT_K,
+                    Operation.APPROX_HEAVY_HITTERS_K):
+            k = part.arg_map.get("k")
+            res = np.full(nq, None, dtype=object)
+            for i in range(nq):
+                seg = vals[start[i] : end[i]]
+                seg = seg[_notnull_mask(seg)]
+                cnt = Counter(str(x) for x in seg.tolist())
+                if k:
+                    cnt = dict(sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[: int(k)])
+                res[i] = dict(cnt)
+            out[part.output_name] = res
+
+        else:
+            raise NotImplementedError(f"temporal kernel: {op}")
+    return out
+
+
+def _as_float(vals: np.ndarray) -> np.ndarray:
+    if vals.dtype == object:
+        return np.array([np.nan if v is None else float(v) for v in vals], dtype=np.float64)
+    return vals.astype(np.float64, copy=False)
+
+
+def _notnull_mask(vals: np.ndarray) -> np.ndarray:
+    if vals.dtype == object:
+        return np.array([v is not None and v == v for v in vals], dtype=bool)
+    return ~np.isnan(vals.astype(np.float64, copy=False))
+
+
+# ---------------------------------------------------------------------------
+# brute-force oracle (tests only)
+# ---------------------------------------------------------------------------
+def naive_aggregate(
+    event_ts: np.ndarray,
+    event_vals: dict[str, np.ndarray],
+    query_ts: np.ndarray,
+    parts: list[AggregationPart],
+) -> dict[str, list]:
+    """Rescan all events per query with exact window predicates — the
+    analog of the reference's NaiveAggregator (:26-57)."""
+    out: dict[str, list] = {p.output_name: [] for p in parts}
+    for part in parts:
+        vals = event_vals[part.input_column]
+        for T in query_ts:
+            if part.window is None:
+                lo = -np.inf
+            else:
+                hop = sawtooth_hop_millis(part.window)
+                lo = ((T - part.window.millis) // hop) * hop
+            sel = [
+                v
+                for t, v in zip(event_ts, vals)
+                if lo <= t <= T and v is not None and v == v
+            ]
+            out[part.output_name].append(_naive_one(part, sel))
+    return out
+
+
+def _naive_one(part: AggregationPart, sel: list) -> Any:
+    op = part.operation
+    k = int(part.arg_map.get("k", 10))
+    if op == Operation.COUNT:
+        return len(sel)
+    if op == Operation.UNIQUE_COUNT:
+        return len(set(sel))
+    if not sel:
+        return [] if op in (Operation.FIRST_K, Operation.LAST_K, Operation.TOP_K,
+                            Operation.BOTTOM_K, Operation.UNIQUE_TOP_K) else (
+            {} if op == Operation.HISTOGRAM else None)
+    arr = np.array(sel, dtype=np.float64) if not isinstance(sel[0], str) else sel
+    if op == Operation.SUM:
+        return float(np.sum(arr))
+    if op == Operation.AVERAGE:
+        return float(np.mean(arr))
+    if op == Operation.VARIANCE:
+        return float(np.var(arr))
+    if op == Operation.SKEW:
+        m2 = np.var(arr)
+        if len(sel) < 3 or m2 <= 0:
+            return float("nan")
+        return float(np.mean((arr - np.mean(arr)) ** 3) / m2**1.5)
+    if op == Operation.KURTOSIS:
+        m2 = np.var(arr)
+        if len(sel) < 4 or m2 <= 0:
+            return float("nan")
+        return float(np.mean((arr - np.mean(arr)) ** 4) / m2**2 - 3.0)
+    if op == Operation.MIN:
+        return float(np.min(arr)) if not isinstance(arr, list) else min(arr)
+    if op == Operation.MAX:
+        return float(np.max(arr)) if not isinstance(arr, list) else max(arr)
+    if op == Operation.FIRST:
+        return sel[0]
+    if op == Operation.LAST:
+        return sel[-1]
+    if op == Operation.FIRST_K:
+        return sel[:k]
+    if op == Operation.LAST_K:
+        return sel[::-1][:k]
+    if op == Operation.TOP_K:
+        return sorted(sel, reverse=True)[:k]
+    if op == Operation.BOTTOM_K:
+        return sorted(sel)[:k]
+    if op == Operation.UNIQUE_TOP_K:
+        return sorted(set(sel), reverse=True)[:k]
+    if op == Operation.HISTOGRAM:
+        cnt = Counter(str(x) for x in sel)
+        kk = part.arg_map.get("k")
+        if kk:
+            return dict(sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[: int(kk)])
+        return dict(cnt)
+    raise NotImplementedError(str(op))

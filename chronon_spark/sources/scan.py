@@ -1,0 +1,153 @@
+"""Query-DSL scan: select/where projection + partition pruning + time
+normalization.
+
+reference: TableUtils.scanDf/scanDfBase (spark/.../catalog/TableUtils.scala:
+611-688) — selects rendered per QueryUtils.buildSelects
+(api/.../QueryUtils.scala:27-66), partition predicates
+`col >= start AND col < after(end)`, epoch-millis LongType time column
+enforced (spark/.../GroupBy.scala:506-513), snapshot-events fallback
+timestamp = end-of-ds (`dsBasedTimestamp`, GroupBy.scala:693-697).
+
+Everything here stays declarative: the selects/wheres become Catalyst
+expressions, so predicate pushdown + column pruning reach the parquet
+scan for free.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chronon_spark.api import (
+    TIME_COLUMN,
+    DataFrameSource,
+    EntitySource,
+    EventSource,
+    Query,
+)
+from chronon_spark.partitions import DEFAULT_SPEC, PartitionRange, PartitionSpec
+
+
+def _load_table(spark: SparkSession, table: str) -> DataFrame:
+    """Table name, or a direct parquet path (dev convenience,
+    reference: LocalDataLoader.scala)."""
+    if table.endswith(".parquet") or table.startswith("/") or table.startswith("file:"):
+        return spark.read.parquet(table)
+    return spark.read.table(table)
+
+
+def scan_df(
+    spark: SparkSession,
+    table: str,
+    query: Optional[Query] = None,
+    rng: Optional[PartitionRange] = None,
+    spec: PartitionSpec = DEFAULT_SPEC,
+    extra_selects: Optional[list[str]] = None,
+) -> DataFrame:
+    """Scan a table applying the Query DSL + partition pruning."""
+    query = query or Query()
+    for setup in query.setups or []:
+        spark.sql(setup)
+
+    df = _load_table(spark, table)
+    part_col = query.partition_column or spec.column
+
+    # partition pruning predicates first (pushed down by Catalyst)
+    scan_rng = rng
+    if query.start_partition or query.end_partition:
+        q_rng = PartitionRange(query.start_partition, query.end_partition, spec)
+        scan_rng = q_rng if scan_rng is None else scan_rng.intersect(q_rng)
+    if scan_rng is not None and part_col in df.columns:
+        for clause in scan_rng.where_clauses(part_col):
+            df = df.where(clause)
+
+    for clause in query.wheres or []:
+        df = df.where(clause)
+
+    if query.selects is not None:
+        exprs = [f"({expr}) AS {name}" for name, expr in query.selects.items()]
+        # keep partition + time columns alongside user selects
+        passthrough = []
+        if part_col in df.columns and part_col not in query.selects:
+            passthrough.append(part_col)
+        if query.time_column and TIME_COLUMN not in query.selects:
+            exprs.append(f"({query.time_column}) AS {TIME_COLUMN}")
+        elif TIME_COLUMN in df.columns and TIME_COLUMN not in query.selects:
+            passthrough.append(TIME_COLUMN)
+        df = df.selectExpr(*passthrough, *exprs)
+    elif query.time_column:
+        df = df.withColumn(TIME_COLUMN, F.expr(query.time_column))
+
+    # normalize ts to epoch millis LongType (enforced, GroupBy.scala:506-513)
+    if TIME_COLUMN in df.columns:
+        dtype = dict(df.dtypes)[TIME_COLUMN]
+        if dtype.startswith("timestamp"):
+            df = df.withColumn(
+                TIME_COLUMN, (F.unix_micros(F.col(TIME_COLUMN).cast("timestamp")) / 1000).cast("long")
+            )
+        elif dtype != "bigint":
+            df = df.withColumn(TIME_COLUMN, F.col(TIME_COLUMN).cast("long"))
+
+    # materialize the partition column if missing (event tables: ds = date_of(ts))
+    if part_col not in df.columns and TIME_COLUMN in df.columns:
+        df = df.withColumn(
+            part_col,
+            F.date_format(F.timestamp_millis(F.col(TIME_COLUMN)), "yyyy-MM-dd"),
+        )
+    return df
+
+
+def scan_source(
+    spark: SparkSession,
+    source,
+    rng: Optional[PartitionRange] = None,
+    spec: PartitionSpec = DEFAULT_SPEC,
+) -> DataFrame:
+    """Materialize one GroupBy/Join source as a DataFrame.
+
+    Cumulative sources scan only the latest partition (it contains full
+    history — reference: GroupBy.getIntersectedRange, GroupBy.scala:631-645).
+    """
+    if isinstance(source, DataFrameSource):
+        df = source.factory(spark)
+        q = source.query
+        for clause in q.wheres or []:
+            df = df.where(clause)
+        if q.selects is not None:
+            exprs = [f"({expr}) AS {name}" for name, expr in q.selects.items()]
+            if q.time_column:
+                exprs.append(f"({q.time_column}) AS {TIME_COLUMN}")
+            elif TIME_COLUMN in df.columns:
+                exprs.insert(0, TIME_COLUMN)
+            if spec.column in df.columns and spec.column not in (q.selects or {}):
+                exprs.insert(0, spec.column)
+            df = df.selectExpr(*exprs)
+        elif q.time_column:
+            df = df.withColumn(TIME_COLUMN, F.expr(q.time_column))
+        if TIME_COLUMN in df.columns:
+            dtype = dict(df.dtypes)[TIME_COLUMN]
+            if dtype.startswith("timestamp"):
+                df = df.withColumn(
+                    TIME_COLUMN, (F.unix_micros(F.col(TIME_COLUMN).cast("timestamp")) / 1000).cast("long")
+                )
+            elif dtype != "bigint":
+                df = df.withColumn(TIME_COLUMN, F.col(TIME_COLUMN).cast("long"))
+        if spec.column not in df.columns and TIME_COLUMN in df.columns:
+            df = df.withColumn(
+                spec.column,
+                F.date_format(F.timestamp_millis(F.col(TIME_COLUMN)), "yyyy-MM-dd"),
+            )
+        if rng is not None and spec.column in df.columns:
+            for clause in rng.where_clauses(spec.column):
+                df = df.where(clause)
+        return df
+    if isinstance(source, EventSource):
+        scan_rng = rng
+        if source.is_cumulative:
+            scan_rng = None  # latest partition carries full history; caller prunes
+        return scan_df(spark, source.table, source.query, scan_rng, spec)
+    if isinstance(source, EntitySource):
+        return scan_df(spark, source.snapshot_table, source.query, rng, spec)
+    raise TypeError(f"unsupported source type: {type(source)}")
