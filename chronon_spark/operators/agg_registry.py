@@ -185,9 +185,10 @@ class SkewSpec(MomentSpec):
         mean = s1 / n
         m2 = s2 / n - mean * mean
         m3 = s3 / n - 3 * mean * (s2 / n) + 2 * mean * mean * mean
-        return F.when((n < 3) | (m2 <= F.lit(0.0)), F.lit(float("nan"))).otherwise(
-            m3 / F.pow(m2, F.lit(1.5))
-        )
+        # deviation from reference (returns NaN, SimpleAggregators.scala:700):
+        # degenerate -> NULL, matching Spark/DuckDB built-in SQL semantics so
+        # results are portable across engines.
+        return F.when((n >= 3) & (m2 > F.lit(0.0)), m3 / F.pow(m2, F.lit(1.5)))
 
     def merge(self, wspec) -> Column:
         n = F.sum(F.col(_ir(self.name, "n"))).over(wspec).cast("double")
@@ -214,10 +215,9 @@ class KurtosisSpec(MomentSpec):
             + 6 * mean * mean * (s2 / n)
             - 3 * mean * mean * mean * mean
         )
-        # excess kurtosis (reference subtracts 3); NaN if n<4 or m2==0
-        return F.when((n < 4) | (m2 <= F.lit(0.0)), F.lit(float("nan"))).otherwise(
-            m4 / (m2 * m2) - F.lit(3.0)
-        )
+        # excess kurtosis (reference subtracts 3); degenerate (n<4 or m2==0)
+        # -> NULL (deviation from the reference's NaN — SQL-portable)
+        return F.when((n >= 4) & (m2 > F.lit(0.0)), m4 / (m2 * m2) - F.lit(3.0))
 
     def merge(self, wspec) -> Column:
         n = F.sum(F.col(_ir(self.name, "n"))).over(wspec).cast("double")

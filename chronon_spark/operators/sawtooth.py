@@ -313,12 +313,12 @@ def _naive_one(part: AggregationPart, sel: list) -> Any:
     if op == Operation.SKEW:
         m2 = np.var(arr)
         if len(sel) < 3 or m2 <= 0:
-            return float("nan")
+            return None  # degenerate -> null (engine-wide SQL-portable choice)
         return float(np.mean((arr - np.mean(arr)) ** 3) / m2**1.5)
     if op == Operation.KURTOSIS:
         m2 = np.var(arr)
         if len(sel) < 4 or m2 <= 0:
-            return float("nan")
+            return None
         return float(np.mean((arr - np.mean(arr)) ** 4) / m2**2 - 3.0)
     if op == Operation.MIN:
         return float(np.min(arr)) if not isinstance(arr, list) else min(arr)

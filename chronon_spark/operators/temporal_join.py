@@ -113,7 +113,15 @@ def _emit(res: np.ndarray, sql_type: str):
     if sql_type in ("int", "smallint"):
         return pd.array([None if v is None or v != v else int(v) for v in res], dtype="Int32")
     if sql_type == "double":
-        return pd.Series(res, dtype="float64")
+        # kernel convention: NaN == null. Use the masked Float64 array so
+        # Arrow writes genuine SQL NULLs (plain float64 NaN survives as NaN).
+        if res.dtype == object:
+            vals = np.array(
+                [np.nan if v is None else float(v) for v in res], dtype=np.float64
+            )
+        else:
+            vals = res.astype(np.float64, copy=False)
+        return pd.arrays.FloatingArray(vals.copy(), np.isnan(vals))
     return pd.Series(list(res), dtype=object)
 
 

@@ -1,0 +1,223 @@
+"""Snapshot GroupBy engine vs golden Spark SQL — the analog of the
+reference's GroupByTest golden-SQL comparison
+(spark/src/test/.../groupby/GroupByTest.scala:41-124).
+
+Golden semantics for an N-day window ending at day `ds`:
+  ts >= (epoch(ds) - 86400*(N-1))*1000 AND ts < epoch(ds + 1 day)*1000
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from chronon_spark.api import (
+    Aggregation,
+    DataFrameSource,
+    GroupBy,
+    Operation,
+    Query,
+    Window,
+)
+from chronon_spark.operators.groupby import compute_snapshot_groupby
+
+BASE = 1704067200000  # 2024-01-01 UTC
+DAY = 86_400_000
+
+
+@pytest.fixture(scope="module")
+def events_df(spark):
+    rng = np.random.default_rng(7)
+    n = 2000
+    rows = [
+        (
+            int(rng.integers(0, 20)),  # key
+            int(BASE + rng.integers(0, 30 * DAY)),  # ts over 30 days
+            float(round(rng.uniform(0, 100), 2)) if rng.random() > 0.1 else None,
+            str(rng.choice(["a", "b", "c"])),
+        )
+        for _ in range(n)
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts long, value double, cat string")
+    df = df.withColumn("ds", F.date_format(F.timestamp_millis(F.col("ts")), "yyyy-MM-dd"))
+    df.createOrReplaceTempView("gb_events")
+    return df
+
+
+def _src(df):
+    return DataFrameSource(lambda spark: df)
+
+
+def _rows(df, cols):
+    return {
+        tuple(r[c] for c in cols[:2]): tuple(r[c] for c in cols[2:])
+        for r in df.collect()
+    }
+
+
+def _compare(engine_df, golden_df, value_cols, tol=1e-6):
+    keys = ["user_id", "ds"]
+    a = _rows(engine_df.select(*keys, *value_cols), keys + value_cols)
+    b = _rows(golden_df.select(*keys, *value_cols), keys + value_cols)
+    assert set(a) == set(b), f"key sets differ: {len(a)} vs {len(b)}"
+    for k in a:
+        for va, vb, name in zip(a[k], b[k], value_cols):
+            if va is None and vb is None:
+                continue
+            assert va is not None and vb is not None, f"{k}/{name}: {va} vs {vb}"
+            if isinstance(va, float):
+                assert va == pytest.approx(vb, rel=tol, abs=tol), f"{k}/{name}"
+            else:
+                assert va == vb, f"{k}/{name}: {va} vs {vb}"
+
+
+def test_windowed_sum_count_avg_vs_golden(spark, events_df):
+    gb = GroupBy(
+        sources=[_src(events_df)],
+        key_columns=["user_id"],
+        aggregations=[
+            Aggregation("value", Operation.SUM, windows=[Window(7), None]),
+            Aggregation("value", Operation.COUNT, windows=[Window(7)]),
+            Aggregation("value", Operation.AVERAGE, windows=[Window(7)]),
+            Aggregation("value", Operation.MIN, windows=[Window(7)]),
+            Aggregation("value", Operation.MAX, windows=[Window(7)]),
+        ],
+        name="g1",
+    )
+    out = compute_snapshot_groupby(spark, gb)
+    golden = spark.sql(f"""
+        WITH days AS (SELECT DISTINCT user_id, ds FROM gb_events)
+        SELECT d.user_id, d.ds,
+               SUM(CASE WHEN e.ts >= CAST(unix_date(to_date(d.ds)) AS BIGINT)*86400000 - {6*DAY}
+                         AND e.ts <  CAST(unix_date(to_date(d.ds)) AS BIGINT)*86400000 + {DAY}
+                        THEN e.value END) AS value_sum_7d,
+               SUM(CASE WHEN e.ts < CAST(unix_date(to_date(d.ds)) AS BIGINT)*86400000 + {DAY}
+                        THEN e.value END) AS value_sum,
+               COUNT(CASE WHEN e.ts >= CAST(unix_date(to_date(d.ds)) AS BIGINT)*86400000 - {6*DAY}
+                           AND e.ts <  CAST(unix_date(to_date(d.ds)) AS BIGINT)*86400000 + {DAY}
+                          THEN e.value END) AS value_count_7d,
+               AVG(CASE WHEN e.ts >= CAST(unix_date(to_date(d.ds)) AS BIGINT)*86400000 - {6*DAY}
+                         AND e.ts <  CAST(unix_date(to_date(d.ds)) AS BIGINT)*86400000 + {DAY}
+                        THEN e.value END) AS value_average_7d,
+               MIN(CASE WHEN e.ts >= CAST(unix_date(to_date(d.ds)) AS BIGINT)*86400000 - {6*DAY}
+                         AND e.ts <  CAST(unix_date(to_date(d.ds)) AS BIGINT)*86400000 + {DAY}
+                        THEN e.value END) AS value_min_7d,
+               MAX(CASE WHEN e.ts >= CAST(unix_date(to_date(d.ds)) AS BIGINT)*86400000 - {6*DAY}
+                         AND e.ts <  CAST(unix_date(to_date(d.ds)) AS BIGINT)*86400000 + {DAY}
+                        THEN e.value END) AS value_max_7d
+        FROM days d JOIN gb_events e ON d.user_id = e.user_id
+        GROUP BY d.user_id, d.ds
+    """)
+    _compare(
+        out,
+        golden,
+        ["value_sum_7d", "value_sum", "value_count_7d", "value_average_7d",
+         "value_min_7d", "value_max_7d"],
+    )
+
+
+def test_moments_vs_golden(spark, events_df):
+    gb = GroupBy(
+        sources=[_src(events_df)],
+        key_columns=["user_id"],
+        aggregations=[
+            Aggregation("value", Operation.VARIANCE, windows=[Window(10)]),
+        ],
+        name="g2",
+    )
+    out = compute_snapshot_groupby(spark, gb)
+    golden = spark.sql(f"""
+        WITH days AS (SELECT DISTINCT user_id, ds FROM gb_events)
+        SELECT d.user_id, d.ds,
+               VAR_POP(CASE WHEN e.ts >= CAST(unix_date(to_date(d.ds)) AS BIGINT)*86400000 - {9*DAY}
+                             AND e.ts <  CAST(unix_date(to_date(d.ds)) AS BIGINT)*86400000 + {DAY}
+                            THEN e.value END) AS value_variance_10d
+        FROM days d JOIN gb_events e ON d.user_id = e.user_id
+        GROUP BY d.user_id, d.ds
+    """)
+    _compare(out, golden, ["value_variance_10d"], tol=1e-4)
+
+
+def test_first_last_by_ts_vs_golden(spark, events_df):
+    gb = GroupBy(
+        sources=[_src(events_df)],
+        key_columns=["user_id"],
+        aggregations=[
+            Aggregation("value", Operation.FIRST, windows=[Window(7)]),
+            Aggregation("value", Operation.LAST, windows=[Window(7)]),
+        ],
+        name="g3",
+    )
+    out = compute_snapshot_groupby(spark, gb)
+    golden = spark.sql(f"""
+        WITH days AS (SELECT DISTINCT user_id, ds FROM gb_events),
+        win AS (
+          SELECT d.user_id, d.ds, e.ts, e.value
+          FROM days d JOIN gb_events e ON d.user_id = e.user_id
+          WHERE e.ts >= CAST(unix_date(to_date(d.ds)) AS BIGINT)*86400000 - {6*DAY}
+            AND e.ts <  CAST(unix_date(to_date(d.ds)) AS BIGINT)*86400000 + {DAY}
+            AND e.value IS NOT NULL
+        )
+        SELECT user_id, ds,
+               MIN_BY(value, ts) AS value_first_7d,
+               MAX_BY(value, ts) AS value_last_7d
+        FROM win GROUP BY user_id, ds
+    """)
+    # golden only produces rows where a non-null value exists in-window;
+    # restrict comparison to those
+    out_f = out.join(golden.select("user_id", "ds"), ["user_id", "ds"], "inner")
+    _compare(out_f, golden, ["value_first_7d", "value_last_7d"])
+
+
+def test_unique_count_and_histogram(spark, events_df):
+    gb = GroupBy(
+        sources=[_src(events_df)],
+        key_columns=["user_id"],
+        aggregations=[
+            Aggregation("cat", Operation.UNIQUE_COUNT, windows=[Window(3)]),
+        ],
+        name="g4",
+    )
+    out = compute_snapshot_groupby(spark, gb)
+    golden = spark.sql(f"""
+        WITH days AS (SELECT DISTINCT user_id, ds FROM gb_events)
+        SELECT d.user_id, d.ds,
+               COUNT(DISTINCT CASE WHEN e.ts >= CAST(unix_date(to_date(d.ds)) AS BIGINT)*86400000 - {2*DAY}
+                                    AND e.ts <  CAST(unix_date(to_date(d.ds)) AS BIGINT)*86400000 + {DAY}
+                                   THEN e.cat END) AS cat_unique_count_3d
+        FROM days d JOIN gb_events e ON d.user_id = e.user_id
+        GROUP BY d.user_id, d.ds
+    """)
+    _compare(out, golden, ["cat_unique_count_3d"])
+
+
+def test_derivations(spark, events_df):
+    gb = GroupBy(
+        sources=[_src(events_df)],
+        key_columns=["user_id"],
+        aggregations=[
+            Aggregation("value", Operation.SUM, windows=[Window(7)]),
+            Aggregation("value", Operation.COUNT, windows=[Window(7)]),
+        ],
+        derivations={"manual_avg": "value_sum_7d / value_count_7d"},
+        name="g5",
+    )
+    out = compute_snapshot_groupby(spark, gb)
+    rows = out.where("value_count_7d > 0").limit(50).collect()
+    assert rows
+    for r in rows:
+        assert r["manual_avg"] == pytest.approx(r["value_sum_7d"] / r["value_count_7d"])
+
+
+def test_dense_mode_emits_event_free_days(spark, events_df):
+    from chronon_spark.partitions import PartitionRange
+
+    gb = GroupBy(
+        sources=[_src(events_df)],
+        key_columns=["user_id"],
+        aggregations=[Aggregation("value", Operation.COUNT, windows=[Window(7)])],
+        name="g6",
+    )
+    rng = PartitionRange("2024-01-05", "2024-01-20")
+    out = compute_snapshot_groupby(spark, gb, rng=rng, dense=True)
+    per_key = out.groupBy("user_id").count().collect()
+    assert all(r["count"] == 16 for r in per_key)  # every day for every key

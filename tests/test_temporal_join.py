@@ -1,0 +1,210 @@
+"""Temporal (point-in-time) join engine vs golden Spark SQL — the analog of
+the reference's EventsEventsTemporalTest (spark/src/test/.../join/
+EventsEventsTemporalTest.scala:88-110) plus the boundary spec tests
+(SawtoothUdfSpec.scala:256-259).
+
+Golden semantics for window w ending at left row time T:
+  events with  floor((T - w) / hop) * hop  <=  ts  <=  T
+(the sawtooth tail rounding + head-inclusive boundary).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from chronon_spark.api import (
+    Aggregation,
+    DataFrameSource,
+    GroupBy,
+    Join,
+    JoinPart,
+    Operation,
+    TimeUnit,
+    Window,
+    sawtooth_hop_millis,
+)
+from chronon_spark.operators.temporal_join import (
+    compute_temporal_join,
+    temporal_features,
+)
+
+BASE = 1704067200000  # 2024-01-01 UTC
+DAY = 86_400_000
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    rng = np.random.default_rng(11)
+    ev = [
+        (
+            int(rng.integers(0, 15)),
+            int(BASE + rng.integers(0, 20 * DAY)),
+            float(round(rng.uniform(0, 50), 2)) if rng.random() > 0.1 else None,
+        )
+        for _ in range(1500)
+    ]
+    right = spark.createDataFrame(ev, "user_id int, ts long, value double")
+    q = [
+        (int(rng.integers(0, 15)), int(BASE + rng.integers(0, 20 * DAY)))
+        for _ in range(400)
+    ]
+    # duplicate left rows must be preserved (reference duplicates the left,
+    # EventsEventsTemporalTest.scala:75-76)
+    q += q[:20]
+    # exact-tie timestamps: query at an event's own ts includes that event
+    q += [(e[0], e[1]) for e in ev[:20]]
+    left = spark.createDataFrame(q, "user_id int, ts long")
+    left = left.withColumn("ds", F.date_format(F.timestamp_millis("ts"), "yyyy-MM-dd"))
+    right.createOrReplaceTempView("tj_events")
+    left.createOrReplaceTempView("tj_left")
+    return left, right
+
+
+def _golden(spark, window: Window, op_sql: str, out: str):
+    hop = sawtooth_hop_millis(window)
+    w = window.millis
+    return spark.sql(f"""
+        WITH l AS (SELECT DISTINCT user_id, ts FROM tj_left)
+        SELECT l.user_id, l.ts,
+               {op_sql} AS {out}
+        FROM l LEFT JOIN tj_events e
+          ON l.user_id = e.user_id
+         AND e.ts <= l.ts
+         AND e.ts >= CAST(FLOOR((l.ts - {w}) / {hop}) AS BIGINT) * {hop}
+        GROUP BY l.user_id, l.ts
+    """)
+
+
+def _compare_col(engine_df, golden_df, col, tol=1e-6):
+    # group by (user_id, ts) — duplicates collapse to identical values
+    a = {(r["user_id"], r["ts"]): r[col] for r in engine_df.collect()}
+    b = {(r["user_id"], r["ts"]): r[col] for r in golden_df.collect()}
+    assert set(a) == set(b)
+    for k, va in a.items():
+        vb = b[k]
+        if va is None and vb is None:
+            continue
+        assert va is not None and vb is not None, f"{k}: {va} vs {vb}"
+        if isinstance(va, float):
+            assert va == pytest.approx(vb, rel=tol, abs=tol), f"{k}"
+        else:
+            assert va == vb, f"{k}: {va} vs {vb}"
+
+
+@pytest.mark.parametrize(
+    "op,window,op_sql",
+    [
+        (Operation.SUM, Window(7), "SUM(e.value)"),
+        (Operation.COUNT, Window(7), "COUNT(e.value)"),
+        (Operation.AVERAGE, Window(2), "AVG(e.value)"),
+        (Operation.MIN, Window(3, TimeUnit.HOURS), "MIN(e.value)"),
+        (Operation.MAX, Window(30), "MAX(e.value)"),
+        (Operation.LAST, Window(7), "MAX_BY(e.value, CASE WHEN e.value IS NOT NULL THEN e.ts END)"),
+        (Operation.FIRST, Window(7), "MIN_BY(e.value, CASE WHEN e.value IS NOT NULL THEN e.ts END)"),
+    ],
+    ids=lambda x: str(x),
+)
+def test_temporal_ops_vs_golden(spark, data, op, window, op_sql):
+    left, right = data
+    from chronon_spark.api import AggregationPart
+
+    parts = [AggregationPart("value", op, window=window)]
+    out = temporal_features(left, right, ["user_id"], ["user_id"], parts)
+    name = parts[0].output_name
+    golden = _golden(spark, window, op_sql, name)
+    if op == Operation.COUNT:
+        # SQL COUNT over left join yields 0 for no-match; ours yields 0 too
+        pass
+    _compare_col(out.select("user_id", "ts", name), golden, name)
+
+
+def test_full_join_two_parts_with_key_mapping(spark, data):
+    left, right = data
+    right_src = DataFrameSource(lambda s: right)
+    gb1 = GroupBy(
+        sources=[right_src],
+        key_columns=["user_id"],
+        aggregations=[
+            Aggregation("value", Operation.SUM, windows=[Window(7)]),
+            Aggregation("value", Operation.COUNT, windows=[Window(7), None]),
+        ],
+        name="purchases",
+    )
+    gb2 = GroupBy(
+        sources=[right_src],
+        key_columns=["user_id"],
+        aggregations=[Aggregation("value", Operation.MAX, windows=[Window(30)])],
+        name="spend",
+    )
+    join = Join(
+        left=DataFrameSource(lambda s: left),
+        join_parts=[JoinPart(gb1), JoinPart(gb2, prefix="p2")],
+        derivations={"ratio": "purchases_value_sum_7d / purchases_value_count_7d"},
+        name="j1",
+    )
+    out = compute_temporal_join(spark, join)
+    cols = set(out.columns)
+    assert "purchases_value_sum_7d" in cols
+    assert "purchases_value_count_7d" in cols
+    assert "purchases_value_count" in cols
+    assert "p2_spend_value_max_30d" in cols
+    assert "ratio" in cols
+    n_left = left.count()
+    assert out.count() == n_left
+
+    golden = _golden(spark, Window(7), "SUM(e.value)", "purchases_value_sum_7d")
+    _compare_col(out.select("user_id", "ts", "purchases_value_sum_7d"), golden,
+                 "purchases_value_sum_7d")
+
+
+def test_tie_inclusion_exact(spark):
+    """A left row at exactly an event's ts sees that event (head inclusive);
+    an event 1ms after is excluded. SawtoothUdfSpec.scala:256-259."""
+    right = spark.createDataFrame(
+        [(1, BASE, 10.0), (1, BASE + 1, 100.0)], "user_id int, ts long, value double"
+    )
+    left = spark.createDataFrame([(1, BASE)], "user_id int, ts long")
+    from chronon_spark.api import AggregationPart
+
+    parts = [AggregationPart("value", Operation.SUM, window=Window(1))]
+    out = temporal_features(left, right, ["user_id"], ["user_id"], parts).collect()
+    assert out[0]["value_sum_1d"] == pytest.approx(10.0)
+
+
+def test_left_key_missing_from_right(spark):
+    """Left keys with no right rows at all get null/zero features."""
+    right = spark.createDataFrame([(1, BASE, 5.0)], "user_id int, ts long, value double")
+    left = spark.createDataFrame([(1, BASE + 10), (99, BASE + 10)], "user_id int, ts long")
+    from chronon_spark.api import AggregationPart
+
+    parts = [
+        AggregationPart("value", Operation.SUM, window=Window(1)),
+        AggregationPart("value", Operation.COUNT, window=Window(1)),
+        AggregationPart("value", Operation.LAST_K, arg_map={"k": 2}, window=Window(1)),
+    ]
+    rows = {
+        r["user_id"]: r
+        for r in temporal_features(left, right, ["user_id"], ["user_id"], parts).collect()
+    }
+    assert rows[1]["value_sum_1d"] == pytest.approx(5.0)
+    assert rows[99]["value_sum_1d"] is None
+    assert rows[99]["value_count_1d"] == 0
+    assert rows[99]["value_last2_1d"] == []
+
+
+def test_skew_key_filter(spark, data):
+    left, right = data
+    gb = GroupBy(
+        sources=[DataFrameSource(lambda s: right)],
+        key_columns=["user_id"],
+        aggregations=[Aggregation("value", Operation.COUNT, windows=[Window(7)])],
+        name="g",
+    )
+    join = Join(
+        left=DataFrameSource(lambda s: left),
+        join_parts=[JoinPart(gb)],
+        skew_keys={"user_id": [0, 1]},
+        name="j2",
+    )
+    out = compute_temporal_join(spark, join)
+    assert out.where(F.col("user_id").isin([0, 1])).count() == 0
