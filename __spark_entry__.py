@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship temporal (point-in-time) join at sf0.001.
+`queries()` exposes one callable per implemented operator family
+(SURVEY.md §2); `oracle_sql()` gives the DuckDB-equivalent ANSI SQL the
+driver cross-checks at sf0.01.
+
+Conventions shared by every query/oracle pair:
+  * doubles rounded to 6 digits on BOTH sides (stable value-hash),
+  * timestamps emitted as epoch-millis BIGINT,
+  * all oracle columns CAST to exact types (DuckDB SUM(int)->HUGEINT etc.),
+  * engine semantics: empty window / degenerate moment -> SQL NULL.
 """
 
 from __future__ import annotations
@@ -12,27 +17,487 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chronon_spark.api import (
+    Aggregation,
+    EventSource,
+    GroupBy,
+    Join,
+    JoinPart,
+    Operation,
+    Query,
+    Window,
+)
+
+# testdata `ts` columns are TIMESTAMP_NTZ; session TZ is pinned to UTC so the
+# cast is identity and matches DuckDB's naive-UTC epoch_ms().
+TS_EXPR = "unix_millis(cast(ts as timestamp))"
+DAY = 86_400_000
+HOUR = 3_600_000
+
+SF_DEFAULT = "/root/testdata/sf0.001"
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _prep(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _events_source(sf_dir: str, selects: dict[str, str]) -> EventSource:
+    return EventSource(
+        f"{sf_dir}/events.parquet", Query(selects=selects, time_column=TS_EXPR)
+    )
+
+
+def _r6(df: DataFrame, cols: list[str]) -> DataFrame:
+    for c in cols:
+        df = df.withColumn(c, F.round(F.col(c).cast("double"), 6))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+def q_scan_query_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-DSL scan: selects/wheres projection + time normalization
+    (reference: TableUtils.scanDfBase)."""
+    _prep(spark)
+    from chronon_spark.sources.scan import scan_df
+
+    df = scan_df(
+        spark,
+        f"{sf_dir}/events.parquet",
+        Query(
+            selects={
+                "event_id": "event_id",
+                "user_id": "user_id",
+                "value_cents": "CAST(round(value * 100, 0) AS BIGINT)",
+            },
+            wheres=["event_type IN ('click', 'purchase')", "value > 1.0"],
+            time_column=TS_EXPR,
+        ),
+    )
+    return df.select("event_id", "user_id", "ts", "value_cents")
+
+
+def q_groupby_snapshot_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot GroupBy: 7d sliding + lifetime windows, daily end-of-day
+    (reference semantics: GroupByTest.scala:56-64).
+
+    Sums are computed on exact integer cents so they're order-independent
+    and bit-identical across engines (floating-point summation order would
+    otherwise flip the last rounded digit)."""
+    _prep(spark)
+    from chronon_spark.operators.groupby import compute_snapshot_groupby
+
+    gb = GroupBy(
+        sources=[
+            _events_source(
+                sf_dir,
+                {"user_id": "user_id", "cents": "CAST(round(value * 100, 0) AS BIGINT)"},
+            )
+        ],
+        key_columns=["user_id"],
+        aggregations=[
+            Aggregation("cents", Operation.SUM, windows=[Window(7), None]),
+            Aggregation("cents", Operation.COUNT, windows=[Window(7)]),
+            Aggregation("cents", Operation.AVERAGE, windows=[Window(7)]),
+            Aggregation("cents", Operation.MIN, windows=[Window(7)]),
+            Aggregation("cents", Operation.MAX, windows=[Window(7)]),
+        ],
+        name="g",
+    )
+    out = compute_snapshot_groupby(spark, gb)
+    return out.select(
+        "user_id", "ds",
+        F.round(F.col("cents_sum_7d") / 100.0, 6).alias("value_sum_7d"),
+        F.round(F.col("cents_sum") / 100.0, 6).alias("value_sum"),
+        F.col("cents_count_7d").alias("value_count_7d"),
+        F.round(F.col("cents_average_7d") / 100.0 + 1e-9, 6).alias("value_average_7d"),
+        F.round(F.col("cents_min_7d") / 100.0, 6).alias("value_min_7d"),
+        F.round(F.col("cents_max_7d") / 100.0, 6).alias("value_max_7d"),
+    )
+
+
+def q_groupby_snapshot_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot GroupBy: mergeable power-sum moments (variance/skew/kurtosis)
+    over a 7d window (reference: SimpleAggregators.scala:173-261, 655-766)."""
+    _prep(spark)
+    from chronon_spark.operators.groupby import compute_snapshot_groupby
+
+    # moments over an exact-integer column (value scaled to 1 decimal): all
+    # power sums are then exact in both engines (max |v|^4 * n << 2^53), so
+    # the final moment arithmetic is performed on bit-identical inputs and
+    # rounds identically — no summation-order flakiness.
+    gb = GroupBy(
+        sources=[
+            _events_source(
+                sf_dir, {"user_id": "user_id", "deci": "CAST(round(value * 10, 0) AS BIGINT)"}
+            )
+        ],
+        key_columns=["user_id"],
+        aggregations=[
+            Aggregation("deci", Operation.VARIANCE, windows=[Window(7)]),
+            Aggregation("deci", Operation.SKEW, windows=[Window(7)]),
+            Aggregation("deci", Operation.KURTOSIS, windows=[Window(7)]),
+        ],
+        name="g",
+    )
+    out = compute_snapshot_groupby(spark, gb)
+    return out.select(
+        "user_id", "ds",
+        F.round(F.col("deci_variance_7d").cast("double") + 1e-9, 4).alias("value_variance_7d"),
+        F.round(F.col("deci_skew_7d").cast("double") + 1e-9, 6).alias("value_skew_7d"),
+        F.round(F.col("deci_kurtosis_7d").cast("double") + 1e-9, 6).alias("value_kurtosis_7d"),
+    )
+
+
+def q_groupby_snapshot_distinct_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot GroupBy: exact distinct count (3d) + first/last by ts (7d)."""
+    _prep(spark)
+    from chronon_spark.operators.groupby import compute_snapshot_groupby
+
+    gb = GroupBy(
+        sources=[
+            _events_source(
+                sf_dir,
+                {"user_id": "user_id", "value": "value", "event_type": "event_type"},
+            )
+        ],
+        key_columns=["user_id"],
+        aggregations=[
+            Aggregation("event_type", Operation.UNIQUE_COUNT, windows=[Window(3)]),
+            Aggregation("value", Operation.FIRST, windows=[Window(7)]),
+            Aggregation("value", Operation.LAST, windows=[Window(7)]),
+        ],
+        name="g",
+    )
+    out = compute_snapshot_groupby(spark, gb)
+    return _r6(
+        out.select(
+            "user_id", "ds", "event_type_unique_count_3d", "value_first_7d", "value_last_7d"
+        ),
+        ["value_first_7d", "value_last_7d"],
+    )
+
+
+def q_temporal_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The core deliverable: point-in-time join. Each event row is enriched
+    with features as-of its own timestamp — count 1d, sum/avg 7d, lifetime
+    count, last value 7d. Sawtooth boundaries: tail floor-rounded to hop,
+    head inclusive (reference: UnionJoin.scala + SawtoothUdf.scala)."""
+    _prep(spark)
+    from chronon_spark.operators.temporal_join import compute_temporal_join
+
+    right = _events_source(
+        sf_dir,
+        {"user_id": "user_id", "cents": "CAST(round(value * 100, 0) AS BIGINT)"},
+    )
+    gb = GroupBy(
+        sources=[right],
+        key_columns=["user_id"],
+        aggregations=[
+            Aggregation("cents", Operation.COUNT, windows=[Window(1), Window(7), None]),
+            Aggregation("cents", Operation.SUM, windows=[Window(7)]),
+            Aggregation("cents", Operation.LAST, windows=[Window(7)]),
+        ],
+        name="f",
+    )
+    join = Join(
+        left=_events_source(sf_dir, {"event_id": "event_id", "user_id": "user_id"}),
+        join_parts=[JoinPart(gb)],
+        name="asof",
+    )
+    out = compute_temporal_join(spark, join)
+    # avg derived from EXACT integer sum/count so both engines perform the
+    # identical float division (kernel AVERAGE uses shifted accumulation,
+    # which lands on rounding boundaries for small divisors)
+    s, c = F.col("f_cents_sum_7d"), F.col("f_cents_count_7d")
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("f_cents_count_1d").alias("count_1d"),
+        F.col("f_cents_count").alias("count_life"),
+        F.round(s / 100.0, 6).alias("sum_7d"),
+        F.when(c > 0, F.round((s / c.cast("double")) / 100.0 + 1e-9, 4)).alias("avg_7d"),
+        F.round(F.col("f_cents_last_7d") / 100.0, 6).alias("last_7d"),
+    )
+
+
+def q_temporal_lastk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal LAST_K: the 3 most recent event_types before each event,
+    emitted as a canonical comma-joined string."""
+    _prep(spark)
+    from chronon_spark.operators.temporal_join import compute_temporal_join
+
+    right = _events_source(sf_dir, {"user_id": "user_id", "event_type": "event_type"})
+    gb = GroupBy(
+        sources=[right],
+        key_columns=["user_id"],
+        aggregations=[
+            Aggregation("event_type", Operation.LAST_K, arg_map={"k": 3}, windows=[Window(7)])
+        ],
+        name="f",
+    )
+    join = Join(
+        left=_events_source(sf_dir, {"event_id": "event_id", "user_id": "user_id"}),
+        join_parts=[JoinPart(gb)],
+        name="lastk",
+    )
+    out = compute_temporal_join(spark, join)
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.array_join("f_event_type_last3_7d", ",").alias("last3_types"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min gap): one row per session with
+    count/start/end/duration. north_rule extension — not in the reference."""
+    _prep(spark)
+    from chronon_spark.operators.analytics import session_stats
+    from chronon_spark.sources.scan import scan_df
+
+    df = scan_df(
+        spark,
+        f"{sf_dir}/events.parquet",
+        Query(selects={"user_id": "user_id"}, time_column=TS_EXPR),
+    ).select("user_id", "ts")
+    return session_stats(df, ["user_id"], gap_millis=30 * 60 * 1000)
+
+
+def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead window features per key ordered by ts (north_rule)."""
+    _prep(spark)
+    from chronon_spark.operators.analytics import with_lag_lead
+    from chronon_spark.sources.scan import scan_df
+
+    df = scan_df(
+        spark,
+        f"{sf_dir}/events.parquet",
+        Query(selects={"user_id": "user_id", "value": "value"}, time_column=TS_EXPR),
+    ).select("user_id", "ts", "value")
+    out = with_lag_lead(df, ["user_id"], ["value", "ts"], offsets=(1,))
+    out = out.withColumn("gap_ms", F.col("ts") - F.col("ts_lag_1"))
+    return _r6(
+        out.select("user_id", "ts", "value", "value_lag_1", "value_lead_1", "gap_ms"),
+        ["value", "value_lag_1", "value_lead_1"],
+    )
+
+
+def q_staging_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StagingQuery: free-form SQL with date macros (reference:
+    batch/StagingQuery.scala:30-93) — TPC-H-Q1-shaped pricing summary."""
+    _prep(spark)
+    from chronon_spark.operators.staging import render_staging_query
+
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView("lineitem")
+    # money sums on exact scaled integers: order-independent across engines
+    sql = render_staging_query(
+        """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(CAST(SUM(CAST(round(l_quantity, 0) AS BIGINT)) AS DOUBLE), 6) AS sum_qty,
+               ROUND(CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS DOUBLE)
+                     / CAST(10000 AS DOUBLE), 4) AS sum_disc_price,
+               ROUND((CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+                      / CAST(COUNT(l_extendedprice) AS DOUBLE)) / CAST(100 AS DOUBLE) + 1e-9, 4) AS avg_price,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '{{ end_date }} 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """,
+        start_date="2024-01-01",
+        end_date="2024-11-01",
+    )
+    return spark.sql(sql)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "scan_query_dsl": q_scan_query_dsl,
+        "groupby_snapshot_windows": q_groupby_snapshot_windows,
+        "groupby_snapshot_moments": q_groupby_snapshot_moments,
+        "groupby_snapshot_distinct_firstlast": q_groupby_snapshot_distinct_firstlast,
+        "temporal_join_asof": q_temporal_join_asof,
+        "temporal_lastk": q_temporal_lastk,
+        "sessionize": q_sessionize,
+        "lag_lead": q_lag_lead,
+        "staging_query": q_staging_query,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles (DuckDB dialect)
+# ---------------------------------------------------------------------------
+_SNAP_DAYS = (
+    "days AS (SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS ds FROM events)"
+)
+_EOD = "(CAST(epoch(CAST(d.ds AS DATE)) AS BIGINT) * 1000 + 86400000)"  # end-of-day ms
+
+
+def _snap_window(n_days: int) -> str:
+    """events in the N-day window ending at end of day ds."""
+    return (
+        f"epoch_ms(e.ts) >= {_EOD} - {n_days * DAY} AND epoch_ms(e.ts) < {_EOD}"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "scan_query_dsl": """
+            SELECT event_id, user_id, epoch_ms(ts) AS ts,
+                   CAST(round(value * 100, 0) AS BIGINT) AS value_cents
+            FROM events
+            WHERE event_type IN ('click', 'purchase') AND value > 1.0
+        """,
+        "groupby_snapshot_windows": f"""
+            WITH {_SNAP_DAYS},
+            ec AS (SELECT user_id, ts, CAST(round(value * 100, 0) AS BIGINT) AS cents
+                   FROM events)
+            SELECT d.user_id, d.ds,
+                   ROUND(SUM(CASE WHEN {_snap_window(7)} THEN e.cents END) / 100.0, 6)
+                       AS value_sum_7d,
+                   ROUND(SUM(CASE WHEN epoch_ms(e.ts) < {_EOD} THEN e.cents END) / 100.0, 6)
+                       AS value_sum,
+                   COUNT(CASE WHEN {_snap_window(7)} THEN e.cents END) AS value_count_7d,
+                   ROUND(SUM(CASE WHEN {_snap_window(7)} THEN e.cents END)
+                         / CAST(COUNT(CASE WHEN {_snap_window(7)} THEN e.cents END) AS DOUBLE)
+                         / 100.0 + 1e-9, 6) AS value_average_7d,
+                   ROUND(MIN(CASE WHEN {_snap_window(7)} THEN e.cents END) / 100.0, 6)
+                       AS value_min_7d,
+                   ROUND(MAX(CASE WHEN {_snap_window(7)} THEN e.cents END) / 100.0, 6)
+                       AS value_max_7d
+            FROM days d JOIN ec e ON d.user_id = e.user_id
+            GROUP BY d.user_id, d.ds
+        """,
+        "groupby_snapshot_moments": f"""
+            WITH {_SNAP_DAYS},
+            ev AS (SELECT user_id, ts,
+                          CAST(CAST(round(value * 10, 0) AS BIGINT) AS DOUBLE) AS v
+                   FROM events),
+            raw AS (
+              SELECT d.user_id, d.ds,
+                     CAST(COUNT(CASE WHEN {_snap_window(7)} THEN e.v END) AS DOUBLE) AS n,
+                     SUM(CASE WHEN {_snap_window(7)} THEN e.v END) AS s1,
+                     SUM(CASE WHEN {_snap_window(7)} THEN e.v * e.v END) AS s2,
+                     SUM(CASE WHEN {_snap_window(7)} THEN e.v * e.v * e.v END) AS s3,
+                     SUM(CASE WHEN {_snap_window(7)} THEN e.v * e.v * e.v * e.v END) AS s4
+              FROM days d JOIN ev e ON d.user_id = e.user_id
+              GROUP BY d.user_id, d.ds
+            ),
+            m AS (
+              SELECT user_id, ds, n,
+                     CASE WHEN n >= 1 THEN s2 / n - (s1 / n) * (s1 / n) END AS m2,
+                     s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+                     s4 / n - 4 * (s1 / n) * (s3 / n)
+                            + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                            - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+              FROM raw WHERE n > 0
+            )
+            SELECT user_id, ds,
+                   ROUND(m2 + 1e-9, 4) AS value_variance_7d,
+                   CASE WHEN n >= 3 AND m2 > 0 THEN ROUND(m3 / POWER(m2, 1.5) + 1e-9, 6) END AS value_skew_7d,
+                   CASE WHEN n >= 4 AND m2 > 0 THEN ROUND(m4 / (m2 * m2) - 3.0 + 1e-9, 6) END AS value_kurtosis_7d
+            FROM m
+        """,
+        "groupby_snapshot_distinct_firstlast": f"""
+            WITH {_SNAP_DAYS}
+            SELECT d.user_id, d.ds,
+                   COUNT(DISTINCT CASE WHEN {_snap_window(3)} THEN e.event_type END)
+                       AS event_type_unique_count_3d,
+                   ROUND(ARG_MIN(CASE WHEN {_snap_window(7)} THEN e.value END,
+                                 CASE WHEN {_snap_window(7)} THEN epoch_ms(e.ts) END), 6)
+                       AS value_first_7d,
+                   ROUND(ARG_MAX(CASE WHEN {_snap_window(7)} THEN e.value END,
+                                 CASE WHEN {_snap_window(7)} THEN epoch_ms(e.ts) END), 6)
+                       AS value_last_7d
+            FROM days d JOIN events e ON d.user_id = e.user_id
+            GROUP BY d.user_id, d.ds
+        """,
+        # temporal as-of: tail = floor((T - w)/hop)*hop (1d window -> 1h hop,
+        # 7d -> 1h hop per Resolution.scala:38-48), head inclusive.
+        "temporal_join_asof": f"""
+            WITH l AS (SELECT event_id, user_id, epoch_ms(ts) AS ts FROM events),
+            e AS (SELECT user_id, epoch_ms(ts) AS ts,
+                         CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
+            SELECT l.event_id, l.user_id, l.ts,
+                   COUNT(CASE WHEN e.ts >= ((l.ts - {DAY}) // {HOUR}) * {HOUR}
+                              THEN e.cents END) AS count_1d,
+                   COUNT(e.cents) AS count_life,
+                   ROUND(SUM(CASE WHEN e.ts >= ((l.ts - {7 * DAY}) // {HOUR}) * {HOUR}
+                             THEN e.cents END) / 100.0, 6) AS sum_7d,
+                   CASE WHEN COUNT(CASE WHEN e.ts >= ((l.ts - {7 * DAY}) // {HOUR}) * {HOUR}
+                             THEN e.cents END) > 0 THEN
+                     ROUND((SUM(CASE WHEN e.ts >= ((l.ts - {7 * DAY}) // {HOUR}) * {HOUR}
+                                THEN e.cents END)
+                            / CAST(COUNT(CASE WHEN e.ts >= ((l.ts - {7 * DAY}) // {HOUR}) * {HOUR}
+                                   THEN e.cents END) AS DOUBLE)) / 100.0 + 1e-9, 4)
+                   END AS avg_7d,
+                   ROUND(ARG_MAX(CASE WHEN e.ts >= ((l.ts - {7 * DAY}) // {HOUR}) * {HOUR}
+                                 THEN e.cents END,
+                                 CASE WHEN e.ts >= ((l.ts - {7 * DAY}) // {HOUR}) * {HOUR}
+                                 THEN e.ts END) / 100.0, 6) AS last_7d
+            FROM l LEFT JOIN e ON l.user_id = e.user_id AND e.ts <= l.ts
+            GROUP BY l.event_id, l.user_id, l.ts
+        """,
+        "temporal_lastk": f"""
+            WITH l AS (SELECT event_id, user_id, epoch_ms(ts) AS ts FROM events),
+            e AS (SELECT user_id, epoch_ms(ts) AS ts, event_type FROM events),
+            j AS (
+              SELECT l.event_id, l.user_id, l.ts, e.event_type, e.ts AS ets
+              FROM l LEFT JOIN e ON l.user_id = e.user_id
+                AND e.ts <= l.ts
+                AND e.ts >= ((l.ts - {7 * DAY}) // {HOUR}) * {HOUR}
+            )
+            SELECT event_id, user_id, ts,
+                   COALESCE(array_to_string(
+                     (list(event_type ORDER BY ets DESC) FILTER (event_type IS NOT NULL))[1:3],
+                     ','), '') AS last3_types
+            FROM j GROUP BY event_id, user_id, ts
+        """,
+        "sessionize": """
+            WITH e AS (SELECT user_id, epoch_ms(ts) AS ts FROM events),
+            flags AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts - lag(ts) OVER w > 1800000 THEN 1 ELSE 0 END AS ns
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            sess AS (
+              SELECT user_id, ts,
+                     CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1 AS session_id
+              FROM flags
+            )
+            SELECT user_id, session_id,
+                   COUNT(*) AS n_events,
+                   MIN(ts) AS session_start_ts,
+                   MAX(ts) AS session_end_ts,
+                   MAX(ts) - MIN(ts) AS session_duration_ms
+            FROM sess GROUP BY user_id, session_id
+        """,
+        "lag_lead": """
+            SELECT user_id, epoch_ms(ts) AS ts,
+                   ROUND(value, 6) AS value,
+                   ROUND(lag(value) OVER w, 6) AS value_lag_1,
+                   ROUND(lead(value) OVER w, 6) AS value_lead_1,
+                   epoch_ms(ts) - lag(epoch_ms(ts)) OVER w AS gap_ms
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        """,
+        "staging_query": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(CAST(SUM(CAST(round(l_quantity, 0) AS BIGINT)) AS DOUBLE), 6) AS sum_qty,
+                   ROUND(CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS DOUBLE)
+                         / CAST(10000 AS DOUBLE), 4) AS sum_disc_price,
+                   ROUND((CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+                          / CAST(COUNT(l_extendedprice) AS DOUBLE)) / CAST(100 AS DOUBLE) + 1e-9, 4) AS avg_price,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '2024-11-01 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+    }
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: the point-in-time as-of join on sf0.001."""
+    return q_temporal_join_asof(spark, SF_DEFAULT)

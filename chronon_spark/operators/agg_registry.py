@@ -34,9 +34,12 @@ from pyspark.sql import functions as F
 
 from chronon_spark.api import AggregationPart, Operation
 
-# number of fractional digits kept on floating outputs so results are
-# comparable across engines / partition orders (oracle parity).
-ROUND_DIGITS = 6
+# optional engine-wide rounding of floating outputs (None = raw doubles).
+# Cross-engine comparisons round at the QUERY boundary instead, with a
+# +1e-9 nudge: Spark's BigDecimal ROUND and DuckDB's float ROUND disagree
+# on exact half-way ties, and the nudge shifts ties off the boundary
+# identically on both sides.
+ROUND_DIGITS = None
 
 
 def _ir(part_name: str, field: str) -> str:

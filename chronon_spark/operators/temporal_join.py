@@ -108,10 +108,14 @@ def _emit(res: np.ndarray, sql_type: str):
         if res.dtype == object:
             return pd.array(res, dtype="Int64")
         if res.dtype.kind == "f":
-            return pd.array([None if v != v else int(v) for v in res], dtype="Int64")
+            # round, don't truncate: prefix-sum floats of exact integers can
+            # sit epsilon below the true integer
+            return pd.array([None if v != v else int(round(v)) for v in res], dtype="Int64")
         return pd.array(res, dtype="Int64")
     if sql_type in ("int", "smallint"):
-        return pd.array([None if v is None or v != v else int(v) for v in res], dtype="Int32")
+        return pd.array(
+            [None if v is None or v != v else int(round(v)) for v in res], dtype="Int32"
+        )
     if sql_type == "double":
         # kernel convention: NaN == null. Use the masked Float64 array so
         # Arrow writes genuine SQL NULLs (plain float64 NaN survives as NaN).
