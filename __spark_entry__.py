@@ -311,6 +311,105 @@ def q_staging_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(sql)
 
 
+def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis over `documents`: token counting, char-class ratios,
+    quality score, language-ID, rolling-hash fingerprint — all JVM-side."""
+    _prep(spark)
+    from chronon_spark.operators.text import with_text_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = with_text_features(docs)
+    return out.select(
+        "doc_id", "n_tokens", "n_subtokens",
+        F.round(F.col("alpha_ratio") + 1e-9, 6).alias("alpha_ratio"),
+        F.round(F.col("digit_ratio") + 1e-9, 6).alias("digit_ratio"),
+        F.round(F.col("punct_ratio") + 1e-9, 6).alias("punct_ratio"),
+        F.round(F.col("quality") + 1e-9, 6).alias("quality"),
+        "lang_pred", "fp",
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: inject duplicates of every doc_id % 3 == 0 document,
+    dedup on text keeping the smallest doc_id, report dup_count."""
+    _prep(spark)
+    from chronon_spark.operators.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    dupes = docs.where(F.col("doc_id") % 3 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    union = docs.unionByName(dupes)
+    out = exact_dedup(union, ["text"], order_col="doc_id", keep="first")
+    return out.select("doc_id", "dup_count")
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard near-dup pairs (8-char shingles, j >= 0.3) via
+    inverted-index self-join on shingle fingerprints.
+
+    max_df=50 drops corpus-hot shingles before the pair join — the join
+    cost is sum(df^2) over shingles, so uncapped it is quadratic in
+    near-duplicate cluster size. Jaccard is then a documented
+    underestimate for pairs sharing hot shingles (denominator uses the
+    full shingle sets); the oracle mirrors the same cap."""
+    _prep(spark)
+    from chronon_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=8, threshold=0.3, max_df=50)
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (64 hashes, 16 bands), verified by
+    exact shingle Jaccard. Rows-only driver check (probabilistic recall);
+    the pytest suite asserts recall vs the exact-Jaccard oracle."""
+    _prep(spark)
+    from chronon_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(docs, "doc_id", "text", n=8, threshold=0.3)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 10 over 64-bit fingerprints),
+    pigeonhole-banded candidate join. Rows-only driver check."""
+    _prep(spark)
+    from chronon_spark.operators.dedup import simhash_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=10)
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 neighbors of query vectors 0/1/2 over the
+    embeddings corpus (numpy matmul over Arrow batches, query broadcast)."""
+    _prep(spark)
+    from chronon_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id").isin([0, 1, 2])).collect()
+    ]
+    return brute_force_topk(emb, qs, k=10)
+
+
+def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via random-hyperplane LSH buckets + exact rescoring —
+    the 10^12-row scale path. Rows-only driver check (approximate by
+    design); pytest measures recall vs brute force."""
+    _prep(spark)
+    from chronon_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id").isin([0, 1, 2])).collect()
+    ]
+    return lsh_topk(emb, qs, k=10, planes=8, probes=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_query_dsl": q_scan_query_dsl,
@@ -322,6 +421,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "lag_lead": q_lag_lead,
         "staging_query": q_staging_query,
+        "text_features": q_text_features,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "embedding_topk": q_embedding_topk,
+        "embedding_lsh_topk": q_embedding_lsh_topk,
     }
 
 
@@ -494,6 +600,114 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate < TIMESTAMP '2024-11-01 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        # mirrors chronon_spark/operators/text.py expression-for-expression;
+        # the shared rolling hash (acc*131 + ascii) % 1e9+7 was verified to
+        # produce identical values on both engines.
+        "text_features": r"""
+            WITH base AS (
+              SELECT doc_id, text,
+                CAST(length(text) AS DOUBLE) AS n,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\s+')) END AS toks,
+                length(regexp_replace(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', '#', 'g'))
+                  - length(regexp_replace(
+                      regexp_replace(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', '#', 'g'),
+                      '#', '', 'g')) AS subtoks,
+                length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS keep_alpha,
+                length(regexp_replace(text, '[0-9]', '', 'g')) AS keep_digit,
+                length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS keep_punct,
+                len(regexp_extract_all(text, '(?i)\b(the|and|of|to|is|that)\b')) AS s_en,
+                len(regexp_extract_all(text, '(?i)\b(der|und|die|das|nicht|ist)\b')) AS s_de,
+                len(regexp_extract_all(text, '(?i)\b(le|la|et|les|des|est)\b')) AS s_fr,
+                len(regexp_extract_all(text, '(?i)\b(el|los|que|y|en|una)\b')) AS s_es,
+                list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split_regex(text, ''),
+                                   ch -> CAST(ascii(ch) AS BIGINT))),
+                  (acc, x) -> (acc * 131 + x) % 1000000007) AS fp
+              FROM documents
+            ),
+            r AS (
+              SELECT *,
+                CASE WHEN n > 0 THEN (n - keep_alpha) / n ELSE 0.0 END AS alpha_ratio,
+                CASE WHEN n > 0 THEN (n - keep_digit) / n ELSE 0.0 END AS digit_ratio,
+                CASE WHEN n > 0 THEN (n - keep_punct) / n ELSE 0.0 END AS punct_ratio,
+                CAST(toks AS DOUBLE) AS td
+              FROM base
+            )
+            SELECT doc_id,
+                   CAST(toks AS BIGINT) AS n_tokens,
+                   CAST(subtoks AS BIGINT) AS n_subtokens,
+                   ROUND(alpha_ratio + 1e-9, 6) AS alpha_ratio,
+                   ROUND(digit_ratio + 1e-9, 6) AS digit_ratio,
+                   ROUND(punct_ratio + 1e-9, 6) AS punct_ratio,
+                   ROUND((LEAST(td / 20.0, 1.0)
+                          + alpha_ratio
+                          + (1.0 - LEAST(punct_ratio * 4, 1.0))
+                          + LEAST(CAST(s_en AS DOUBLE) / GREATEST(td, 1.0) * 5, 1.0)) / 4
+                         + 1e-9, 6) AS quality,
+                   CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                        WHEN s_fr = GREATEST(s_de, s_en, s_es, s_fr) THEN 'fr'
+                        WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr) THEN 'es'
+                        WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr) THEN 'en'
+                        ELSE 'de' END AS lang_pred,
+                   fp
+            FROM r
+        """,
+        "dedup_exact": """
+            WITH uni AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+            )
+            SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+            FROM uni GROUP BY text
+        """,
+        "dedup_ngram_jaccard": """
+            WITH docs AS (
+              SELECT doc_id AS id,
+                list_distinct(list_transform(
+                  CASE WHEN length(text) >= 8
+                       THEN [substr(text, i, 8) FOR i IN range(1, length(text) - 6)]
+                       ELSE [text] END,
+                  s -> list_reduce(
+                         list_prepend(CAST(0 AS BIGINT),
+                           list_transform(string_split_regex(s, ''),
+                                          ch -> CAST(ascii(ch) AS BIGINT))),
+                         (acc, x) -> (acc * 131 + x) % 1000000007))) AS sh
+              FROM documents
+            ),
+            inv0 AS (SELECT id, len(sh) AS sz, UNNEST(sh) AS s FROM docs),
+            hot AS (SELECT s FROM inv0 GROUP BY s HAVING COUNT(*) > 50),
+            inv AS (SELECT * FROM inv0 WHERE s NOT IN (SELECT s FROM hot)),
+            co AS (
+              SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+                     COUNT(*) AS inter
+              FROM inv a JOIN inv b ON a.s = b.s AND a.id < b.id
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT id_a, id_b,
+                   ROUND(inter / CAST(sz_a + sz_b - inter AS DOUBLE) + 1e-9, 6) AS jaccard
+            FROM co
+            WHERE inter / CAST(sz_a + sz_b - inter AS DOUBLE) >= 0.3
+        """,
+        "embedding_topk": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(e.v, q.qv) AS cos
+              FROM q CROSS JOIN e
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, cos,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+              FROM scored
+            )
+            SELECT query_id, vec_id, ROUND(cos + 1e-9, 6) AS cosine, rank
+            FROM ranked WHERE rank <= 10
         """,
     }
 

@@ -1,0 +1,393 @@
+"""Deduplication operators for training-data pipelines: exact, n-gram
+Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+
+Scale design (100TB corpus):
+  * exact: one shuffle on a 64-bit-ish fingerprint of the dedup key, not
+    the full text — groupBy(fp) + min_by keeps the canonical row.
+  * n-gram Jaccard: inverted-index self-join on shingles, with a
+    document-frequency cap (`max_df`) so stopword-shingles don't blow the
+    join up quadratically.
+  * MinHash LSH: per-doc signature (H hashes, Spark-native array exprs over
+    shingle fingerprints — no Python), banded into B buckets; only
+    same-bucket pairs are candidates, then exact-Jaccard verified. The
+    candidate join is |buckets| * avg_bucket^2, NOT |docs|^2.
+  * SimHash: vectorized pandas UDF (numpy bit ops per Arrow batch);
+    pigeonhole banding over 16-bit chunks for hamming<=3 candidates.
+  * embedding cosine: brute force for small query sets; random-hyperplane
+    LSH bucketing as the billion-row path (similarity.py).
+
+All deterministic: hash = polynomial rolling hash mod 1e9+7 (text.py),
+permutations pi_i(x) = (A_i x + B_i) mod P with fixed constants.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from chronon_spark.operators.text import FP_BASE, FP_MOD, fingerprint
+
+MINHASH_P = 2_147_483_647  # 2^31 - 1
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+def exact_dedup(
+    df: DataFrame,
+    dedup_cols: Sequence[str],
+    order_col: str,
+    keep: str = "first",
+) -> DataFrame:
+    """Keep one row per distinct `dedup_cols` value: the min (keep='first')
+    or max (keep='last') `order_col`. Adds `dup_count`.
+
+    One shuffle; map-side combine via min_by/max_by partials.
+    """
+    pick = F.min_by if keep == "first" else F.max_by
+    others = [c for c in df.columns if c not in dedup_cols]
+    aggs = [pick(F.col(c), F.col(order_col)).alias(c) for c in others]
+    aggs.append(F.count(F.lit(1)).alias("dup_count"))
+    return df.groupBy(*dedup_cols).agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# shingling + exact n-gram jaccard
+# ---------------------------------------------------------------------------
+def char_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct character n-grams (native: sequence + substring + distinct)."""
+    t = col
+    return F.when(
+        F.length(t) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(t) - (n - 1)),
+                lambda i: F.substring(t, i, n),
+            )
+        ),
+    ).otherwise(F.array(t))
+
+
+def shingle_fps(col: Column, n: int = 3) -> Column:
+    """Fingerprints of distinct n-gram shingles — the dedup working set."""
+    return F.array_distinct(
+        F.transform(char_shingles(col, n), lambda s: _fp_expr(s))
+    )
+
+
+def _fp_expr(s: Column) -> Column:
+    return F.aggregate(
+        F.split(s, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * FP_BASE + F.ascii(ch)) % FP_MOD,
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: Optional[int] = None,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs (id_a < id_b, jaccard >= threshold) via
+    an inverted-index self-join on shingle fingerprints.
+
+    `max_df` drops shingles appearing in more than that many docs before
+    the join (recall tradeoff documented at call sites).
+    """
+    docs = with_shingle_fps_arrow(df, id_col, text_col, n).withColumn(
+        "sz", F.size("sh")
+    )
+    inv = docs.select("id", "sz", F.explode("sh").alias("s"))
+    if max_df is not None:
+        hot = inv.groupBy("s").count().where(F.col("count") > max_df).select("s")
+        inv = inv.join(F.broadcast(hot), "s", "left_anti")
+    a, b = inv.alias("a"), inv.alias("b")
+    co = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"), F.col("b.sz").alias("sz_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        co.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round(F.col("jaccard") + 1e-9, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# vectorized (Arrow/numpy) shingling — same fingerprint values as the
+# Catalyst expressions above, but computed as one sliding-window matmul per
+# document instead of per-char interpreted lambdas (HigherOrderFunction
+# lambdas are NOT whole-stage-codegen'd; at 1000 shingles/doc the
+# interpreted path is ~50x slower than Arrow+numpy).
+# ---------------------------------------------------------------------------
+def shingle_fps_np(text: Optional[str], n: int) -> np.ndarray:
+    """Distinct n-gram fingerprints, numpy-vectorized. Bit-identical to
+    `shingle_fps` (verified by tests): polynomial value fits int64
+    (255 * (131^n - 1)/130 < 2^63 for n <= 8), so one mod at the end
+    equals the per-char running mod."""
+    if not text:
+        return np.array([0], dtype=np.int64)
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    if len(codes) < n:
+        w = FP_BASE ** np.arange(len(codes) - 1, -1, -1, dtype=np.int64)
+        return np.array([int(codes @ w) % FP_MOD], dtype=np.int64)
+    windows = np.lib.stride_tricks.sliding_window_view(codes, n)
+    weights = FP_BASE ** np.arange(n - 1, -1, -1, dtype=np.int64)
+    return np.unique((windows @ weights) % FP_MOD)
+
+
+def with_shingles_and_signature(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_hashes: int,
+) -> DataFrame:
+    """(id, sh: array<long>, sig: array<long>) in ONE Arrow pass per doc."""
+    from pyspark.sql.functions import pandas_udf
+
+    consts = _perm_consts(num_hashes)
+    A = np.array([c[0] for c in consts], dtype=np.int64)[:, None]
+    B = np.array([c[1] for c in consts], dtype=np.int64)[:, None]
+
+    @pandas_udf("struct<sh: array<long>, sig: array<long>>")
+    def _both(s: pd.Series) -> pd.DataFrame:
+        shs, sigs = [], []
+        for t in s:
+            fps = shingle_fps_np(t, n)
+            shs.append(fps)
+            sigs.append(((A * fps[None, :] + B) % MINHASH_P).min(axis=1))
+        return pd.DataFrame({"sh": shs, "sig": sigs})
+
+    return df.select(
+        F.col(id_col).alias("id"), _both(F.col(text_col)).alias("x")
+    ).select("id", "x.sh", "x.sig")
+
+
+def with_shingle_fps_arrow(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, sh) via the vectorized path — for exact-Jaccard at scale."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def _sh(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: shingle_fps_np(t, n))
+
+    return df.select(F.col(id_col).alias("id"), _sh(F.col(text_col)).alias("sh"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+def _perm_consts(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (A_i, B_i) for pi_i(x) = (A_i x + B_i) mod P."""
+    return [(2 * i + 1, (9973 * i + 12345) % MINHASH_P) for i in range(num_hashes)]
+
+
+def minhash_signature(col: Column, n: int = 3, num_hashes: int = 64) -> Column:
+    """MinHash signature as array<long> — Spark-native, one pass."""
+    fps = shingle_fps(col, n)
+
+    def perm(A: int, B: int):
+        return lambda x: (F.lit(A) * x + F.lit(B)) % MINHASH_P
+
+    sigs = [
+        F.array_min(F.transform(fps, perm(A, B))) for A, B in _perm_consts(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    verify: bool = True,
+    max_bucket: Optional[int] = 200,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash: docs agreeing on any band of
+    r = num_hashes/bands consecutive signature slots become candidates;
+    candidates are (optionally) verified with exact shingle Jaccard.
+
+    P(candidate) = 1 - (1 - j^r)^bands — with 64 hashes / 16 bands (r=4)
+    a 0.8-Jaccard pair is caught with p > 0.999.
+
+    `max_bucket` drops band buckets holding more than that many docs —
+    the standard LSH-dedup guard: a bucket of size m contributes m^2
+    candidate pairs, so template-heavy corpora otherwise go quadratic.
+    Pairs inside dropped buckets are still found through their other
+    bands unless they collide on every hot band.
+    """
+    rows_per_band = num_hashes // bands
+    docs = with_shingles_and_signature(df, id_col, text_col, n, num_hashes).cache()
+    banded = docs.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.slice("sig", b * rows_per_band + 1, rows_per_band).alias("key"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+    if max_bucket is not None:
+        sizes = banded.groupBy("band", "key").count()
+        hot = sizes.where(F.col("count") > max_bucket).select("band", "key")
+        banded = banded.join(F.broadcast(hot), ["band", "key"], "left_anti")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    if not verify:
+        return cand
+    da = docs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    db = docs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(da, "id_a").join(db, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", F.round(F.col("jaccard") + 1e-9, 6).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash (vectorized pandas UDF)
+# ---------------------------------------------------------------------------
+def simhash64_py(text: str, n: int = 3) -> int:
+    """Python reference: 64-bit SimHash over character n-gram shingles."""
+    if text is None:
+        return 0
+    sh = {text[i : i + n] for i in range(max(len(text) - n + 1, 1))}
+    shifts = np.arange(64, dtype=np.uint64)
+    acc = np.zeros(64, dtype=np.int64)
+    for s in sh:
+        h = 0
+        for ch in s:
+            h = (h * FP_BASE + ord(ch)) % FP_MOD
+        # expand 30-bit fp to 64 bits with two mix rounds (deterministic)
+        h64 = (h * 2654435761 + 0x9E3779B9) & 0xFFFFFFFFFFFFFFFF
+        h64 ^= ((h64 >> 29) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        bits = (np.uint64(h64) >> shifts) & np.uint64(1)
+        acc += np.where(bits == 1, 1, -1)
+    out = int(((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def with_simhash(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
+    """Adds `simhash` (bigint). Arrow-batched pandas UDF — the per-shingle
+    bit loop is numpy-vectorized per document."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _simhash(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: simhash64_py(t, n))
+
+    return df.withColumn("simhash", _simhash(F.col(text_col)))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming, found by
+    pigeonhole banding: split 64 bits into (max_hamming+1) chunks — any
+    pair within distance must agree on >= 1 chunk."""
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    sh = with_simhash(df.select(F.col(id_col).alias("id"), text_col), text_col)
+    banded = sh.select(
+        "id", "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk"),
+                    F.shiftrightunsigned(F.col("simhash"), c * width)
+                    .bitwiseAND(F.lit((1 << width) - 1)).alias("key"),
+                )
+                for c in range(chunks)
+            ])
+        ).alias("bk"),
+    ).select("id", "simhash", "bk.chunk", "bk.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("h_a"), F.col("b.simhash").alias("h_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    planes: int = 16,
+) -> DataFrame:
+    """Pairs with cosine >= threshold. Random-hyperplane LSH bucket join
+    (sign-bit sketch) prunes candidates; exact cosine verifies.
+
+    Deterministic hyperplanes: pseudo-random from a fixed LCG per (plane,
+    dim) — reproducible across runs/engines.
+    """
+    from chronon_spark.operators.similarity import cosine_expr, hyperplane_bits
+
+    docs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    dim = len(docs.select("v").first()["v"])
+    sketch = docs.withColumn("bits", hyperplane_bits(F.col("v"), dim, planes))
+    a, b = sketch.alias("a"), sketch.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.bits") == F.col("b.bits")) & (F.col("a.id") < F.col("b.id")),
+    )
+    cos = cosine_expr(F.col("a.v"), F.col("b.v"))
+    return (
+        cand.select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.round(cos + 1e-9, 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

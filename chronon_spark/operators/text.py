@@ -1,0 +1,133 @@
+"""Text analysis for large-scale training-data pipelines: token counting,
+quality scoring, language-ID, and document fingerprinting.
+
+All hot-path expressions are native `pyspark.sql.functions` (JVM-side,
+whole-stage codegen) — no Python UDFs. Every function returns Column
+expressions so they compose into a single projection over a 100TB scan
+(column-pruned, predicate-pushed, zero shuffles).
+
+These operators extend the reference's surface (a feature platform needs
+them for document corpora); they are not in rajkiran2190/chronon itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small per-language stopword marker sets for the n-gram/stopword heuristic
+# language-ID. Deliberately tiny + word-boundary-anchored so the same regex
+# runs identically under Java regex (Spark) and RE2 (DuckDB oracle).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "that"],
+    "de": ["der", "und", "die", "das", "nicht", "ist"],
+    "fr": ["le", "la", "et", "les", "des", "est"],
+    "es": ["el", "los", "que", "y", "en", "una"],
+}
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count; empty/blank text counts 0."""
+    t = F.trim(col)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("long")
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token count: words + digit runs + punctuation marks each
+    count separately (a cheap stand-in for BPE tokenizers)."""
+    return F.coalesce(
+        F.length(F.regexp_replace(col, r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]", "#"))
+        - F.length(F.regexp_replace(
+            F.regexp_replace(col, r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]", "#"), "#", "")),
+        F.lit(0),
+    ).cast("long")
+
+
+def char_class_ratios(col: Column) -> dict[str, Column]:
+    """alpha / digit / punct / space ratios over total chars (0 when empty)."""
+    n = F.length(col).cast("double")
+
+    def ratio(pattern: str) -> Column:
+        kept = F.length(F.regexp_replace(col, pattern, ""))
+        return F.when(n > 0, (n - kept) / n).otherwise(F.lit(0.0))
+
+    return {
+        "alpha_ratio": ratio(r"[A-Za-z]"),
+        "digit_ratio": ratio(r"[0-9]"),
+        "punct_ratio": ratio(r"[^A-Za-z0-9\s]"),
+        "space_ratio": ratio(r"\s"),
+    }
+
+
+def stopword_count(col: Column, words: list[str]) -> Column:
+    """Number of stopword occurrences (case-insensitive, word-bounded)."""
+    pattern = r"(?i)\b(" + "|".join(words) + r")\b"
+    return F.coalesce(F.regexp_count(col, F.lit(pattern)), F.lit(0)).cast("long")
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic document quality in [0, 1]: length band + alpha share +
+    moderate punctuation + stopword presence. Deterministic, engine-native."""
+    ratios = char_class_ratios(col)
+    toks = token_count(col).cast("double")
+    sw = stopword_count(col, LANG_MARKERS["en"]).cast("double")
+    length_term = F.least(toks / F.lit(20.0), F.lit(1.0))
+    alpha_term = ratios["alpha_ratio"]
+    punct_term = F.lit(1.0) - F.least(ratios["punct_ratio"] * 4, F.lit(1.0))
+    sw_term = F.least(sw / F.greatest(toks, F.lit(1.0)) * 5, F.lit(1.0))
+    return (length_term + alpha_term + punct_term + sw_term) / 4
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Per-language stopword-hit counts."""
+    return {lang: stopword_count(col, words) for lang, words in LANG_MARKERS.items()}
+
+
+def lang_id(col: Column) -> Column:
+    """argmax language by marker hits; 'und' (undetermined) when all zero.
+    Ties break by language-code order (deterministic)."""
+    scores = lang_scores(col)
+    pairs = F.array(*[
+        F.struct(scores[lang].alias("hits"), F.lit(lang).alias("lang"))
+        for lang in sorted(LANG_MARKERS)
+    ])
+    best = F.array_max(pairs)  # struct compare: hits first, then lang
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+FP_MOD = 1_000_000_007
+FP_BASE = 131
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic polynomial rolling hash of the raw text:
+    h = fold(h * 131 + ascii(char)) mod 1e9+7.
+
+    Pure SQL (aggregate over split chars) so any engine reproduces it —
+    the cross-engine-stable document id for dedup bookkeeping.
+    """
+    chars = F.split(col, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * FP_BASE + F.ascii(ch)) % FP_MOD,
+    )
+
+
+def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """All text features as one projection (single pass over the scan)."""
+    c = F.col(text_col)
+    ratios = char_class_ratios(c)
+    return df.select(
+        "*",
+        token_count(c).alias("n_tokens"),
+        bpe_ish_token_count(c).alias("n_subtokens"),
+        ratios["alpha_ratio"].alias("alpha_ratio"),
+        ratios["digit_ratio"].alias("digit_ratio"),
+        ratios["punct_ratio"].alias("punct_ratio"),
+        quality_score(c).alias("quality"),
+        lang_id(c).alias("lang_pred"),
+        fingerprint(c).alias("fp"),
+    )

@@ -1,0 +1,159 @@
+"""Dedup + similarity operator tests: planted duplicates, recall vs exact
+oracles, determinism."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """Synthetic docs with PLANTED near-duplicates: pairs (i, i+500) share
+    most of their text with a small edit."""
+    rng = np.random.default_rng(3)
+    words = ["spark", "feature", "engine", "window", "join", "event", "image",
+             "caption", "data", "pipeline", "batch", "stream", "key", "value"]
+    rows = []
+    for i in range(60):
+        n = int(rng.integers(20, 40))
+        toks = [words[int(rng.integers(0, len(words)))] for _ in range(n)]
+        text = " ".join(toks)
+        rows.append((i, text))
+        if i < 20:  # plant a near-dup: drop last 2 tokens, add one
+            rows.append((i + 500, " ".join(toks[:-2] + ["extra"])))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_first_and_counts(spark):
+    from chronon_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "a")], "id long, t string"
+    )
+    out = {r["t"]: r for r in exact_dedup(df, ["t"], "id").collect()}
+    assert out["a"]["id"] == 1 and out["a"]["dup_count"] == 3
+    assert out["b"]["id"] == 3 and out["b"]["dup_count"] == 1
+    last = {r["t"]: r for r in exact_dedup(df, ["t"], "id", keep="last").collect()}
+    assert last["a"]["id"] == 4
+
+
+def test_ngram_jaccard_finds_planted_pairs(spark, corpus):
+    from chronon_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(corpus, "doc_id", "text", n=8, threshold=0.5).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    planted = {(i, i + 500) for i in range(20)}
+    assert planted <= found, f"missing planted pairs: {planted - found}"
+
+
+def test_minhash_recall_vs_exact(spark, corpus):
+    from chronon_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(corpus, "doc_id", "text", n=8, threshold=0.5).collect()
+    }
+    mh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(corpus, "doc_id", "text", n=8, threshold=0.5).collect()
+    }
+    # verified candidates are a SUBSET of exact pairs (no false positives)...
+    assert mh <= exact
+    # ...with high recall at j >= 0.5 (P(miss) < 1e-3 per pair at r=4,b=16)
+    assert len(mh) >= 0.9 * len(exact)
+
+
+def test_simhash_near_vs_far(spark):
+    from chronon_spark.operators.dedup import simhash64_py
+
+    a = simhash64_py("the quick brown fox jumps over the lazy dog " * 3)
+    b = simhash64_py("the quick brown fox jumps over the lazy cat " * 3)
+    c = simhash64_py("completely unrelated content about query engines!!")
+
+    def ham(x, y):
+        return bin((x ^ y) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert ham(a, b) <= 16 < ham(a, c)  # near-dup clearly below unrelated
+
+
+def test_simhash_pairs_match_bruteforce(spark, corpus):
+    """Banded candidate generation must find EVERY pair within the hamming
+    budget (pigeonhole guarantee) — compare against the quadratic scan."""
+    from chronon_spark.operators.dedup import simhash64_py, simhash_pairs
+
+    rows = corpus.collect()
+    hashes = {r["doc_id"]: simhash64_py(r["text"]) for r in rows}
+
+    def ham(x, y):
+        return bin((x ^ y) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    ids = sorted(hashes)
+    expected = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if ham(hashes[a], hashes[b]) <= 6
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs(corpus, "doc_id", "text", max_hamming=6).collect()
+    }
+    assert got == expected
+
+
+def test_bruteforce_topk_matches_numpy(spark):
+    from chronon_spark.operators.similarity import brute_force_topk
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(200, 16)).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(200)], "vec_id long, embedding array<double>"
+    )
+    qs = [(0, vecs[0].tolist()), (7, vecs[7].tolist())]
+    out = brute_force_topk(df, qs, k=5).collect()
+    Vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    for qid in (0, 7):
+        sims = Vn @ Vn[qid]
+        expect = set(np.argsort(-sims)[:5].tolist())
+        got = {r["vec_id"] for r in out if r["query_id"] == qid}
+        assert got == expect
+        # self always rank 1
+        top = [r for r in out if r["query_id"] == qid and r["rank"] == 1][0]
+        assert top["vec_id"] == qid and top["cosine"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_lsh_topk_recall_on_clustered_data(spark):
+    """LSH ANN must achieve high recall when true neighbors are close
+    (clustered data — the realistic near-dup regime)."""
+    from chronon_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    rng = np.random.default_rng(9)
+    centers = rng.normal(size=(10, 16)) * 3
+    vecs = np.vstack([
+        centers[i % 10] + rng.normal(size=16) * 0.3 for i in range(300)
+    ])
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(300)], "vec_id long, embedding array<double>"
+    )
+    qs = [(0, vecs[0].tolist()), (5, vecs[5].tolist())]
+    bf = {(r["query_id"], r["vec_id"]) for r in brute_force_topk(df, qs, k=10).collect()}
+    ann = {(r["query_id"], r["vec_id"])
+           for r in lsh_topk(df, qs, k=10, planes=10, probes=3).collect()}
+    recall = len(bf & ann) / len(bf)
+    assert recall >= 0.8, f"recall {recall}"
+
+
+def test_embedding_neardup_planted(spark):
+    from chronon_spark.operators.dedup import embedding_neardup_pairs
+
+    rng = np.random.default_rng(13)
+    base = rng.normal(size=(50, 16))
+    rows = [(i, base[i].tolist()) for i in range(50)]
+    # plant near-dups: tiny perturbations of vectors 0..9
+    for i in range(10):
+        rows.append((i + 100, (base[i] + rng.normal(size=16) * 0.01).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = embedding_neardup_pairs(df, "vec_id", "embedding", threshold=0.98, planes=8)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    planted = {(i, i + 100) for i in range(10)}
+    assert planted <= found
