@@ -410,6 +410,79 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, qs, k=10, planes=8, probes=3)
 
 
+FIXTURE_N, FIXTURE_SEED = 500, 42
+_FIXTURE_PATH = f"/root/repo/.fixtures/images_n{FIXTURE_N}_s{FIXTURE_SEED}.parquet"
+
+
+def _image_fixture_path() -> str:
+    from chronon_spark.fixtures import ensure_image_fixture
+
+    return ensure_image_fixture(n=FIXTURE_N, seed=FIXTURE_SEED)
+
+
+def q_image_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """input_hint pipeline: decode binary image columns (Arrow-batched
+    mapInPandas), recompute the perceptual hash from pixels, and emit
+    integrity + caption features. `phash_match` cross-checks the decode
+    path against the stored phash — the oracle asserts it is always true,
+    so any decode/phash regression breaks the value-hash."""
+    _prep(spark)
+    from chronon_spark.operators.multimodal import with_image_features
+    from chronon_spark.operators.text import token_count
+
+    images = spark.read.parquet(_image_fixture_path())
+    out = with_image_features(images)
+    return out.select(
+        "image_id",
+        (F.col("phash_check") == F.col("phash")).alias("phash_match"),
+        F.round(F.col("w").cast("double") / F.col("h").cast("double") + 1e-9, 6).alias("aspect"),
+        token_count(F.col("caption")).alias("caption_tokens"),
+        "fmt",
+    )
+
+
+def q_image_asof_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """input_hint pipeline: point-in-time features keyed on phash — for
+    each image capture, how many captures of the SAME content (phash)
+    existed as-of that moment (1d window + lifetime), and the latest
+    caption seen. Zero temporal leakage: an image's own capture counts
+    (head-inclusive), later re-captures never do."""
+    _prep(spark)
+    from chronon_spark.operators.temporal_join import compute_temporal_join
+
+    path = _image_fixture_path()
+    src = EventSource(
+        path,
+        Query(
+            selects={"phash": "phash", "caption": "caption",
+                     "caption_len": "CAST(length(caption) AS BIGINT)"},
+            time_column="ts",
+        ),
+    )
+    gb = GroupBy(
+        sources=[src],
+        key_columns=["phash"],
+        aggregations=[
+            Aggregation("caption", Operation.COUNT, windows=[Window(1), None]),
+            Aggregation("caption", Operation.LAST, windows=[None]),
+            Aggregation("caption_len", Operation.MAX, windows=[None]),
+        ],
+        name="cap",
+    )
+    left = EventSource(
+        path, Query(selects={"image_id": "image_id", "phash": "phash"}, time_column="ts")
+    )
+    join = Join(left=left, join_parts=[JoinPart(gb)], name="img_asof")
+    out = compute_temporal_join(spark, join)
+    return out.select(
+        "image_id", "phash", "ts",
+        F.col("cap_caption_count_1d").alias("captures_1d"),
+        F.col("cap_caption_count").alias("captures_life"),
+        F.col("cap_caption_last").alias("last_caption"),
+        F.col("cap_caption_len_max").alias("max_caption_len"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_query_dsl": q_scan_query_dsl,
@@ -428,6 +501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "embedding_topk": q_embedding_topk,
         "embedding_lsh_topk": q_embedding_lsh_topk,
+        "image_pixel_features": q_image_pixel_features,
+        "image_asof_features": q_image_asof_features,
     }
 
 
@@ -448,6 +523,7 @@ def _snap_window(n_days: int) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    _image_fixture_path()  # the image oracles read the fixture parquet
     return {
         "scan_query_dsl": """
             SELECT event_id, user_id, epoch_ms(ts) AS ts,
@@ -708,6 +784,36 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, ROUND(cos + 1e-9, 6) AS cosine, rank
             FROM ranked WHERE rank <= 10
+        """,
+        # image-fixture oracles read the deterministic parquet written by
+        # ensure_image_fixture (oracle_sql() pre-generates it). Pixel decode
+        # itself is not SQL-expressible; `phash_match = TRUE` IS the decode
+        # integrity check (any pixel/phash regression flips it to false and
+        # breaks the value-hash).
+        "image_pixel_features": rf"""
+            SELECT image_id,
+                   TRUE AS phash_match,
+                   ROUND(CAST(w AS DOUBLE) / CAST(h AS DOUBLE) + 1e-9, 6) AS aspect,
+                   CAST(CASE WHEN length(trim(caption)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(caption), '\s+')) END AS BIGINT)
+                       AS caption_tokens,
+                   fmt
+            FROM '{_FIXTURE_PATH}'
+        """,
+        "image_asof_features": f"""
+            WITH img AS (
+              SELECT image_id, phash, caption,
+                     CAST(length(caption) AS BIGINT) AS caption_len, ts
+              FROM '{_FIXTURE_PATH}'
+            )
+            SELECT l.image_id, l.phash, l.ts,
+                   COUNT(CASE WHEN e.ts >= ((l.ts - {DAY}) // {HOUR}) * {HOUR}
+                              THEN e.caption END) AS captures_1d,
+                   COUNT(e.caption) AS captures_life,
+                   ARG_MAX(e.caption, e.ts) AS last_caption,
+                   MAX(e.caption_len) AS max_caption_len
+            FROM img l LEFT JOIN img e ON l.phash = e.phash AND e.ts <= l.ts
+            GROUP BY 1, 2, 3
         """,
     }
 

@@ -143,10 +143,12 @@ def sawtooth_aggregate(
 
         if op in (Operation.COUNT, Operation.UNIQUE_COUNT):
             if op == Operation.COUNT:
-                key = (col, 0)
-                if key not in prefix_cache:
-                    prefix_cache[key] = _prefix_powers(_as_float(vals), 0)
-                p0 = prefix_cache[key][1][0]
+                ckey = ("__count__", col)
+                if ckey not in nn_idx_cache:
+                    nn_idx_cache[ckey] = np.concatenate(
+                        ([0], np.cumsum(_notnull_mask(vals)))
+                    )
+                p0 = nn_idx_cache[ckey]
                 out[part.output_name] = (p0[end] - p0[start]).astype(np.int64)
             else:
                 res = np.zeros(nq, dtype=np.int64)
