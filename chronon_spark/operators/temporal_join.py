@@ -45,10 +45,27 @@ from chronon_spark.api import (
 )
 from chronon_spark.operators.groupby import (
     _apply_derivations,
-    _scan_range,
     _union_sources,
     window_days,
 )
+
+
+def _temporal_scan_range(group_by, rng, spec) -> Optional[PartitionRange]:
+    """Right-side scan widening for TEMPORAL accuracy.
+
+    Unlike snapshot windows (which end at end-of-day and need N-1 days of
+    lookback), a query at the very start of day X with an N-day window
+    reaches back to day X-N, and the sawtooth tail rounds DOWN by up to
+    one hop (<= 1 day) further — so widen by N+1 days. Regression: a
+    step-chunked backfill must equal the single-pass compute.
+    """
+    if rng is None or rng.start is None:
+        return rng
+    lookbacks = [window_days(p) for p in group_by.aggregation_parts()]
+    if any(d is None for d in lookbacks):
+        return PartitionRange(None, rng.end, spec)  # lifetime: full history
+    max_days = max(lookbacks, default=1)
+    return PartitionRange(spec.shift(rng.start, -(max_days + 1)), rng.end, spec)
 from chronon_spark.operators.sawtooth import sawtooth_aggregate
 from chronon_spark.partitions import DEFAULT_SPEC, PartitionRange, PartitionSpec
 
@@ -212,7 +229,7 @@ def compute_temporal_join_part(
     """One join part: scan right GroupBy sources (lookback-widened),
     cogroup with the left, run the sawtooth kernel."""
     gb = join_part.group_by
-    scan_rng = _scan_range(gb, rng, spec)
+    scan_rng = _temporal_scan_range(gb, rng, spec)
     right = _union_sources(spark, gb, scan_rng, spec)
     parts = gb.aggregation_parts()
     key_map = join_part.right_to_left_keys()  # gb key -> left col
@@ -263,7 +280,7 @@ def compute_temporal_groupby(
     query at its own timestamp (features as-of each event, head-inclusive
     so the row's own value is included — reference semantics for
     events-events temporal with the source as its own left)."""
-    scan_rng = _scan_range(group_by, rng, spec)
+    scan_rng = _temporal_scan_range(group_by, rng, spec)
     df = _union_sources(spark, group_by, scan_rng, spec)
     keys = group_by.key_columns
     left = df.select(*keys, TIME_COLUMN, PARTITION_COLUMN)

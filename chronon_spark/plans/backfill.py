@@ -1,0 +1,291 @@
+"""Incremental, checkpoint-resumable backfill — the engine's analog of the
+reference's modular pipeline (reference: batch/ModularMonolith.scala:24-117,
+SourceJob -> JoinPartJob -> MergeJob; unfilled-range planning
+TableUtils.unfilledRanges, catalog/TableUtils.scala:347-431; step chunking
+GroupBy.scala:777, JoinBase.scala:344-347).
+
+Every job is idempotent and partition-granular:
+  1. plan  = unfilled_ranges(wanted, existing output partitions)
+  2. chunk = each hole split into step_days ranges (bounds shuffle size and
+     gives mid-job recovery points)
+  3. run   = compute + dynamic-partition-overwrite write per chunk
+  4. record = one manifest row PER PARTITION with lineage + metrics
+     (north_rule: per-partition lineage and metrics to a manifest table)
+
+Semantic-hash invalidation (reference: JoinUtils.tablesToRecompute,
+JoinUtils.scala:292-305): the job config's hash is stored with the output;
+a changed definition archives the stale output and recomputes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import time
+from dataclasses import asdict, dataclass, field, is_dataclass
+from enum import Enum
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chronon_spark.api import GroupBy, Join
+from chronon_spark.partitions import (
+    DEFAULT_SPEC,
+    PartitionRange,
+    PartitionSpec,
+    unfilled_ranges,
+)
+from chronon_spark.sources.catalog import ParquetWarehouse
+
+MANIFEST_TABLE = "_manifest"
+
+MANIFEST_SCHEMA = (
+    "job string, output_table string, ds string, rows long, "
+    "input_start string, input_end string, wall_sec double, "
+    "semantic_hash string, run_ts long, status string"
+)
+
+
+def semantic_hash(config) -> str:
+    """Stable hash of a job definition (dataclass tree -> json -> sha1)."""
+
+    def enc(o):
+        if is_dataclass(o):
+            return {"__type": type(o).__name__, **{k: enc(v) for k, v in asdict(o).items()}}
+        if isinstance(o, Enum):
+            return o.name
+        if isinstance(o, dict):
+            return {str(k): enc(v) for k, v in o.items()}
+        if isinstance(o, (list, tuple)):
+            return [enc(v) for v in o]
+        if callable(o):
+            return f"<fn {getattr(o, '__name__', 'lambda')}>"
+        return o
+
+    blob = json.dumps(enc(config), sort_keys=True, default=str)
+    return hashlib.sha1(blob.encode()).hexdigest()[:16]
+
+
+@dataclass
+class StepResult:
+    rng: PartitionRange
+    rows: int
+    wall_sec: float
+
+
+@dataclass
+class BackfillReport:
+    output_table: str
+    requested: PartitionRange
+    planned: list[PartitionRange]
+    steps: list[StepResult] = field(default_factory=list)
+    recomputed_for_semantics: bool = False
+
+    @property
+    def rows_written(self) -> int:
+        return sum(s.rows for s in self.steps)
+
+
+class BackfillJob:
+    """Generic partition-granular backfill of `compute(range) -> DataFrame`
+    into a warehouse table, with manifest lineage."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: ParquetWarehouse,
+        output_table: str,
+        compute: Callable[[PartitionRange], DataFrame],
+        config=None,
+        job_name: str = "backfill",
+        step_days: int = 15,
+        spec: PartitionSpec = DEFAULT_SPEC,
+    ):
+        self.spark = spark
+        self.wh = warehouse
+        self.output_table = output_table
+        self.compute = compute
+        self.job_name = job_name
+        self.step_days = step_days
+        self.spec = spec
+        self.sem_hash = semantic_hash(config) if config is not None else ""
+
+    # -- manifest ---------------------------------------------------------
+    def _record(self, ds_rows: dict[str, int], rng: PartitionRange, wall: float,
+                status: str = "ok") -> None:
+        now = int(time.time() * 1000)
+        rows = [
+            (self.job_name, self.output_table, ds, int(n), rng.start, rng.end,
+             round(wall, 3), self.sem_hash, now, status)
+            for ds, n in sorted(ds_rows.items())
+        ]
+        if not rows:
+            rows = [(self.job_name, self.output_table, rng.start or "", rng.start,
+                     rng.end, round(wall, 3), self.sem_hash, now, "empty")]
+            df = self.spark.createDataFrame(
+                [(r[0], r[1], r[2], 0, r[3], r[4], r[5], r[6], r[7], r[8]) for r in rows],
+                MANIFEST_SCHEMA,
+            )
+        else:
+            df = self.spark.createDataFrame(rows, MANIFEST_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(self.wh.path(MANIFEST_TABLE))
+
+    def manifest(self) -> DataFrame:
+        return self.spark.read.parquet(self.wh.path(MANIFEST_TABLE))
+
+    # -- semantic invalidation -------------------------------------------
+    def _stale_semantics(self) -> bool:
+        if not self.sem_hash or not self.wh.exists(MANIFEST_TABLE):
+            return False
+        if not self.wh.exists(self.output_table):
+            return False
+        prior = (
+            self.manifest()
+            .where(
+                (F.col("output_table") == self.output_table)
+                & (F.col("status") == "ok")
+            )
+            .select("semantic_hash")
+            .distinct()
+            .collect()
+        )
+        hashes = {r["semantic_hash"] for r in prior}
+        return bool(hashes) and self.sem_hash not in hashes
+
+    # -- run --------------------------------------------------------------
+    def run(self, start: str, end: str, skip_first_hole: bool = True) -> BackfillReport:
+        wanted = PartitionRange(start, end, self.spec)
+        if self._stale_semantics():
+            # definition changed -> archive stale output, full recompute
+            self.wh.drop(self.output_table)
+            recomputed = True
+        else:
+            recomputed = False
+        existing = self.wh.partitions(self.output_table)
+        holes = unfilled_ranges(wanted, existing, skip_first_hole, self.spec)
+        report = BackfillReport(self.output_table, wanted, holes,
+                                recomputed_for_semantics=recomputed)
+        for hole in holes:
+            for step in hole.steps(self.step_days):
+                t0 = time.perf_counter()
+                df = self.compute(step)
+                out = df.cache()
+                per_ds = {
+                    r["ds"]: r["n"]
+                    for r in out.groupBy(self.spec.column)
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .withColumnRenamed(self.spec.column, "ds")
+                    .collect()
+                }
+                self.wh.insert_overwrite(out, self.output_table)
+                out.unpersist()
+                wall = time.perf_counter() - t0
+                self._record(per_ds, step, wall)
+                report.steps.append(
+                    StepResult(step, sum(per_ds.values()), round(wall, 3))
+                )
+        return report
+
+
+def groupby_backfill(
+    spark: SparkSession,
+    warehouse: ParquetWarehouse,
+    group_by: GroupBy,
+    output_table: str,
+    step_days: int = 15,
+    dense: bool = False,
+    spec: PartitionSpec = DEFAULT_SPEC,
+) -> BackfillJob:
+    """Snapshot-GroupBy backfill job (reference EP-1, GroupBy.computeBackfill)."""
+    from chronon_spark.operators.groupby import compute_snapshot_groupby
+
+    return BackfillJob(
+        spark, warehouse, output_table,
+        compute=lambda rng: compute_snapshot_groupby(spark, group_by, rng, spec, dense),
+        config=group_by, job_name=f"groupby/{group_by.name}",
+        step_days=step_days, spec=spec,
+    )
+
+
+def join_backfill(
+    spark: SparkSession,
+    warehouse: ParquetWarehouse,
+    join: Join,
+    output_table: str,
+    step_days: int = 15,
+    spec: PartitionSpec = DEFAULT_SPEC,
+) -> BackfillJob:
+    """Temporal-join backfill job (reference EP-2, JoinBase.computeJoin)."""
+    from chronon_spark.operators.temporal_join import compute_temporal_join
+
+    return BackfillJob(
+        spark, warehouse, output_table,
+        compute=lambda rng: compute_temporal_join(spark, join, rng, spec),
+        config=join, job_name=f"join/{join.name}",
+        step_days=step_days, spec=spec,
+    )
+
+
+# ---------------------------------------------------------------------------
+# modular join pipeline (reference: batch/ModularMonolith.scala)
+# ---------------------------------------------------------------------------
+def run_modular_join(
+    spark: SparkSession,
+    warehouse: ParquetWarehouse,
+    join: Join,
+    rng: PartitionRange,
+    namespace: str = "modular",
+    step_days: int = 15,
+    spec: PartitionSpec = DEFAULT_SPEC,
+) -> DataFrame:
+    """Join executed as a DAG of independently-resumable, table-materialized
+    nodes: SourceJob (left) -> per-part JoinPartJob -> MergeJob -> result.
+
+    Each node is a BackfillJob: re-running after a failure (or with new
+    partitions) computes only unfilled ranges. Equivalent to the monolith
+    `compute_temporal_join` (asserted in tests, the analog of the
+    reference's ModularJoinTest).
+    """
+    from chronon_spark.operators.temporal_join import compute_temporal_join_part
+    from chronon_spark.sources.scan import scan_source
+
+    left_table = f"{namespace}_{join.name}_left"
+    src_job = BackfillJob(
+        spark, warehouse, left_table,
+        compute=lambda r: scan_source(spark, join.left, r, spec),
+        config=join.left, job_name=f"source/{join.name}",
+        step_days=step_days, spec=spec,
+    )
+    src_job.run(rng.start, rng.end)
+
+    part_tables = []
+    for jp in join.join_parts:
+        pt = f"{namespace}_{join.name}_part_{jp.full_prefix()}"
+        part_tables.append((jp, pt))
+        pj = BackfillJob(
+            spark, warehouse, pt,
+            compute=lambda r, jp=jp: compute_temporal_join_part(
+                spark, warehouse.read(left_table, r), jp, r, spec
+            ),
+            config=jp, job_name=f"part/{join.name}/{jp.full_prefix()}",
+            step_days=step_days, spec=spec,
+        )
+        pj.run(rng.start, rng.end)
+
+    # MergeJob: coalesced left-joins of part tables back onto the left
+    # (reference: JoinBase.joinWithLeft / MergeJob.scala:81-140). Part
+    # outputs carry the full left row id columns, so the join keys are the
+    # left's own columns + ts.
+    left_df = warehouse.read(left_table, rng)
+    out = left_df
+    left_cols = left_df.columns
+    for jp, pt in part_tables:
+        part_df = warehouse.read(pt, rng)
+        feature_cols = [c for c in part_df.columns if c not in left_cols]
+        out = out.join(part_df.select(*left_cols, *feature_cols), left_cols, "left")
+    if join.derivations:
+        out = out.selectExpr(
+            "*", *[f"({e}) AS {n}" for n, e in join.derivations.items()]
+        )
+    return out

@@ -23,6 +23,8 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     # Idempotent partitioned re-writes (insert-overwrite sink).
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    # `ds` partition values stay strings on read-back (engine contract).
+    "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
     # Let tiny dimension sides broadcast aggressively.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
 }

@@ -58,6 +58,11 @@ class ParquetWarehouse:
         return sorted(out)
 
     def read(self, table: str, rng: Optional[PartitionRange] = None) -> DataFrame:
+        # ds stays a string column (partition dirs would otherwise be
+        # type-inferred to DATE on read-back)
+        self.spark.conf.set(
+            "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
+        )
         df = self.spark.read.parquet(self.path(table))
         if rng is not None:
             for clause in rng.where_clauses(self.spec.column):

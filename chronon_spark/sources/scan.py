@@ -59,9 +59,11 @@ def scan_df(
     if query.start_partition or query.end_partition:
         q_rng = PartitionRange(query.start_partition, query.end_partition, spec)
         scan_rng = q_rng if scan_rng is None else scan_rng.intersect(q_rng)
+    pruned = False
     if scan_rng is not None and part_col in df.columns:
         for clause in scan_rng.where_clauses(part_col):
             df = df.where(clause)
+        pruned = True
 
     for clause in query.wheres or []:
         df = df.where(clause)
@@ -96,6 +98,11 @@ def scan_df(
             part_col,
             F.date_format(F.timestamp_millis(F.col(TIME_COLUMN)), "yyyy-MM-dd"),
         )
+        if scan_rng is not None and not pruned:
+            # range pruning deferred until ds existed; Catalyst rewrites the
+            # ds predicate into a ts-range filter pushed to the scan
+            for clause in scan_rng.where_clauses(part_col):
+                df = df.where(clause)
     return df
 
 

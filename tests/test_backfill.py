@@ -1,0 +1,160 @@
+"""Backfill orchestration tests: unfilled-range resume, step chunking,
+manifest lineage, semantic-hash invalidation, modular == monolith."""
+
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from chronon_spark.api import (
+    Aggregation,
+    EventSource,
+    GroupBy,
+    Join,
+    JoinPart,
+    Operation,
+    Query,
+    Window,
+)
+from chronon_spark.partitions import PartitionRange
+from chronon_spark.plans.backfill import (
+    MANIFEST_TABLE,
+    groupby_backfill,
+    join_backfill,
+    run_modular_join,
+    semantic_hash,
+)
+from chronon_spark.sources.catalog import ParquetWarehouse
+
+BASE = 1704067200000
+DAY = 86_400_000
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    return ParquetWarehouse(spark, str(tmp_path / "warehouse"))
+
+
+@pytest.fixture(scope="module")
+def events_path(spark, tmp_path_factory):
+    rng = np.random.default_rng(21)
+    rows = [
+        (
+            int(rng.integers(0, 10)),
+            int(BASE + rng.integers(0, 20 * DAY)),
+            float(round(rng.uniform(0, 100), 2)),
+        )
+        for _ in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts long, value double")
+    p = str(tmp_path_factory.mktemp("ev") / "events.parquet")
+    df.write.parquet(p)
+    return p
+
+
+def _gb(events_path, windows=(7,)):
+    return GroupBy(
+        sources=[EventSource(events_path, Query(
+            selects={"user_id": "user_id", "value": "value"}, time_column="ts"))],
+        key_columns=["user_id"],
+        aggregations=[
+            Aggregation("value", Operation.SUM, windows=[Window(w) for w in windows]),
+            Aggregation("value", Operation.COUNT, windows=[Window(w) for w in windows]),
+        ],
+        name="g",
+    )
+
+
+def test_backfill_writes_partitions_and_manifest(spark, wh, events_path):
+    job = groupby_backfill(spark, wh, _gb(events_path), "g_out", step_days=5)
+    rep = job.run("2024-01-03", "2024-01-14")
+    assert wh.partitions("g_out") == [f"2024-01-{d:02d}" for d in range(3, 15)]
+    assert rep.rows_written > 0
+    man = job.manifest().where(F.col("output_table") == "g_out")
+    ds_rows = {r["ds"]: r["rows"] for r in man.collect()}
+    assert set(ds_rows) == set(wh.partitions("g_out"))
+    assert all(r["status"] == "ok" for r in man.collect())
+    # chunked into ceil(12/5)=3 steps
+    assert len(rep.steps) == 3
+
+
+def test_backfill_resume_only_missing(spark, wh, events_path):
+    job = groupby_backfill(spark, wh, _gb(events_path), "g_out", step_days=30)
+    job.run("2024-01-03", "2024-01-10")
+    # knock out two partitions (simulated failure)
+    for ds in ("2024-01-05", "2024-01-06"):
+        shutil.rmtree(f"{wh.path('g_out')}/ds={ds}")
+    rep2 = job.run("2024-01-03", "2024-01-12")
+    # recomputed exactly the hole + the new tail, nothing else
+    assert [(r.rng.start, r.rng.end) for r in rep2.steps] == [
+        ("2024-01-05", "2024-01-06"),
+        ("2024-01-11", "2024-01-12"),
+    ]
+    rep3 = job.run("2024-01-03", "2024-01-12")
+    assert rep3.steps == []  # fully filled -> no-op
+
+
+def test_backfill_results_match_direct_compute(spark, wh, events_path):
+    from chronon_spark.operators.groupby import compute_snapshot_groupby
+
+    gb = _gb(events_path)
+    job = groupby_backfill(spark, wh, gb, "g_out", step_days=4)
+    job.run("2024-01-03", "2024-01-14")
+    got = {
+        (r["user_id"], r["ds"]): (r["value_sum_7d"], r["value_count_7d"])
+        for r in wh.read("g_out").collect()
+    }
+    rng = PartitionRange("2024-01-03", "2024-01-14")
+    expect = {
+        (r["user_id"], r["ds"]): (r["value_sum_7d"], r["value_count_7d"])
+        for r in compute_snapshot_groupby(spark, gb, rng).collect()
+    }
+    assert set(got) == set(expect)
+    for k in got:
+        assert got[k][0] == pytest.approx(expect[k][0])
+        assert got[k][1] == expect[k][1]
+
+
+def test_semantic_hash_invalidation(spark, wh, events_path):
+    job = groupby_backfill(spark, wh, _gb(events_path, windows=(7,)), "g_out")
+    job.run("2024-01-03", "2024-01-08")
+    # same config -> no recompute
+    job2 = groupby_backfill(spark, wh, _gb(events_path, windows=(7,)), "g_out")
+    rep_same = job2.run("2024-01-03", "2024-01-08")
+    assert not rep_same.recomputed_for_semantics and rep_same.steps == []
+    # changed window -> full recompute
+    job3 = groupby_backfill(spark, wh, _gb(events_path, windows=(3,)), "g_out")
+    rep_new = job3.run("2024-01-03", "2024-01-08")
+    assert rep_new.recomputed_for_semantics and rep_new.steps
+    assert "value_sum_3d" in wh.read("g_out").columns
+
+
+def test_semantic_hash_stability():
+    a = semantic_hash(_gb("/p/events.parquet"))
+    b = semantic_hash(_gb("/p/events.parquet"))
+    c = semantic_hash(_gb("/p/events.parquet", windows=(3,)))
+    assert a == b != c
+
+
+def test_join_backfill_and_modular_equivalence(spark, wh, events_path):
+    gb = _gb(events_path)
+    left = EventSource(events_path, Query(
+        selects={"user_id": "user_id"}, time_column="ts"))
+    join = Join(left=left, join_parts=[JoinPart(gb, prefix="p")], name="j")
+    rng = PartitionRange("2024-01-05", "2024-01-10")
+
+    jb = join_backfill(spark, wh, join, "j_out", step_days=3)
+    jb.run(rng.start, rng.end)
+    mono = wh.read("j_out")
+
+    modular = run_modular_join(spark, wh, join, rng)
+    key = lambda r: (r["user_id"], r["ts"])
+    a = {key(r): r["p_g_value_sum_7d"] for r in mono.collect()}
+    b = {key(r): r["p_g_value_sum_7d"] for r in modular.collect()}
+    assert set(a) == set(b) and len(a) > 0
+    for k in a:
+        if a[k] is None:
+            assert b[k] is None
+        else:
+            assert a[k] == pytest.approx(b[k])
