@@ -324,3 +324,4 @@ class DataFrameSource:
     query: Query = field(default_factory=Query)
     is_cumulative: bool = False
     topic: Optional[str] = None
+    entity: bool = False  # treat as a daily-snapshot dimension (EntitySource)

@@ -100,7 +100,10 @@ def compute_snapshot_groupby(
     key had at least one event (sparse — cheaper, and what the oracle
     checks use).
     """
-    is_entity = any(isinstance(s, EntitySource) for s in group_by.sources)
+    is_entity = any(
+        isinstance(s, EntitySource) or getattr(s, "entity", False)
+        for s in group_by.sources
+    )
     parts = group_by.aggregation_parts()
     if not parts:  # no-agg passthrough (reference: NoAggTest)
         df = _union_sources(spark, group_by, rng, spec)
@@ -112,9 +115,43 @@ def compute_snapshot_groupby(
     scan_rng = _scan_range(group_by, rng, spec)
     df = _union_sources(spark, group_by, scan_rng, spec)
     keys = group_by.key_columns
-    specs = [spec_for(p) for p in parts]
+    dtypes = dict(df.dtypes)
 
-    # -- stage 1: daily partial IRs (the only shuffle) --------------------
+    # dispatch parts: plain scalar / auto-explode (array input) / bucketed
+    plain, by_array, bucketed = [], {}, []
+    for p in parts:
+        if p.bucket is not None:
+            bucketed.append(p)
+        elif dtypes.get(p.input_column, "").startswith("array<"):
+            by_array.setdefault(p.input_column, []).append(p)
+        else:
+            plain.append(p)
+
+    results = []
+    if plain:
+        results.append(_compute_plain_parts(df, keys, plain, rng, spec, dense))
+    for col, ps in by_array.items():
+        # auto-explode: each list element aggregates individually
+        # (reference: VectorDispatcher, ColumnAggregator.scala:208-217)
+        exploded = df.select(
+            *[c for c in df.columns if c != col],
+            F.explode_outer(F.col(col)).alias(col),
+        )
+        results.append(_compute_plain_parts(exploded, keys, ps, rng, spec, dense))
+    for p in bucketed:
+        results.append(_compute_bucketed_part(df, keys, p, rng, spec, dense))
+
+    out = results[0]
+    for other in results[1:]:
+        out = out.join(other, keys + [PARTITION_COLUMN], "full_outer")
+    return _apply_derivations(out, group_by)
+
+
+def _compute_plain_parts(df, keys, parts, rng, spec, dense) -> DataFrame:
+    """stage 1: one shuffle to daily partial IRs; stage 2: every window as a
+    rangeBetween frame over the SAME partials (the Catalyst analog of hop
+    sharing)."""
+    specs = [spec_for(p) for p in parts]
     partial_cols: dict[str, F.Column] = {}
     for sp in specs:
         partial_cols.update(sp.partials())
@@ -128,7 +165,6 @@ def compute_snapshot_groupby(
     day_num = (F.unix_date(F.to_date(F.col(PARTITION_COLUMN)))).cast("long")
     daily = daily.withColumn("__day", day_num)
 
-    # -- stage 2: all windows over the same daily partials (no shuffle) ---
     w_base = W.partitionBy(*keys).orderBy("__day")
     out_cols = []
     for part, sp in zip(parts, specs):
@@ -144,7 +180,57 @@ def compute_snapshot_groupby(
     if rng is not None:
         for clause in rng.where_clauses(spec.column):
             out = out.where(clause)
-    return _apply_derivations(out, group_by)
+    return out
+
+
+def _compute_bucketed_part(df, keys, part, rng, spec, dense) -> DataFrame:
+    """Bucketed aggregation -> map<bucket, value> (reference:
+    BucketedColumnAggregator): partials per (keys, ds, bucket), densified
+    over the key's (bucket x active-day) grid so a bucket with in-window
+    but not same-day events still gets its map entry, then windowed and
+    folded to a map."""
+    from chronon_spark.api import AggregationPart, Operation
+
+    b = part.bucket
+    sub = AggregationPart(part.input_column, part.operation, dict(part.arg_map), part.window)
+    sp = spec_for(sub)
+    dfb = df.where(F.col(b).isNotNull())
+    partial_cols = sp.partials()
+    daily = dfb.groupBy(*keys, PARTITION_COLUMN, b).agg(
+        *[c.alias(n) for n, c in partial_cols.items()]
+    )
+    # densify: (key, day) spine x key's observed buckets
+    spine = df.select(*keys, PARTITION_COLUMN).distinct()
+    kb = dfb.select(*keys, b).distinct()
+    scaffold = spine.join(kb, keys)
+    daily = scaffold.join(daily, keys + [PARTITION_COLUMN, b], "full_outer")
+
+    day_num = (F.unix_date(F.to_date(F.col(PARTITION_COLUMN)))).cast("long")
+    daily = daily.withColumn("__day", day_num)
+    w_base = W.partitionBy(*keys, b).orderBy("__day")
+    days = window_days(part)
+    frame = (
+        w_base.rangeBetween(W.unboundedPreceding, W.currentRow)
+        if days is None
+        else w_base.rangeBetween(-(days - 1), W.currentRow)
+    )
+    val = finalize_rounding(sp.merge(frame), sp)
+    daily = daily.withColumn("__v", val)
+    # empty-window entries are dropped from the map (kernel parity)
+    if part.operation in (Operation.COUNT, Operation.UNIQUE_COUNT):
+        keep = F.col("__v") > 0
+    else:
+        keep = F.col("__v").isNotNull()
+    entries = F.sort_array(
+        F.collect_list(F.when(keep, F.struct(F.col(b).alias("key"), F.col("__v").alias("value"))))
+    )
+    out = daily.groupBy(*keys, PARTITION_COLUMN).agg(
+        F.map_from_entries(entries).alias(part.output_name)
+    )
+    if rng is not None:
+        for clause in rng.where_clauses(spec.column):
+            out = out.where(clause)
+    return out
 
 
 def _densify(daily, keys, rng, spec, partial_names):
@@ -159,7 +245,10 @@ def _densify(daily, keys, rng, spec, partial_names):
     )
     key_df = daily.select(*keys).distinct()
     scaffold = key_df.crossJoin(F.broadcast(days_df))
-    return scaffold.join(daily, keys + [PARTITION_COLUMN], "left")
+    # FULL outer: keep the lookback days' partials (outside the output
+    # range) — the window frames need that history — while adding empty
+    # rows for event-free days inside the range.
+    return scaffold.join(daily, keys + [PARTITION_COLUMN], "full_outer")
 
 
 def _compute_entity_snapshot(spark, group_by, rng, spec) -> DataFrame:

@@ -123,13 +123,89 @@ def sawtooth_aggregate(
     event_vals: dict[str, np.ndarray],
     query_ts: np.ndarray,
     parts: list[AggregationPart],
+    array_inputs: Optional[set[str]] = None,
 ) -> dict[str, np.ndarray]:
     """Per-key kernel. `event_ts` MUST be sorted ascending; `event_vals`
     maps input column -> float/object array aligned with event_ts (NaN/None
     = null). Returns output_name -> array aligned with query_ts (any order).
+
+    Bucketed parts (part.bucket set) produce dict outputs {bucket: value}
+    (reference: BucketedColumnAggregator). Columns named in `array_inputs`
+    hold lists and are auto-exploded: each element aggregates individually
+    at its row's timestamp (reference: VectorDispatcher auto-explode,
+    ColumnAggregator.scala:208-217).
     """
+    plain = [p for p in parts if p.bucket is None]
+    bucketed = [p for p in parts if p.bucket is not None]
+    out = _sawtooth_plain(event_ts, event_vals, query_ts, plain, array_inputs or set())
+    for part in bucketed:
+        out[part.output_name] = _sawtooth_bucketed(
+            event_ts, event_vals, query_ts, part, array_inputs or set()
+        )
+    return out
+
+
+def _sawtooth_bucketed(event_ts, event_vals, query_ts, part, array_inputs):
+    """Per-bucket sub-aggregation -> map output. Bucket column must be
+    string (reference: RowAggregator.scala:42-48)."""
+    nq = len(query_ts)
+    bvals = event_vals[part.bucket]
+    sub = AggregationPart(
+        part.input_column, part.operation, dict(part.arg_map), part.window, None
+    )
+    maps: list[dict] = [dict() for _ in range(nq)]
+    mask_nn = _notnull_mask_obj(bvals)
+    uniq = sorted({str(b) for b in bvals[mask_nn]})
+    for b in uniq:
+        m = np.array([x is not None and str(x) == b for x in bvals], dtype=bool)
+        sub_vals = {part.input_column: event_vals[part.input_column][m]}
+        r = _sawtooth_plain(
+            event_ts[m], sub_vals, query_ts, [sub], array_inputs
+        )[sub.output_name]
+        op = part.operation
+        for i in range(nq):
+            v = r[i]
+            if v is None:
+                continue
+            if isinstance(v, float) and v != v:
+                continue
+            if op in (Operation.COUNT, Operation.UNIQUE_COUNT) and int(v) == 0:
+                continue  # bucket absent in window -> no map entry
+            if isinstance(v, list) and not v:
+                continue
+            maps[i][b] = v
+    res = np.full(nq, None, dtype=object)
+    res[:] = maps
+    return res
+
+
+def _notnull_mask_obj(vals: np.ndarray) -> np.ndarray:
+    if vals.dtype == object:
+        return np.array([v is not None for v in vals], dtype=bool)
+    return ~np.isnan(vals.astype(np.float64, copy=False))
+
+
+def _flatten_arrays(event_ts: np.ndarray, vals: np.ndarray):
+    """Explode list-valued events: repeat ts per element (ts order is
+    preserved, so the flattened arrays stay time-sorted)."""
+    lens = np.array([0 if v is None else len(v) for v in vals], dtype=np.int64)
+    flat_ts = np.repeat(event_ts, lens)
+    flat_vals = np.array(
+        [x for v in vals if v is not None for x in v], dtype=object
+    )
+    return flat_ts, flat_vals
+
+
+def _sawtooth_plain(
+    event_ts: np.ndarray,
+    event_vals: dict[str, np.ndarray],
+    query_ts: np.ndarray,
+    parts: list[AggregationPart],
+    array_inputs: set[str],
+) -> dict[str, np.ndarray]:
     out: dict[str, Any] = {}
     nq = len(query_ts)
+    flat_cache: dict[str, tuple] = {}
     # caches shared across parts touching the same input column
     prefix_cache: dict[tuple[str, int], list[np.ndarray]] = {}
     rmm_cache: dict[tuple[str, bool], _RangeMinMax] = {}
@@ -137,8 +213,13 @@ def sawtooth_aggregate(
 
     for part in parts:
         col = part.input_column
-        vals = event_vals[col]
-        start, end = window_bounds(event_ts, query_ts, part)
+        if col in array_inputs:
+            if col not in flat_cache:
+                flat_cache[col] = _flatten_arrays(event_ts, event_vals[col])
+            ets_c, vals = flat_cache[col]
+        else:
+            ets_c, vals = event_ts, event_vals[col]
+        start, end = window_bounds(ets_c, query_ts, part)
         op = part.operation
 
         if op in (Operation.COUNT, Operation.UNIQUE_COUNT):
@@ -273,24 +354,55 @@ def naive_aggregate(
     event_vals: dict[str, np.ndarray],
     query_ts: np.ndarray,
     parts: list[AggregationPart],
+    array_inputs: Optional[set[str]] = None,
 ) -> dict[str, list]:
     """Rescan all events per query with exact window predicates — the
-    analog of the reference's NaiveAggregator (:26-57)."""
+    analog of the reference's NaiveAggregator (:26-57). Supports bucketed
+    parts (dict outputs) and auto-exploded array inputs."""
+    array_inputs = array_inputs or set()
     out: dict[str, list] = {p.output_name: [] for p in parts}
     for part in parts:
         vals = event_vals[part.input_column]
+        buckets = event_vals[part.bucket] if part.bucket else None
         for T in query_ts:
             if part.window is None:
                 lo = -np.inf
             else:
                 hop = sawtooth_hop_millis(part.window)
                 lo = ((T - part.window.millis) // hop) * hop
-            sel = [
-                v
-                for t, v in zip(event_ts, vals)
-                if lo <= t <= T and v is not None and v == v
-            ]
-            out[part.output_name].append(_naive_one(part, sel))
+
+            def in_window(i):
+                return lo <= event_ts[i] <= T
+
+            def elems(i):
+                v = vals[i]
+                if part.input_column in array_inputs:
+                    return [] if v is None else [x for x in v if x is not None and x == x]
+                return [] if v is None or v != v else [v]
+
+            if part.bucket is None:
+                sel = [x for i in range(len(event_ts)) if in_window(i) for x in elems(i)]
+                out[part.output_name].append(_naive_one(part, sel))
+            else:
+                per_b: dict[str, list] = {}
+                for i in range(len(event_ts)):
+                    if not in_window(i) or buckets[i] is None:
+                        continue
+                    per_b.setdefault(str(buckets[i]), []).extend(elems(i))
+                sub = AggregationPart(
+                    part.input_column, part.operation, dict(part.arg_map), part.window
+                )
+                m = {}
+                for b, sel in sorted(per_b.items()):
+                    v = _naive_one(sub, sel)
+                    if v is None or (isinstance(v, float) and v != v):
+                        continue
+                    if part.operation in (Operation.COUNT, Operation.UNIQUE_COUNT) and v == 0:
+                        continue
+                    if isinstance(v, list) and not v:
+                        continue
+                    m[b] = v
+                out[part.output_name].append(m)
     return out
 
 

@@ -91,23 +91,33 @@ _DOUBLE_OPS = (
 
 
 def output_sql_type(part: AggregationPart, input_type: str) -> str:
-    """Spark SQL type of one feature column given its input column type."""
+    """Spark SQL type of one feature column given its input column type.
+
+    array<T> inputs auto-explode (elements aggregate individually), so the
+    value type derives from the ELEMENT type; bucketed parts wrap the value
+    in map<string, _> (reference: BucketedColumnAggregator)."""
+    if input_type.startswith("array<") and input_type.endswith(">"):
+        input_type = input_type[len("array<"):-1]
     op = part.operation
     if op in _LONG_OPS:
-        return "bigint"
-    if op in _DOUBLE_OPS:
-        return "double"
-    if op == Operation.SUM:
-        return "double" if input_type in ("double", "float") else "bigint"
-    if op in (Operation.MIN, Operation.MAX):
-        return "double" if input_type in ("double", "float") else input_type
-    if op in (Operation.FIRST, Operation.LAST):
-        return input_type
-    if op in _ARRAY_OPS:
-        return f"array<{input_type}>"
-    if op in _MAP_OPS:
-        return "map<string,bigint>"
-    raise NotImplementedError(str(op))
+        base = "bigint"
+    elif op in _DOUBLE_OPS:
+        base = "double"
+    elif op == Operation.SUM:
+        base = "double" if input_type in ("double", "float") else "bigint"
+    elif op in (Operation.MIN, Operation.MAX):
+        base = "double" if input_type in ("double", "float") else input_type
+    elif op in (Operation.FIRST, Operation.LAST):
+        base = input_type
+    elif op in _ARRAY_OPS:
+        base = f"array<{input_type}>"
+    elif op in _MAP_OPS:
+        base = "map<string,bigint>"
+    else:
+        raise NotImplementedError(str(op))
+    if part.bucket is not None:
+        return f"map<string,{base}>"
+    return base
 
 
 def _np_col(pdf: pd.DataFrame, col: str, input_type: str) -> np.ndarray:
@@ -123,10 +133,13 @@ def _emit(res: np.ndarray, sql_type: str):
     """kernel output -> pandas column matching the Arrow schema."""
     if sql_type == "bigint":
         if res.dtype == object:
-            return pd.array(res, dtype="Int64")
-        if res.dtype.kind == "f":
             # round, don't truncate: prefix-sum floats of exact integers can
             # sit epsilon below the true integer
+            return pd.array(
+                [None if v is None or v != v else int(round(v)) for v in res],
+                dtype="Int64",
+            )
+        if res.dtype.kind == "f":
             return pd.array([None if v != v else int(round(v)) for v in res], dtype="Int64")
         return pd.array(res, dtype="Int64")
     if sql_type in ("int", "smallint"):
@@ -146,6 +159,37 @@ def _emit(res: np.ndarray, sql_type: str):
     return pd.Series(list(res), dtype=object)
 
 
+def _empty_feature(part: AggregationPart, sql_type: str, nq: int):
+    """Feature column for left rows whose key has NO right rows."""
+    if part.bucket is not None:
+        return pd.Series([{} for _ in range(nq)], dtype=object)
+    if part.operation in (Operation.COUNT, Operation.UNIQUE_COUNT):
+        return _emit(np.zeros(nq, dtype=np.int64), sql_type)
+    if part.operation in _ARRAY_OPS:
+        return pd.Series([[] for _ in range(nq)], dtype=object)
+    if part.operation in _MAP_OPS:
+        return pd.Series([{} for _ in range(nq)], dtype=object)
+    return _emit(np.full(nq, None, dtype=object), sql_type)
+
+
+def _segment_codes(
+    lpdf: pd.DataFrame, rpdf: pd.DataFrame, left_keys: list[str], right_keys: list[str]
+) -> tuple[np.ndarray, np.ndarray]:
+    """Joint integer codes for composite keys across both frames —
+    vectorized (np.unique over concatenated values per key column)."""
+    nl = len(lpdf)
+    lcode = np.zeros(nl, dtype=np.int64)
+    rcode = np.zeros(len(rpdf), dtype=np.int64)
+    for lk, rk in zip(left_keys, right_keys):
+        lv, rv = lpdf[lk], rpdf[rk]
+        both = pd.concat([lv, rv], ignore_index=True)
+        codes, uniq = pd.factorize(both, use_na_sentinel=False)
+        n = len(uniq)
+        lcode = lcode * n + codes[:nl]
+        rcode = rcode * n + codes[nl:]
+    return lcode, rcode
+
+
 def temporal_features(
     left_df: DataFrame,
     right_df: DataFrame,
@@ -154,6 +198,7 @@ def temporal_features(
     parts: list[AggregationPart],
     prefix: str = "",
     time_col: str = TIME_COLUMN,
+    buckets: Optional[int] = None,
 ) -> DataFrame:
     """Enrich every left row with point-in-time features from right_df.
 
@@ -162,9 +207,31 @@ def temporal_features(
     Returns left_df columns + one `{prefix}{output_name}` column per part.
     All left columns pass through, so duplicate left rows are preserved
     (reference duplicates the left in tests: EventsEventsTemporalTest.scala:75-76).
+
+    Physical plan: both sides are cogrouped on `pmod(xxhash64(keys),
+    buckets)` — NOT on the raw key — and the kernel processes every key in
+    the bucket from one Arrow batch. PySpark's cogroup serde costs
+    milliseconds PER GROUP, so per-key grouping caps throughput at a few
+    hundred groups/sec/core; bucketing amortizes that over thousands of
+    keys while the per-key sawtooth still runs on zero-copy array views.
+    `buckets` defaults to 8x shuffle partitions (conf
+    spark.chronon.join.buckets overrides) — at cluster scale size it so a
+    bucket's rows fit executor memory.
     """
+    spark = left_df.sparkSession
+    if buckets is None:
+        buckets = int(
+            spark.conf.get(
+                "spark.chronon.join.buckets",
+                str(8 * int(spark.conf.get("spark.sql.shuffle.partitions", "32"))),
+            )
+        )
     right_types = dict(right_df.dtypes)
-    input_cols = sorted({p.input_column for p in parts})
+    left_types = dict(left_df.dtypes)
+    input_cols = sorted(
+        {p.input_column for p in parts} | {p.bucket for p in parts if p.bucket}
+    )
+    array_inputs = {c for c in input_cols if right_types[c].startswith("array<")}
     feature_fields = [
         (f"{prefix}{p.output_name}", output_sql_type(p, right_types[p.input_column]))
         for p in parts
@@ -181,40 +248,58 @@ def temporal_features(
         right_df.select(*[F.col(c).alias(c) for c in right_needed])
         .where(F.col(TIME_COLUMN).isNotNull())
     )
+    # hash on type-aligned keys so both sides bucket identically
+    lkey_exprs = [
+        F.col(lk).cast(right_types[rk]) for lk, rk in zip(left_keys, right_keys)
+    ]
+    l_bucket = F.pmod(F.xxhash64(*lkey_exprs), F.lit(buckets))
+    r_bucket = F.pmod(F.xxhash64(*[F.col(k) for k in right_keys]), F.lit(buckets))
 
     def kernel(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         if len(lpdf) == 0:
             return pd.DataFrame(columns=left_cols + [n for n, _ in feature_fields])
-        out = lpdf[left_cols].copy().reset_index(drop=True)
         nq = len(lpdf)
+        out = lpdf[left_cols].copy().reset_index(drop=True)
         if len(rpdf) == 0:
             for (name, sql_type), part in zip(feature_fields, parts):
-                if part.operation in (Operation.COUNT, Operation.UNIQUE_COUNT):
-                    out[name] = _emit(np.zeros(nq, dtype=np.int64), sql_type)
-                elif part.operation in _ARRAY_OPS:
-                    out[name] = pd.Series([[] for _ in range(nq)], index=out.index, dtype=object)
-                elif part.operation in _MAP_OPS:
-                    out[name] = pd.Series([{} for _ in range(nq)], index=out.index, dtype=object)
-                else:
-                    out[name] = _emit(np.full(nq, None, dtype=object), sql_type)
+                out[name] = _empty_feature(part, sql_type, nq)
             return out
-        order = np.argsort(rpdf[TIME_COLUMN].to_numpy(), kind="stable")
-        ets = rpdf[TIME_COLUMN].to_numpy()[order].astype(np.int64)
-        evals = {
-            c: _np_col(rpdf, c, right_types[c])[order] for c in input_cols
+        lcode, rcode = _segment_codes(lpdf, rpdf, left_keys, right_keys)
+        # sort each side by (key, ts); all per-key work happens on views
+        lts = lpdf[time_col].to_numpy().astype(np.int64)
+        rts = rpdf[TIME_COLUMN].to_numpy().astype(np.int64)
+        lorder = np.lexsort((lts, lcode))
+        rorder = np.lexsort((rts, rcode))
+        lcode_s, lts_s = lcode[lorder], lts[lorder]
+        rcode_s, rts_s = rcode[rorder], rts[rorder]
+        evals = {c: _np_col(rpdf, c, right_types[c])[rorder] for c in input_cols}
+        outs = {
+            name: np.full(nq, None, dtype=object) for name, _ in feature_fields
         }
-        qts_raw = lpdf[time_col].to_numpy().astype(np.int64)
-        qorder = np.argsort(qts_raw, kind="stable")
-        inv = np.empty_like(qorder)
-        inv[qorder] = np.arange(nq)
-        feats = sawtooth_aggregate(ets, evals, qts_raw[qorder], parts)
+        # per-key segments (contiguous after the sorts)
+        l_bounds = np.flatnonzero(np.diff(lcode_s, prepend=lcode_s[0] - 1))
+        l_bounds = np.append(l_bounds, nq)
+        for seg in range(len(l_bounds) - 1):
+            s, e = l_bounds[seg], l_bounds[seg + 1]
+            code = lcode_s[s]
+            r0 = np.searchsorted(rcode_s, code, side="left")
+            r1 = np.searchsorted(rcode_s, code, side="right")
+            feats = sawtooth_aggregate(
+                rts_s[r0:r1],
+                {c: v[r0:r1] for c, v in evals.items()},
+                lts_s[s:e],
+                parts,
+                array_inputs=array_inputs,
+            )
+            pos = lorder[s:e]
+            for (name, _), part in zip(feature_fields, parts):
+                outs[name][pos] = np.asarray(feats[part.output_name], dtype=object)
         for (name, sql_type), part in zip(feature_fields, parts):
-            arr = np.asarray(feats[part.output_name])
-            out[name] = _emit(arr[inv], sql_type)
+            out[name] = _emit(outs[name], sql_type)
         return out
 
-    grouped = left_df.groupBy(*[F.col(k) for k in left_keys]).cogroup(
-        right_slim.groupBy(*[F.col(k) for k in right_keys])
+    grouped = left_df.groupBy(l_bucket.alias("__bucket")).cogroup(
+        right_slim.groupBy(r_bucket.alias("__bucket"))
     )
     return grouped.applyInPandas(kernel, schema=out_schema)
 

@@ -16,6 +16,13 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Smaller advisory size keeps the Arrow-kernel stages at full
+    # parallelism: the cogroup shuffle carries compact rows whose per-task
+    # PYTHON cost far exceeds their byte size, so coalescing to 64MB chunks
+    # would serialize the sawtooth kernel onto a handful of cores. Pure-JVM
+    # stages at larger scale are unaffected (partitions above the advisory
+    # size are never merged).
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
     # Arrow transfer for every pandas UDF / applyInPandas kernel.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
@@ -48,6 +55,10 @@ def build_session(
 
     builder = SparkSession.builder.appName(app_name).master(master)
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    if master.startswith("local"):
+        # single-host: locality preferences only idle cores (measured: the
+        # default 3s wait leaves multi-second scheduler gaps in local mode)
+        builder = builder.config("spark.locality.wait", "0s")
     builder = builder.config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     builder = builder.config("spark.ui.enabled", "false")
     for k, v in ENGINE_CONFS.items():

@@ -146,6 +146,10 @@ def scan_source(
                 spec.column,
                 F.date_format(F.timestamp_millis(F.col(TIME_COLUMN)), "yyyy-MM-dd"),
             )
+        if TIME_COLUMN not in df.columns and spec.column in df.columns:
+            # snapshot rows without event time: ts = end of their partition
+            # day (reference: dsBasedTimestamp, GroupBy.scala:693-697)
+            df = df.withColumn(TIME_COLUMN, _ds_based_ts(spec))
         if rng is not None and spec.column in df.columns:
             for clause in rng.where_clauses(spec.column):
                 df = df.where(clause)
@@ -156,5 +160,15 @@ def scan_source(
             scan_rng = None  # latest partition carries full history; caller prunes
         return scan_df(spark, source.table, source.query, scan_rng, spec)
     if isinstance(source, EntitySource):
-        return scan_df(spark, source.snapshot_table, source.query, rng, spec)
+        df = scan_df(spark, source.snapshot_table, source.query, rng, spec)
+        if TIME_COLUMN not in df.columns and spec.column in df.columns:
+            df = df.withColumn(TIME_COLUMN, _ds_based_ts(spec))
+        return df
     raise TypeError(f"unsupported source type: {type(source)}")
+
+
+def _ds_based_ts(spec: PartitionSpec):
+    """End-of-partition-day epoch millis (dsBasedTimestamp)."""
+    return (
+        (F.unix_date(F.to_date(F.col(spec.column))) + 1).cast("long") * 86_400_000 - 1
+    )
