@@ -410,6 +410,167 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, qs, k=10, planes=8, probes=3)
 
 
+def q_snapshot_join_yesterday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(EVENTS, EVENTS, SNAPSHOT) join: each event row gets the 7d
+    cents-sum/count as of END OF YESTERDAY (ts_ds - 1 alignment,
+    reference: JoinBase.joinWithLeft:99-111)."""
+    _prep(spark)
+    from chronon_spark.api import Accuracy
+    from chronon_spark.operators.snapshot_join import compute_join
+
+    right = _events_source(
+        sf_dir, {"user_id": "user_id", "cents": "CAST(round(value * 100, 0) AS BIGINT)"}
+    )
+    gb = GroupBy(
+        sources=[right],
+        key_columns=["user_id"],
+        aggregations=[
+            Aggregation("cents", Operation.SUM, windows=[Window(7)]),
+            Aggregation("cents", Operation.COUNT, windows=[Window(7)]),
+        ],
+        accuracy=Accuracy.SNAPSHOT,
+        name="y",
+    )
+    join = Join(
+        left=_events_source(sf_dir, {"event_id": "event_id", "user_id": "user_id"}),
+        join_parts=[JoinPart(gb)],
+        name="snapjoin",
+    )
+    out = compute_join(spark, join)
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.round(F.col("y_cents_sum_7d") / 100.0, 6).alias("ysum_7d"),
+        F.coalesce(F.col("y_cents_count_7d"), F.lit(0)).alias("ycount_7d"),
+    )
+
+
+def q_groupby_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed snapshot aggregation: per-day 7d cents-sum bucketed by
+    event_type -> map<bucket,value>, exploded to rows for the oracle
+    (reference: BucketedColumnAggregator)."""
+    _prep(spark)
+    from chronon_spark.operators.groupby import compute_snapshot_groupby
+
+    src = _events_source(
+        sf_dir,
+        {"user_id": "user_id", "cents": "CAST(round(value * 100, 0) AS BIGINT)",
+         "event_type": "event_type"},
+    )
+    gb = GroupBy(
+        sources=[src],
+        key_columns=["user_id"],
+        aggregations=[
+            Aggregation("cents", Operation.SUM, windows=[Window(7)], buckets=["event_type"])
+        ],
+        name="g",
+    )
+    out = compute_snapshot_groupby(spark, gb)
+    exploded = out.select(
+        "user_id", "ds",
+        F.explode(F.col("cents_sum_7d_by_event_type")).alias("bucket", "cents_sum"),
+    )
+    return exploded.select(
+        "user_id", "ds", "bucket", F.round(F.col("cents_sum") / 100.0, 6).alias("sum_7d")
+    )
+
+
+def q_groupby_autoexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List auto-explode: an array input column aggregates element-wise
+    (reference: VectorDispatcher). xs = [k, k % 7] where k is parsed from
+    the props JSON; SUM/COUNT/AVERAGE of elements over 7d windows."""
+    _prep(spark)
+    from chronon_spark.operators.groupby import compute_snapshot_groupby
+
+    k_expr = "CAST(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS BIGINT)"
+    src = _events_source(
+        sf_dir, {"user_id": "user_id", "xs": f"array({k_expr}, {k_expr} % 7)"}
+    )
+    gb = GroupBy(
+        sources=[src],
+        key_columns=["user_id"],
+        aggregations=[
+            Aggregation("xs", Operation.SUM, windows=[Window(7)]),
+            Aggregation("xs", Operation.COUNT, windows=[Window(7)]),
+            Aggregation("xs", Operation.AVERAGE, windows=[Window(7)]),
+        ],
+        name="g",
+    )
+    out = compute_snapshot_groupby(spark, gb)
+    s, c = F.col("xs_sum_7d"), F.col("xs_count_7d")
+    return out.select(
+        "user_id", "ds", s.alias("xs_sum_7d"), c.alias("xs_count_7d"),
+        F.round(F.col("xs_average_7d") + 1e-9, 6).alias("xs_avg_7d"),
+    )
+
+
+def q_temporal_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal percentiles (p50/p95 of cents over 7d as-of each event) —
+    exact at batch scale, like the reference's own approx-op tests."""
+    _prep(spark)
+    from chronon_spark.operators.temporal_join import compute_temporal_join
+
+    right = _events_source(
+        sf_dir, {"user_id": "user_id", "cents": "CAST(round(value * 100, 0) AS BIGINT)"}
+    )
+    gb = GroupBy(
+        sources=[right],
+        key_columns=["user_id"],
+        aggregations=[
+            Aggregation("cents", Operation.APPROX_PERCENTILE,
+                        arg_map={"percentiles": [0.5, 0.95]}, windows=[Window(7)])
+        ],
+        name="p",
+    )
+    join = Join(
+        left=_events_source(sf_dir, {"event_id": "event_id", "user_id": "user_id"}),
+        join_parts=[JoinPart(gb)],
+        name="pct",
+    )
+    out = compute_temporal_join(spark, join)
+    arr = F.col("p_cents_approx_percentile_7d")
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.round(F.element_at(arr, 1) / 100.0, 6).alias("p50_7d"),
+        F.round(F.element_at(arr, 2) / 100.0, 6).alias("p95_7d"),
+    )
+
+
+def q_entity_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EntitySource snapshot aggregation over the customer dimension:
+    per-segment balance stats within the (single) snapshot partition."""
+    _prep(spark)
+    from chronon_spark.api import EntitySource
+    from chronon_spark.operators.groupby import compute_snapshot_groupby
+
+    src = EntitySource(
+        f"{sf_dir}/customer.parquet",
+        Query(selects={
+            "segment": "c_mktsegment",
+            "bal_cents": "CAST(round(c_acctbal * 100, 0) AS BIGINT)",
+            "ds": "'2024-01-15'",
+        }),
+    )
+    gb = GroupBy(
+        sources=[src],
+        key_columns=["segment"],
+        aggregations=[
+            Aggregation("bal_cents", Operation.SUM),
+            Aggregation("bal_cents", Operation.COUNT),
+            Aggregation("bal_cents", Operation.MAX),
+        ],
+        name="seg",
+    )
+    out = compute_snapshot_groupby(spark, gb)
+    s, c = F.col("bal_cents_sum"), F.col("bal_cents_count")
+    return out.select(
+        "segment", "ds",
+        F.round(s / 100.0, 6).alias("bal_sum"),
+        c.alias("n_cust"),
+        F.round((s / c.cast("double")) / 100.0 + 1e-9, 4).alias("bal_avg"),
+        F.round(F.col("bal_cents_max") / 100.0, 6).alias("bal_max"),
+    )
+
+
 FIXTURE_N, FIXTURE_SEED = 500, 42
 _FIXTURE_PATH = f"/root/repo/.fixtures/images_n{FIXTURE_N}_s{FIXTURE_SEED}.parquet"
 
@@ -503,6 +664,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "image_pixel_features": q_image_pixel_features,
         "image_asof_features": q_image_asof_features,
+        "snapshot_join_yesterday": q_snapshot_join_yesterday,
+        "groupby_bucketed": q_groupby_bucketed,
+        "groupby_autoexplode": q_groupby_autoexplode,
+        "temporal_percentile": q_temporal_percentile,
+        "entity_groupby": q_entity_groupby,
     }
 
 
@@ -814,6 +980,82 @@ def oracle_sql() -> dict[str, str]:
                    MAX(e.caption_len) AS max_caption_len
             FROM img l LEFT JOIN img e ON l.phash = e.phash AND e.ts <= l.ts
             GROUP BY 1, 2, 3
+        """,
+        "snapshot_join_yesterday": f"""
+            WITH l AS (SELECT event_id, user_id, epoch_ms(ts) AS ts,
+                              CAST(epoch(CAST(strftime(ts, '%Y-%m-%d') AS DATE)) AS BIGINT) * 1000
+                                  AS day0
+                       FROM events),
+            e AS (SELECT user_id, epoch_ms(ts) AS ts,
+                         CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
+            SELECT l.event_id, l.user_id, l.ts,
+                   ROUND(SUM(CASE WHEN e.ts >= l.day0 - {7 * DAY} AND e.ts < l.day0
+                             THEN e.cents END) / 100.0, 6) AS ysum_7d,
+                   COUNT(CASE WHEN e.ts >= l.day0 - {7 * DAY} AND e.ts < l.day0
+                         THEN e.cents END) AS ycount_7d
+            FROM l LEFT JOIN e ON l.user_id = e.user_id
+            GROUP BY l.event_id, l.user_id, l.ts, l.day0
+        """,
+        "groupby_bucketed": f"""
+            WITH {_SNAP_DAYS},
+            ec AS (SELECT user_id, ts, event_type,
+                          CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
+            SELECT d.user_id, d.ds, e.event_type AS bucket,
+                   ROUND(SUM(CASE WHEN {_snap_window(7)} THEN e.cents END) / 100.0, 6)
+                       AS sum_7d
+            FROM days d JOIN ec e ON d.user_id = e.user_id
+            GROUP BY d.user_id, d.ds, e.event_type
+            HAVING SUM(CASE WHEN {_snap_window(7)} THEN e.cents END) IS NOT NULL
+        """,
+        "groupby_autoexplode": f"""
+            WITH {_SNAP_DAYS},
+            ec AS (SELECT user_id, ts,
+                          CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+                   FROM events),
+            agg AS (
+              SELECT d.user_id, d.ds,
+                     SUM(CASE WHEN {_snap_window(7)} THEN e.k + (e.k % 7) END) AS s,
+                     2 * COUNT(CASE WHEN {_snap_window(7)} THEN e.k END) AS c
+              FROM days d JOIN ec e ON d.user_id = e.user_id
+              GROUP BY d.user_id, d.ds
+            )
+            SELECT user_id, ds,
+                   CAST(s AS BIGINT) AS xs_sum_7d,
+                   CAST(c AS BIGINT) AS xs_count_7d,
+                   ROUND(s / CAST(c AS DOUBLE) + 1e-9, 6) AS xs_avg_7d
+            FROM agg
+        """,
+        # percentile index: max(1, ceil(p*n)) - 1 of the sorted window
+        # slice — mirrored exactly (kernel + this SQL)
+        "temporal_percentile": f"""
+            WITH l AS (SELECT event_id, user_id, epoch_ms(ts) AS ts FROM events),
+            e AS (SELECT user_id, epoch_ms(ts) AS ts,
+                         CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+            j AS (
+              SELECT l.event_id, l.user_id, l.ts,
+                     list_sort(list(e.cents)) AS vals
+              FROM l LEFT JOIN e ON l.user_id = e.user_id
+                AND e.ts <= l.ts
+                AND e.ts >= ((l.ts - {7 * DAY}) // {HOUR}) * {HOUR}
+              GROUP BY l.event_id, l.user_id, l.ts
+            )
+            SELECT event_id, user_id, ts,
+                   ROUND(vals[GREATEST(1, CAST(CEIL(0.5 * len(vals)) AS BIGINT))] / 100.0, 6)
+                       AS p50_7d,
+                   ROUND(vals[GREATEST(1, CAST(CEIL(0.95 * len(vals)) AS BIGINT))] / 100.0, 6)
+                       AS p95_7d
+            FROM j
+        """,
+        "entity_groupby": """
+            SELECT c_mktsegment AS segment, '2024-01-15' AS ds,
+                   ROUND(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) / 100.0, 6)
+                       AS bal_sum,
+                   COUNT(*) AS n_cust,
+                   ROUND((SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT))
+                          / CAST(COUNT(*) AS DOUBLE)) / 100.0 + 1e-9, 4) AS bal_avg,
+                   ROUND(MAX(CAST(round(c_acctbal * 100, 0) AS BIGINT)) / 100.0, 6)
+                       AS bal_max
+            FROM customer GROUP BY c_mktsegment
         """,
     }
 

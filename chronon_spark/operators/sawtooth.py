@@ -222,7 +222,27 @@ def _sawtooth_plain(
         start, end = window_bounds(ets_c, query_ts, part)
         op = part.operation
 
-        if op in (Operation.COUNT, Operation.UNIQUE_COUNT):
+        if op == Operation.APPROX_PERCENTILE:
+            # exact at batch scale (the reference pins approx ops to exact
+            # values in tests, GroupByTest.scala:103-117): index
+            # max(1, ceil(p*n)) - 1 of the sorted window slice
+            pct = part.arg_map.get("percentiles", [0.5])
+            if isinstance(pct, (int, float)):
+                pct = [pct]
+            res = np.full(nq, None, dtype=object)
+            fv = _as_float(vals)
+            for i in range(nq):
+                seg = fv[start[i] : end[i]]
+                seg = np.sort(seg[~np.isnan(seg)])
+                if len(seg) == 0:
+                    continue
+                res[i] = [
+                    float(seg[max(1, int(np.ceil(p * len(seg)))) - 1]) for p in pct
+                ]
+            out[part.output_name] = res
+
+        elif op in (Operation.COUNT, Operation.UNIQUE_COUNT,
+                    Operation.APPROX_UNIQUE_COUNT):
             if op == Operation.COUNT:
                 ckey = ("__count__", col)
                 if ckey not in nn_idx_cache:
@@ -411,8 +431,16 @@ def _naive_one(part: AggregationPart, sel: list) -> Any:
     k = int(part.arg_map.get("k", 10))
     if op == Operation.COUNT:
         return len(sel)
-    if op == Operation.UNIQUE_COUNT:
+    if op in (Operation.UNIQUE_COUNT, Operation.APPROX_UNIQUE_COUNT):
         return len(set(sel))
+    if op == Operation.APPROX_PERCENTILE:
+        pct = part.arg_map.get("percentiles", [0.5])
+        if isinstance(pct, (int, float)):
+            pct = [pct]
+        if not sel:
+            return None
+        srt = sorted(float(x) for x in sel)
+        return [srt[max(1, int(np.ceil(p * len(srt)))) - 1] for p in pct]
     if not sel:
         return [] if op in (Operation.FIRST_K, Operation.LAST_K, Operation.TOP_K,
                             Operation.BOTTOM_K, Operation.UNIQUE_TOP_K) else (

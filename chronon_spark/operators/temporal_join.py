@@ -113,6 +113,8 @@ def output_sql_type(part: AggregationPart, input_type: str) -> str:
         base = f"array<{input_type}>"
     elif op in _MAP_OPS:
         base = "map<string,bigint>"
+    elif op == Operation.APPROX_PERCENTILE:
+        base = "array<double>"
     else:
         raise NotImplementedError(str(op))
     if part.bucket is not None:

@@ -177,3 +177,22 @@ def test_empty_window_results():
     assert out["v_count_1d"][0] == 0
     assert _isnull(out["v_sum_1d"][0])
     assert out["v_last3_1d"][0] == []
+
+
+def test_percentile_and_approx_unique_vs_naive():
+    ets, vals = _gen_events(n=300)
+    qts = _gen_queries(ets, nq=60)
+    parts = [
+        AggregationPart("v", Operation.APPROX_PERCENTILE,
+                        arg_map={"percentiles": [0.25, 0.5, 0.95]}, window=Window(7)),
+        AggregationPart("v", Operation.APPROX_UNIQUE_COUNT, window=Window(7)),
+    ]
+    fast = sawtooth_aggregate(ets, {"v": vals}, qts, parts)
+    slow = naive_aggregate(ets, {"v": vals}, qts, parts)
+    for p in parts:
+        for i in range(len(qts)):
+            f, s = fast[p.output_name][i], slow[p.output_name][i]
+            if isinstance(s, list):
+                assert [round(x, 9) for x in f] == [round(x, 9) for x in s]
+            else:
+                assert _close(f, s), f"{p.output_name}[{i}]"
