@@ -321,8 +321,35 @@ def compute_temporal_join_part(
     parts = gb.aggregation_parts()
     key_map = join_part.right_to_left_keys()  # gb key -> left col
     left_keys = [key_map[k] for k in gb.key_columns]
+    right = _small_mode_filter(spark, left_df, right, left_keys, gb.key_columns)
     prefix = join_part.full_prefix() + "_"
     return temporal_features(left_df, right, left_keys, gb.key_columns, parts, prefix)
+
+
+def _small_mode_filter(
+    spark: SparkSession,
+    left_df: DataFrame,
+    right: DataFrame,
+    left_keys: list[str],
+    right_keys: list[str],
+) -> DataFrame:
+    """Small-mode semi-join reduction (reference: JoinUtils.runSmallMode /
+    injectKeyFilter, cutoff conf TableUtils.scala:54-57): when the left has
+    few rows, push `key IN (...)` predicates into the right scan — Catalyst
+    turns them into parquet row-group filters, so a tiny backfill touches a
+    tiny slice of a 100TB right table. A per-key IN-list is a superset
+    filter for composite keys (safe: extra right rows only cost compute)."""
+    cutoff = int(spark.conf.get("spark.chronon.backfill.small_mode.cutoff", "5000"))
+    if cutoff <= 0:
+        return right
+    sample = left_df.select(*left_keys).limit(cutoff + 1).collect()
+    if len(sample) > cutoff:
+        return right
+    for lk, rk in zip(left_keys, right_keys):
+        vals = {r[lk] for r in sample if r[lk] is not None}
+        if vals:
+            right = right.where(F.col(rk).isin(list(vals)))
+    return right
 
 
 def compute_temporal_join(

@@ -25,6 +25,7 @@ from chronon_spark.api import (
     DataFrameSource,
     EntitySource,
     EventSource,
+    JoinSource,
     Query,
 )
 from chronon_spark.partitions import DEFAULT_SPEC, PartitionRange, PartitionSpec
@@ -154,11 +155,36 @@ def scan_source(
             for clause in rng.where_clauses(spec.column):
                 df = df.where(clause)
         return df
+    if isinstance(source, JoinSource):
+        # chaining: materialize the upstream Join, then apply this source's
+        # query DSL on its output (reference: replaceJoinSource,
+        # GroupBy.scala:412-477)
+        from chronon_spark.operators.snapshot_join import compute_join
+
+        upstream = compute_join(spark, source.join, rng, spec)
+        return scan_source(
+            spark,
+            DataFrameSource(lambda s, df=upstream: df, query=source.query),
+            rng,
+            spec,
+        )
     if isinstance(source, EventSource):
-        scan_rng = rng
         if source.is_cumulative:
-            scan_rng = None  # latest partition carries full history; caller prunes
-        return scan_df(spark, source.table, source.query, scan_rng, spec)
+            # the LATEST partition carries full history — scan only it and
+            # re-derive ds from event time (reference: getIntersectedRange,
+            # GroupBy.scala:631-645)
+            df = _load_table(spark, source.table)
+            part_col = source.query.partition_column or spec.column
+            if part_col in df.columns:
+                latest = df.agg(F.max(part_col).alias("m")).collect()[0]["m"]
+                df = df.where(F.col(part_col) == latest).drop(part_col)
+            return scan_source(
+                spark,
+                DataFrameSource(lambda s, df=df: df, query=source.query),
+                rng,
+                spec,
+            )
+        return scan_df(spark, source.table, source.query, rng, spec)
     if isinstance(source, EntitySource):
         df = scan_df(spark, source.snapshot_table, source.query, rng, spec)
         if TIME_COLUMN not in df.columns and spec.column in df.columns:
