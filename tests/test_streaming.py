@@ -1,0 +1,97 @@
+"""Structured Streaming surface tests: the same GroupBy over a stream,
+executed with an in-memory source/sink (availableNow semantics)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from chronon_spark.api import Aggregation, GroupBy, DataFrameSource, Operation, TimeUnit, Window
+from chronon_spark.streaming.stream_groupby import stream_groupby, stream_sessionize
+
+BASE = 1704067200000
+
+
+@pytest.fixture()
+def stream_input(spark, tmp_path):
+    """File-source stream: deterministic events written as parquet."""
+    rng = np.random.default_rng(41)
+    rows = [
+        (int(rng.integers(0, 5)), int(BASE + i * 60_000), float(round(rng.uniform(0, 10), 2)))
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts_ms long, value double")
+    src_dir = str(tmp_path / "stream_src")
+    df.repartition(4).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema("user_id int, ts_ms long, value double")
+        .parquet(src_dir)
+        .selectExpr("user_id", "timestamp_millis(ts_ms) AS ts", "value")
+    )
+    return stream, rows
+
+
+def _run_stream(out, tmp_path, name):
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_stream_groupby_matches_batch(spark, stream_input, tmp_path):
+    stream, rows = stream_input
+    gb = GroupBy(
+        sources=[], key_columns=["user_id"],
+        aggregations=[
+            Aggregation("value", Operation.SUM, windows=[Window(1, TimeUnit.HOURS)]),
+            Aggregation("value", Operation.COUNT, windows=[Window(1, TimeUnit.HOURS)]),
+        ],
+        name="sg",
+    )
+    out = stream_groupby(stream, gb, watermark="5 minutes")
+    _run_stream(out, tmp_path, "sg_out")
+    got = {
+        (r["user_id"], r["window_start"]): (r["value_sum_1h"], r["value_count_1h"])
+        for r in spark.sql("SELECT * FROM sg_out").collect()
+    }
+    assert got
+    # batch equivalent: tumbling 1h windows
+    import collections
+
+    expect = collections.defaultdict(lambda: [0.0, 0])
+    for u, ts_ms, v in rows:
+        w = ts_ms // 3_600_000 * 3_600_000
+        expect[(u, w)][0] += v
+        expect[(u, w)][1] += 1
+    assert len(got) == len(expect)
+    for (u, wstart), (s, c) in got.items():
+        key = (u, int(wstart.timestamp() * 1000))
+        assert key in expect
+        assert s == pytest.approx(expect[key][0])
+        assert c == expect[key][1]
+
+
+def test_stream_sessionize_runs(spark, stream_input, tmp_path):
+    stream, rows = stream_input
+    out = stream_sessionize(stream, ["user_id"], gap_seconds=300)
+    _run_stream(out, tmp_path, "ss_out")
+    res = spark.sql("SELECT * FROM ss_out").collect()
+    assert res
+    total = sum(r["n_events"] for r in res)
+    assert total == len(rows)
+
+
+def test_stream_rejects_non_mergeable_ops(spark, stream_input):
+    stream, _ = stream_input
+    gb = GroupBy(
+        sources=[], key_columns=["user_id"],
+        aggregations=[Aggregation("value", Operation.LAST_K, arg_map={"k": 3},
+                                  windows=[Window(1, TimeUnit.HOURS)])],
+        name="bad",
+    )
+    with pytest.raises(NotImplementedError):
+        stream_groupby(stream, gb)
