@@ -410,6 +410,51 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, qs, k=10, planes=8, probes=3)
 
 
+def q_staging_orders_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table staging SQL: order counts + money by priority/status
+    (integer-exact money sums)."""
+    _prep(spark)
+    from chronon_spark.operators.staging import render_staging_query
+
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("orders")
+    spark.read.parquet(f"{sf_dir}/customer.parquet").createOrReplaceTempView("customer")
+    sql = render_staging_query(
+        """
+        SELECT o.o_orderpriority AS priority, o.o_orderstatus AS status,
+               COUNT(*) AS n_orders,
+               COUNT(DISTINCT o.o_custkey) AS n_custs,
+               ROUND(CAST(SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+                     / CAST(100 AS DOUBLE), 6) AS total_price
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderdate >= TIMESTAMP '{{ start_date }} 00:00:00'
+        GROUP BY o.o_orderpriority, o.o_orderstatus
+        """,
+        start_date="1996-01-01",
+        end_date="2001-12-31",
+    )
+    return spark.sql(sql)
+
+
+def q_staging_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped join chain: revenue per nation (customer x orders x
+    lineitem x nation), integer-exact revenue."""
+    _prep(spark)
+    for t in ("orders", "customer", "lineitem", "nation"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    return spark.sql("""
+        SELECT n.n_name AS nation,
+               ROUND(CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000, 0)
+                                   AS BIGINT)) AS DOUBLE) / CAST(10000 AS DOUBLE), 4)
+                   AS revenue,
+               COUNT(*) AS n_items
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """)
+
+
 def q_snapshot_join_yesterday(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(EVENTS, EVENTS, SNAPSHOT) join: each event row gets the 7d
     cents-sum/count as of END OF YESTERDAY (ts_ds - 1 alignment,
@@ -669,6 +714,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_autoexplode": q_groupby_autoexplode,
         "temporal_percentile": q_temporal_percentile,
         "entity_groupby": q_entity_groupby,
+        "staging_orders_summary": q_staging_orders_summary,
+        "staging_revenue_by_nation": q_staging_revenue_by_nation,
     }
 
 
@@ -1056,6 +1103,28 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(MAX(CAST(round(c_acctbal * 100, 0) AS BIGINT)) / 100.0, 6)
                        AS bal_max
             FROM customer GROUP BY c_mktsegment
+        """,
+        "staging_orders_summary": """
+            SELECT o.o_orderpriority AS priority, o.o_orderstatus AS status,
+                   COUNT(*) AS n_orders,
+                   COUNT(DISTINCT o.o_custkey) AS n_custs,
+                   ROUND(CAST(SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+                         / CAST(100 AS DOUBLE), 6) AS total_price
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            GROUP BY o.o_orderpriority, o.o_orderstatus
+        """,
+        "staging_revenue_by_nation": """
+            SELECT n.n_name AS nation,
+                   ROUND(CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000, 0)
+                                       AS BIGINT)) AS DOUBLE) / CAST(10000 AS DOUBLE), 4)
+                       AS revenue,
+                   COUNT(*) AS n_items
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
         """,
     }
 

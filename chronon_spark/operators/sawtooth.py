@@ -298,10 +298,16 @@ def _sawtooth_plain(
             out[part.output_name] = rmm_cache[key].query(start, end)
 
         elif op in (Operation.FIRST, Operation.LAST):
-            if col not in nn_idx_cache:
-                nn_idx_cache[col] = np.flatnonzero(_notnull_mask(vals))
-            nn = nn_idx_cache[col]
-            res = np.full(nq, None, dtype=object)
+            ckey = (col, id(vals))
+            if ckey not in nn_idx_cache:
+                nn_idx_cache[ckey] = np.flatnonzero(_notnull_mask(vals))
+            nn = nn_idx_cache[ckey]
+            # float inputs keep the vectorized NaN-null path (no object
+            # boxing); others fall back to object arrays
+            is_float = vals.dtype != object
+            res = (
+                np.full(nq, np.nan) if is_float else np.full(nq, None, dtype=object)
+            )
             if len(nn):
                 if op == Operation.FIRST:
                     pos = np.searchsorted(nn, start, side="left")

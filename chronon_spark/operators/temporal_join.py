@@ -142,7 +142,9 @@ def _emit(res: np.ndarray, sql_type: str):
                 dtype="Int64",
             )
         if res.dtype.kind == "f":
-            return pd.array([None if v != v else int(round(v)) for v in res], dtype="Int64")
+            mask = np.isnan(res)
+            ints = np.where(mask, 0, np.round(res)).astype(np.int64)
+            return pd.arrays.IntegerArray(ints, mask)
         return pd.array(res, dtype="Int64")
     if sql_type in ("int", "smallint"):
         return pd.array(
@@ -275,8 +277,16 @@ def temporal_features(
         lcode_s, lts_s = lcode[lorder], lts[lorder]
         rcode_s, rts_s = rcode[rorder], rts[rorder]
         evals = {c: _np_col(rpdf, c, right_types[c])[rorder] for c in input_cols}
+        # typed buffers: numeric features accumulate in float64 (NaN=null,
+        # exact for int64 < 2^53) so emit stays fully vectorized; complex
+        # types (arrays/maps/strings) use object buffers
         outs = {
-            name: np.full(nq, None, dtype=object) for name, _ in feature_fields
+            name: (
+                np.full(nq, np.nan)
+                if t in ("double", "bigint", "int", "smallint")
+                else np.full(nq, None, dtype=object)
+            )
+            for name, t in feature_fields
         }
         # per-key segments (contiguous after the sorts)
         l_bounds = np.flatnonzero(np.diff(lcode_s, prepend=lcode_s[0] - 1))
@@ -294,8 +304,14 @@ def temporal_features(
                 array_inputs=array_inputs,
             )
             pos = lorder[s:e]
-            for (name, _), part in zip(feature_fields, parts):
-                outs[name][pos] = np.asarray(feats[part.output_name], dtype=object)
+            for (name, t), part in zip(feature_fields, parts):
+                vals_out = feats[part.output_name]
+                if outs[name].dtype == object:
+                    outs[name][pos] = np.asarray(vals_out, dtype=object)
+                else:
+                    outs[name][pos] = np.asarray(
+                        [np.nan if v is None else v for v in vals_out], dtype=np.float64
+                    ) if np.asarray(vals_out).dtype == object else vals_out
         for (name, sql_type), part in zip(feature_fields, parts):
             out[name] = _emit(outs[name], sql_type)
         return out

@@ -1,0 +1,31 @@
+"""Build chronon_spark.zip for spark-submit --py-files.
+
+Usage: python tools/package.py [out_zip]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def build(out: str = None) -> str:
+    out = out or os.path.join(REPO, "dist", "chronon_spark.zip")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    pkg = os.path.join(REPO, "chronon_spark")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    return out
+
+
+if __name__ == "__main__":
+    print(build(sys.argv[1] if len(sys.argv) > 1 else None))
