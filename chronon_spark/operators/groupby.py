@@ -117,13 +117,16 @@ def compute_snapshot_groupby(
     keys = group_by.key_columns
     dtypes = dict(df.dtypes)
 
-    # dispatch parts: plain scalar / auto-explode (array input) / bucketed
-    plain, by_array, bucketed = [], {}, []
+    # dispatch parts: plain scalar / auto-explode (array) / map-valued /
+    # bucketed
+    plain, by_array, mapped, bucketed = [], {}, [], []
     for p in parts:
         if p.bucket is not None:
             bucketed.append(p)
         elif dtypes.get(p.input_column, "").startswith("array<"):
             by_array.setdefault(p.input_column, []).append(p)
+        elif dtypes.get(p.input_column, "").startswith("map<"):
+            mapped.append(p)
         else:
             plain.append(p)
 
@@ -138,6 +141,19 @@ def compute_snapshot_groupby(
             F.explode_outer(F.col(col)).alias(col),
         )
         results.append(_compute_plain_parts(exploded, keys, ps, rng, spec, dense))
+    for p in mapped:
+        # map<string, V> input: per-map-key aggregation == bucketed agg of
+        # the exploded (key, value) pairs (reference: MapColumnAggregator)
+        from chronon_spark.api import AggregationPart as AP
+
+        mk, mv = f"__mk_{p.input_column}", f"__mv_{p.input_column}"
+        exploded = df.select(
+            *[c for c in df.columns if c != p.input_column],
+            F.explode_outer(F.col(p.input_column)).alias(mk, mv),
+        )
+        sub = AP(mv, p.operation, dict(p.arg_map), p.window, bucket=mk)
+        r = _compute_bucketed_part(exploded, keys, sub, rng, spec, dense)
+        results.append(r.withColumnRenamed(sub.output_name, p.output_name))
     for p in bucketed:
         results.append(_compute_bucketed_part(df, keys, p, rng, spec, dense))
 

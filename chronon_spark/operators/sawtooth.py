@@ -124,6 +124,7 @@ def sawtooth_aggregate(
     query_ts: np.ndarray,
     parts: list[AggregationPart],
     array_inputs: Optional[set[str]] = None,
+    map_inputs: Optional[set[str]] = None,
 ) -> dict[str, np.ndarray]:
     """Per-key kernel. `event_ts` MUST be sorted ascending; `event_vals`
     maps input column -> float/object array aligned with event_ts (NaN/None
@@ -133,16 +134,55 @@ def sawtooth_aggregate(
     (reference: BucketedColumnAggregator). Columns named in `array_inputs`
     hold lists and are auto-exploded: each element aggregates individually
     at its row's timestamp (reference: VectorDispatcher auto-explode,
-    ColumnAggregator.scala:208-217).
+    ColumnAggregator.scala:208-217). Columns named in `map_inputs` hold
+    dicts and aggregate per map-key into map outputs (MapColumnAggregator).
     """
-    plain = [p for p in parts if p.bucket is None]
-    bucketed = [p for p in parts if p.bucket is not None]
+    map_inputs = map_inputs or set()
+    plain = [p for p in parts
+             if p.bucket is None and p.input_column not in map_inputs]
+    bucketed = [p for p in parts
+                if p.bucket is not None and p.input_column not in map_inputs]
+    mapped = [p for p in parts if p.input_column in map_inputs]
     out = _sawtooth_plain(event_ts, event_vals, query_ts, plain, array_inputs or set())
     for part in bucketed:
         out[part.output_name] = _sawtooth_bucketed(
             event_ts, event_vals, query_ts, part, array_inputs or set()
         )
+    for part in mapped:
+        out[part.output_name] = _sawtooth_mapcol(
+            event_ts, event_vals, query_ts, part
+        )
     return out
+
+
+def _sawtooth_mapcol(event_ts, event_vals, query_ts, part):
+    """map<string, V> input: aggregate each map key's values independently
+    -> map output (reference: MapColumnAggregator)."""
+    nq = len(query_ts)
+    dicts = event_vals[part.input_column]
+    all_keys = sorted({k for d in dicts if d is not None for k in d})
+    sub = AggregationPart(
+        part.input_column, part.operation, dict(part.arg_map), part.window, None
+    )
+    maps: list[dict] = [dict() for _ in range(nq)]
+    for k in all_keys:
+        kv = np.array(
+            [None if d is None else d.get(k) for d in dicts], dtype=object
+        )
+        r = _sawtooth_plain(
+            event_ts, {part.input_column: kv}, query_ts, [sub], set()
+        )[sub.output_name]
+        op = part.operation
+        for i in range(nq):
+            v = r[i]
+            if v is None or (isinstance(v, float) and v != v):
+                continue
+            if op in (Operation.COUNT, Operation.UNIQUE_COUNT) and int(v) == 0:
+                continue
+            maps[i][k] = v
+    res = np.full(nq, None, dtype=object)
+    res[:] = maps
+    return res
 
 
 def _sawtooth_bucketed(event_ts, event_vals, query_ts, part, array_inputs):

@@ -96,8 +96,13 @@ def output_sql_type(part: AggregationPart, input_type: str) -> str:
     array<T> inputs auto-explode (elements aggregate individually), so the
     value type derives from the ELEMENT type; bucketed parts wrap the value
     in map<string, _> (reference: BucketedColumnAggregator)."""
+    map_input = False
     if input_type.startswith("array<") and input_type.endswith(">"):
         input_type = input_type[len("array<"):-1]
+    elif input_type.startswith("map<") and input_type.endswith(">"):
+        # per-map-key aggregation of the VALUE type -> map output
+        map_input = True
+        input_type = input_type[len("map<"):-1].split(",", 1)[1].strip()
     op = part.operation
     if op in _LONG_OPS:
         base = "bigint"
@@ -117,7 +122,7 @@ def output_sql_type(part: AggregationPart, input_type: str) -> str:
         base = "array<double>"
     else:
         raise NotImplementedError(str(op))
-    if part.bucket is not None:
+    if part.bucket is not None or map_input:
         return f"map<string,{base}>"
     return base
 
@@ -165,7 +170,7 @@ def _emit(res: np.ndarray, sql_type: str):
 
 def _empty_feature(part: AggregationPart, sql_type: str, nq: int):
     """Feature column for left rows whose key has NO right rows."""
-    if part.bucket is not None:
+    if part.bucket is not None or sql_type.startswith("map<"):
         return pd.Series([{} for _ in range(nq)], dtype=object)
     if part.operation in (Operation.COUNT, Operation.UNIQUE_COUNT):
         return _emit(np.zeros(nq, dtype=np.int64), sql_type)
@@ -236,6 +241,7 @@ def temporal_features(
         {p.input_column for p in parts} | {p.bucket for p in parts if p.bucket}
     )
     array_inputs = {c for c in input_cols if right_types[c].startswith("array<")}
+    map_inputs = {c for c in input_cols if right_types[c].startswith("map<")}
     feature_fields = [
         (f"{prefix}{p.output_name}", output_sql_type(p, right_types[p.input_column]))
         for p in parts
@@ -302,6 +308,7 @@ def temporal_features(
                 lts_s[s:e],
                 parts,
                 array_inputs=array_inputs,
+                map_inputs=map_inputs,
             )
             pos = lorder[s:e]
             for (name, t), part in zip(feature_fields, parts):

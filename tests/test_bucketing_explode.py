@@ -166,3 +166,65 @@ def test_snapshot_autoexplode(spark):
     assert out["2024-01-01"]["xs_count_7d"] == 3
     assert out["2024-01-02"]["xs_average_7d"] == pytest.approx(3.0)
     assert out["2024-01-02"]["xs_count_7d"] == 5
+
+
+def test_mapcol_kernel_vs_naive_and_temporal(spark):
+    """map<string,double> input aggregates per map-key (MapColumnAggregator)."""
+    n = 150
+    ets = (np.sort(RNG.integers(0, 10 * DAY, size=n)) + BASE).astype(np.int64)
+    dicts = np.empty(n, dtype=object)
+    for i in range(n):
+        d = {}
+        for k in ("a", "b", "c"):
+            if RNG.random() < 0.6:
+                d[k] = float(round(RNG.uniform(0, 10), 2))
+        dicts[i] = d if d or RNG.random() < 0.8 else None
+    qts = np.sort(RNG.integers(ets[0], ets[-1], size=40)).astype(np.int64)
+    parts = [AggregationPart("m", Operation.SUM, window=Window(7))]
+    fast = sawtooth_aggregate(ets, {"m": dicts}, qts, parts, map_inputs={"m"})
+    name = parts[0].output_name
+    # naive per-key oracle
+    from chronon_spark.api import sawtooth_hop_millis
+    hop = sawtooth_hop_millis(Window(7))
+    for i, T in enumerate(qts):
+        lo = ((int(T) - Window(7).millis) // hop) * hop
+        expect = {}
+        for t, d in zip(ets, dicts):
+            if d is None or not (lo <= t <= T):
+                continue
+            for k, v in d.items():
+                expect[k] = expect.get(k, 0.0) + v
+        got = fast[name][i]
+        assert set(got) == set(expect)
+        for k in got:
+            assert got[k] == pytest.approx(expect[k])
+
+    # end-to-end through the temporal join
+    right = spark.createDataFrame(
+        [(1, int(t), d) for t, d in zip(ets, dicts)],
+        "user_id int, ts long, m map<string,double>",
+    )
+    left = spark.createDataFrame([(1, int(qts[-1]))], "user_id int, ts long")
+    from chronon_spark.operators.temporal_join import temporal_features
+    row = temporal_features(left, right, ["user_id"], ["user_id"], parts).collect()[0]
+    assert dict(row[name]) == pytest.approx(fast[name][-1])
+
+
+def test_snapshot_mapcol(spark):
+    rows = [
+        (1, BASE + 1000, {"x": 1.0, "y": 2.0}),
+        (1, BASE + 2000, {"x": 3.0}),
+        (1, BASE + DAY + 1, {"y": 10.0}),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts long, m map<string,double>")
+    df = df.withColumn("ds", F.date_format(F.timestamp_millis("ts"), "yyyy-MM-dd"))
+    gb = GroupBy(
+        sources=[DataFrameSource(lambda s: df)],
+        key_columns=["user_id"],
+        aggregations=[Aggregation("m", Operation.SUM, windows=[Window(7)])],
+        name="g",
+    )
+    from chronon_spark.operators.groupby import compute_snapshot_groupby
+    out = {r["ds"]: dict(r["m_sum_7d"]) for r in compute_snapshot_groupby(spark, gb).collect()}
+    assert out["2024-01-01"] == pytest.approx({"x": 4.0, "y": 2.0})
+    assert out["2024-01-02"] == pytest.approx({"x": 4.0, "y": 12.0})

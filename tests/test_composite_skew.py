@@ -1,0 +1,71 @@
+"""Composite (multi-column) join keys and hot-key skew behavior."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from chronon_spark.api import AggregationPart, Operation, Window
+from chronon_spark.operators.temporal_join import temporal_features
+
+BASE = 1704067200000
+DAY = 86_400_000
+
+
+def test_composite_key_temporal_join(spark):
+    """Two-column keys exercise the joint-code segmentation: (tenant, user)
+    pairs must never leak events across either key component."""
+    rng = np.random.default_rng(37)
+    ev = [
+        (int(rng.integers(0, 3)), int(rng.integers(0, 4)),
+         int(BASE + rng.integers(0, 10 * DAY)), float(round(rng.uniform(0, 10), 2)))
+        for _ in range(800)
+    ]
+    right = spark.createDataFrame(ev, "tenant int, user int, ts long, value double")
+    q = [(int(rng.integers(0, 3)), int(rng.integers(0, 4)),
+          int(BASE + rng.integers(0, 10 * DAY))) for _ in range(200)]
+    left = spark.createDataFrame(q, "tenant int, user int, ts long")
+    parts = [
+        AggregationPart("value", Operation.SUM, window=Window(7)),
+        AggregationPart("value", Operation.COUNT, window=None),
+    ]
+    out = temporal_features(left, right, ["tenant", "user"], ["tenant", "user"], parts)
+    got = {
+        (r["tenant"], r["user"], r["ts"]): (r["value_sum_7d"], r["value_count"])
+        for r in out.collect()
+    }
+    # brute-force oracle in python
+    from chronon_spark.api import sawtooth_hop_millis
+
+    hop = sawtooth_hop_millis(Window(7))
+    for (t, u, T) in q:
+        lo = ((T - Window(7).millis) // hop) * hop
+        sel = [v for (et, eu, ts, v) in ev if et == t and eu == u and lo <= ts <= T]
+        life = [v for (et, eu, ts, v) in ev if et == t and eu == u and ts <= T]
+        s, c = got[(t, u, T)]
+        if sel:
+            assert s == pytest.approx(sum(sel)), (t, u, T)
+        else:
+            assert s is None
+        assert c == len(life)
+
+
+def test_hot_key_skew_completes_and_is_correct(spark):
+    """90% of events on ONE key (the phash-dup scenario): the bucketed
+    cogroup must stay correct; wall-clock degradation is bounded by the
+    single bucket holding the hot key."""
+    rng = np.random.default_rng(39)
+    n = 20_000
+    keys = np.where(rng.random(n) < 0.9, 7, rng.integers(0, 50, n))
+    ts = np.sort(rng.integers(0, 10 * DAY, n)) + BASE
+    ev = [(int(k), int(t), 1.0) for k, t in zip(keys, ts)]
+    right = spark.createDataFrame(ev, "user_id int, ts long, value double")
+    left = spark.createDataFrame(
+        [(7, int(BASE + 10 * DAY)), (3, int(BASE + 10 * DAY))], "user_id int, ts long"
+    )
+    parts = [AggregationPart("value", Operation.COUNT, window=None)]
+    rows = {r["user_id"]: r["value_count"]
+            for r in temporal_features(left, right, ["user_id"], ["user_id"], parts).collect()}
+    expect_hot = sum(1 for k, t, _ in ev if k == 7)
+    expect_cold = sum(1 for k, t, _ in ev if k == 3)
+    assert rows[7] == expect_hot
+    assert rows[3] == expect_cold
