@@ -410,6 +410,61 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, qs, k=10, planes=8, probes=3)
 
 
+def q_temporal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal HISTOGRAM: event_type -> count map over a 1d window as-of
+    each event, exploded to rows for the oracle."""
+    _prep(spark)
+    from chronon_spark.operators.temporal_join import compute_temporal_join
+
+    right = _events_source(sf_dir, {"user_id": "user_id", "event_type": "event_type"})
+    gb = GroupBy(
+        sources=[right],
+        key_columns=["user_id"],
+        aggregations=[Aggregation("event_type", Operation.HISTOGRAM, windows=[Window(1)])],
+        name="h",
+    )
+    join = Join(
+        left=_events_source(sf_dir, {"event_id": "event_id", "user_id": "user_id"}),
+        join_parts=[JoinPart(gb)],
+        name="hist",
+    )
+    out = compute_temporal_join(spark, join)
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.explode(F.col("h_event_type_histogram_1d")).alias("etype", "cnt"),
+    )
+
+
+def q_temporal_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal TOP_K: the 3 largest cents values in the 7d window as-of
+    each event, canonical comma-joined string."""
+    _prep(spark)
+    from chronon_spark.operators.temporal_join import compute_temporal_join
+
+    right = _events_source(
+        sf_dir, {"user_id": "user_id", "cents": "CAST(round(value * 100, 0) AS BIGINT)"}
+    )
+    gb = GroupBy(
+        sources=[right],
+        key_columns=["user_id"],
+        aggregations=[Aggregation("cents", Operation.TOP_K, arg_map={"k": 3},
+                                  windows=[Window(7)])],
+        name="t",
+    )
+    join = Join(
+        left=_events_source(sf_dir, {"event_id": "event_id", "user_id": "user_id"}),
+        join_parts=[JoinPart(gb)],
+        name="topk",
+    )
+    out = compute_temporal_join(spark, join)
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.array_join(
+            F.transform(F.col("t_cents_top3_7d"), lambda x: x.cast("string")), ","
+        ).alias("top3_cents"),
+    )
+
+
 def q_staging_orders_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table staging SQL: order counts + money by priority/status
     (integer-exact money sums)."""
@@ -716,6 +771,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_groupby": q_entity_groupby,
         "staging_orders_summary": q_staging_orders_summary,
         "staging_revenue_by_nation": q_staging_revenue_by_nation,
+        "temporal_histogram": q_temporal_histogram,
+        "temporal_topk": q_temporal_topk,
     }
 
 
@@ -1125,6 +1182,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN lineitem l ON l.l_orderkey = o.o_orderkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name
+        """,
+        "temporal_histogram": f"""
+            WITH l AS (SELECT event_id, user_id, epoch_ms(ts) AS ts FROM events),
+            e AS (SELECT user_id, epoch_ms(ts) AS ts, event_type FROM events)
+            SELECT l.event_id, l.user_id, l.ts, e.event_type AS etype,
+                   COUNT(*) AS cnt
+            FROM l JOIN e ON l.user_id = e.user_id
+              AND e.ts <= l.ts
+              AND e.ts >= ((l.ts - {DAY}) // {HOUR}) * {HOUR}
+            GROUP BY l.event_id, l.user_id, l.ts, e.event_type
+        """,
+        "temporal_topk": f"""
+            WITH l AS (SELECT event_id, user_id, epoch_ms(ts) AS ts FROM events),
+            e AS (SELECT user_id, epoch_ms(ts) AS ts,
+                         CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
+            SELECT l.event_id, l.user_id, l.ts,
+                   COALESCE(array_to_string(
+                     (list_reverse_sort(list(e.cents)))[1:3], ','), '') AS top3_cents
+            FROM l LEFT JOIN e ON l.user_id = e.user_id
+              AND e.ts <= l.ts
+              AND e.ts >= ((l.ts - {7 * DAY}) // {HOUR}) * {HOUR}
+            GROUP BY l.event_id, l.user_id, l.ts
         """,
     }
 
