@@ -316,6 +316,40 @@ class StagingQuery:
     setups: Optional[list[str]] = None
 
 
+def derivation_projection(
+    derivations: dict[str, str],
+    base_columns: list[str],
+    ensure_keys: tuple = (),
+) -> list[tuple[str, str]]:
+    """Expand a derivations dict into ordered (out_name, expression) pairs.
+
+    Reference semantics (api/.../Extensions.scala DerivationOps
+    .derivationProjection:1246-1272): a "*" entry expands to every base
+    column EXCEPT those consumed as a rename source; without "*" only
+    `ensure_keys` + the derived columns survive.
+    """
+    star = "*" in derivations
+    consumed = {e for n, e in derivations.items() if n != "*"}
+    wildcard = [c for c in base_columns if c not in consumed] if star else []
+    out: list[tuple[str, str]] = []
+    for n, e in derivations.items():
+        if n == "*":
+            out.extend((c, c) for c in wildcard)
+        else:
+            out.append((n, e))
+    names = {n for n, _ in out}
+    missing = [(k, k) for k in ensure_keys if k not in names and k in base_columns]
+    return missing + out
+
+
+def apply_derivations(df, derivations: Optional[dict[str, str]], ensure_keys=()):
+    """selectExpr pass implementing the reference projection semantics."""
+    if not derivations:
+        return df
+    proj = derivation_projection(derivations, list(df.columns), tuple(ensure_keys))
+    return df.selectExpr(*[f"({e}) AS `{n}`" if e != n else f"`{n}`" for n, e in proj])
+
+
 # convenience: a source backed by a caller-supplied DataFrame factory, for
 # tests and for chaining without a warehouse.
 @dataclass

@@ -79,10 +79,13 @@ def _scan_range(
 
 
 def _apply_derivations(df: DataFrame, group_by: GroupBy) -> DataFrame:
-    if not group_by.derivations:
-        return df
-    exprs = ["*"] + [f"({e}) AS {n}" for n, e in group_by.derivations.items()]
-    return df.selectExpr(*exprs)
+    """Reference projection semantics: "*" expands to unconsumed base
+    columns; otherwise only keys/ds/ts + derived survive
+    (api/.../Extensions.scala derivationProjection)."""
+    from chronon_spark.api import TIME_COLUMN, apply_derivations
+
+    ensure = list(group_by.key_columns) + [PARTITION_COLUMN, TIME_COLUMN]
+    return apply_derivations(df, group_by.derivations, ensure)
 
 
 def compute_snapshot_groupby(

@@ -109,9 +109,11 @@ def compute_join(
         else:
             out = compute_snapshot_join_part(spark, out, jp, rng, spec)
     if join.derivations:
-        out = out.selectExpr(
-            "*", *[f"({e}) AS {n}" for n, e in join.derivations.items()]
-        )
+        from chronon_spark.api import apply_derivations
+        from chronon_spark.operators.temporal_join import _join_ensure_keys
+
+        ensure = list(join.row_ids or []) or _join_ensure_keys(join, left_df)
+        out = apply_derivations(out, join.derivations, ensure)
     return out
 
 

@@ -392,9 +392,20 @@ def compute_temporal_join(
     for jp in join.join_parts:
         out = compute_temporal_join_part(spark, out, jp, rng, spec)
     if join.derivations:
-        exprs = ["*"] + [f"({e}) AS {n}" for n, e in join.derivations.items()]
-        out = out.selectExpr(*exprs)
+        from chronon_spark.api import apply_derivations
+
+        ensure = list(join.row_ids or []) or _join_ensure_keys(join, left_df)
+        out = apply_derivations(out, join.derivations, ensure)
     return out
+
+
+def _join_ensure_keys(join: Join, left_df: DataFrame) -> list[str]:
+    keys = []
+    for jp in join.join_parts:
+        km = jp.right_to_left_keys()
+        keys.extend(km.values())
+    keys.extend([TIME_COLUMN, PARTITION_COLUMN])
+    return [k for k in dict.fromkeys(keys) if k in left_df.columns]
 
 
 def _apply_skew_filter(left_df: DataFrame, join: Join) -> DataFrame:

@@ -285,7 +285,9 @@ def run_modular_join(
         feature_cols = [c for c in part_df.columns if c not in left_cols]
         out = out.join(part_df.select(*left_cols, *feature_cols), left_cols, "left")
     if join.derivations:
-        out = out.selectExpr(
-            "*", *[f"({e}) AS {n}" for n, e in join.derivations.items()]
-        )
+        from chronon_spark.api import apply_derivations
+        from chronon_spark.operators.temporal_join import _join_ensure_keys
+
+        ensure = list(join.row_ids or []) or _join_ensure_keys(join, left_df)
+        out = apply_derivations(out, join.derivations, ensure)
     return out

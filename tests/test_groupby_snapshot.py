@@ -198,7 +198,7 @@ def test_derivations(spark, events_df):
             Aggregation("value", Operation.SUM, windows=[Window(7)]),
             Aggregation("value", Operation.COUNT, windows=[Window(7)]),
         ],
-        derivations={"manual_avg": "value_sum_7d / value_count_7d"},
+        derivations={"*": "*", "manual_avg": "value_sum_7d / value_count_7d"},
         name="g5",
     )
     out = compute_snapshot_groupby(spark, gb)
@@ -221,3 +221,26 @@ def test_dense_mode_emits_event_free_days(spark, events_df):
     out = compute_snapshot_groupby(spark, gb, rng=rng, dense=True)
     per_key = out.groupBy("user_id").count().collect()
     assert all(r["count"] == 16 for r in per_key)  # every day for every key
+
+
+def test_derivation_star_semantics(spark, events_df):
+    """Reference projection rules (Extensions.scala derivationProjection):
+    without "*" only keys/ds + derived survive; "*" keeps unconsumed base
+    columns; a rename consumes its source column."""
+    base = GroupBy(
+        sources=[_src(events_df)],
+        key_columns=["user_id"],
+        aggregations=[
+            Aggregation("value", Operation.SUM, windows=[Window(7)]),
+            Aggregation("value", Operation.COUNT, windows=[Window(7)]),
+        ],
+        name="g",
+    )
+    # no star: derived + ensured keys only
+    base.derivations = {"total": "value_sum_7d"}
+    cols = set(compute_snapshot_groupby(spark, base).columns)
+    assert cols == {"user_id", "ds", "total"}
+    # star + rename: source column consumed, others pass through
+    base.derivations = {"*": "*", "total": "value_sum_7d"}
+    cols = set(compute_snapshot_groupby(spark, base).columns)
+    assert cols == {"user_id", "ds", "value_count_7d", "total"}

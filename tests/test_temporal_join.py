@@ -139,7 +139,7 @@ def test_full_join_two_parts_with_key_mapping(spark, data):
     join = Join(
         left=DataFrameSource(lambda s: left),
         join_parts=[JoinPart(gb1), JoinPart(gb2, prefix="p2")],
-        derivations={"ratio": "purchases_value_sum_7d / purchases_value_count_7d"},
+        derivations={"*": "*", "ratio": "purchases_value_sum_7d / purchases_value_count_7d"},
         name="j1",
     )
     out = compute_temporal_join(spark, join)
