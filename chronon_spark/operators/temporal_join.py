@@ -17,11 +17,11 @@ Our physical plan is the idiomatic PySpark expression of the same shape:
 cogroup-apply is exactly union+groupBy at the shuffle level — each side is
 hash-partitioned by key ONCE, co-located, and handed to the vectorized
 kernel as Arrow batches; there is no join explosion and no per-row Python.
-Skew controls: AQE on, optional salting of hot keys via
-``spark.chronon.skew.salt`` (two-stage: salted cogroup then re-merge is
-unnecessary here because the kernel output is already final per left row —
-salting instead splits the RIGHT side replay by hashing left rows to
-salts and replicating only the right side's window-relevant events).
+Skew controls: AQE on; the bucket-hash grouping is itself a generalized
+salt (hot keys share buckets with other keys); for a single MONSTER key,
+``spark.chronon.join.salt = S`` splits its left rows across S kernel
+groups by replicating the right side S times (exact results, verified by
+test_salted_join_matches_unsalted).
 """
 
 from __future__ import annotations
@@ -235,6 +235,24 @@ def temporal_features(
                 str(8 * int(spark.conf.get("spark.sql.shuffle.partitions", "32"))),
             )
         )
+    # hot-key salting (spark.chronon.join.salt = S > 1): left rows spread
+    # over S salts by a ts-derived hash; the right side is REPLICATED S
+    # times and (key, salt) becomes the cogroup key — a monster key's left
+    # rows split across S kernel groups at the cost of S x right events for
+    # that key. Use when one entity dominates the corpus (viral phash).
+    salt = int(spark.conf.get("spark.chronon.join.salt", "1"))
+    if salt > 1:
+        left_df = left_df.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(*[F.col(k) for k in left_keys], F.col(time_col)),
+                   F.lit(salt)),
+        )
+        right_df = right_df.withColumn(
+            "__salt",
+            F.explode(F.array(*[F.lit(i).cast("long") for i in range(salt)])),
+        )
+        left_keys = list(left_keys) + ["__salt"]
+        right_keys = list(right_keys) + ["__salt"]
     right_types = dict(right_df.dtypes)
     left_types = dict(left_df.dtypes)
     input_cols = sorted(
@@ -326,7 +344,8 @@ def temporal_features(
     grouped = left_df.groupBy(l_bucket.alias("__bucket")).cogroup(
         right_slim.groupBy(r_bucket.alias("__bucket"))
     )
-    return grouped.applyInPandas(kernel, schema=out_schema)
+    out = grouped.applyInPandas(kernel, schema=out_schema)
+    return out.drop("__salt") if salt > 1 else out
 
 
 def compute_temporal_join_part(

@@ -69,3 +69,49 @@ def test_hot_key_skew_completes_and_is_correct(spark):
     expect_cold = sum(1 for k, t, _ in ev if k == 3)
     assert rows[7] == expect_hot
     assert rows[3] == expect_cold
+
+
+def test_salted_join_matches_unsalted(spark):
+    """spark.chronon.join.salt splits hot keys across kernel groups
+    without changing ANY result value."""
+    rng = np.random.default_rng(43)
+    n = 5000
+    keys = np.where(rng.random(n) < 0.8, 7, rng.integers(0, 20, n))
+    ts = np.sort(rng.integers(0, 10 * DAY, n)) + BASE
+    ev = [(int(k), int(t), float(round(rng.uniform(0, 10), 2)))
+          for k, t in zip(keys, ts)]
+    right = spark.createDataFrame(ev, "user_id int, ts long, value double")
+    q = [(int(rng.integers(0, 20)), int(BASE + rng.integers(0, 10 * DAY)))
+         for _ in range(300)] + [(7, int(BASE + rng.integers(0, 10 * DAY)))
+                                 for _ in range(100)]
+    left = spark.createDataFrame(q, "user_id int, ts long")
+    parts = [
+        AggregationPart("value", Operation.SUM, window=Window(7)),
+        AggregationPart("value", Operation.COUNT, window=None),
+        AggregationPart("value", Operation.LAST_K, arg_map={"k": 3}, window=Window(7)),
+    ]
+
+    def run():
+        out = temporal_features(left, right, ["user_id"], ["user_id"], parts)
+        return {
+            (r["user_id"], r["ts"]): (r["value_sum_7d"], r["value_count"],
+                                      tuple(r["value_last3_7d"]))
+            for r in out.collect()
+        }
+
+    base = run()
+    spark.conf.set("spark.chronon.join.salt", "4")
+    try:
+        salted = run()
+    finally:
+        spark.conf.set("spark.chronon.join.salt", "1")
+    assert set(base) == set(salted)
+    for k in base:
+        bs, bc, bl = base[k]
+        ss, sc, sl = salted[k]
+        assert bc == sc, k
+        assert bl == sl, k
+        if bs is None:
+            assert ss is None
+        else:
+            assert ss == pytest.approx(bs), k
