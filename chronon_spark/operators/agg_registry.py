@@ -251,7 +251,9 @@ class ApproxUniqueCountSpec(OpSpec):
         return F.approx_count_distinct(self.col, rsd)
 
     def partials(self) -> dict[str, Column]:
-        return {_ir(self.name, "hll"): F.hll_sketch_agg(self.col)}
+        # hll_sketch_agg accepts int/bigint/string/binary only; stringify
+        # (distinct-preserving) for double/other inputs
+        return {_ir(self.name, "hll"): F.hll_sketch_agg(self.col.cast("string"))}
 
     def merge(self, wspec) -> Column:
         # union HLL sketches across the day frame

@@ -166,23 +166,35 @@ def compute_snapshot_groupby(
     return _apply_derivations(out, group_by)
 
 
+def _day_expr(df) -> F.Column:
+    """Integer day number for stage-1 grouping. Event rows bin by EVENT
+    TIME via exact integer division — per-row date STRING formatting would
+    dominate the scan at 10^11 rows (measured: anti-scaling from GC
+    pressure). Rows without ts fall back to parsing the ds string."""
+    if TIME_COLUMN in df.columns:
+        return F.expr(f"{TIME_COLUMN} DIV {DAY_MS}")
+    return F.unix_date(F.to_date(F.col(PARTITION_COLUMN))).cast("long")
+
+
+def _ds_from_day(col: F.Column) -> F.Column:
+    return F.date_format(F.timestamp_millis(col * DAY_MS), "yyyy-MM-dd")
+
+
 def _compute_plain_parts(df, keys, parts, rng, spec, dense) -> DataFrame:
-    """stage 1: one shuffle to daily partial IRs; stage 2: every window as a
-    rangeBetween frame over the SAME partials (the Catalyst analog of hop
-    sharing)."""
+    """stage 1: one shuffle to daily partial IRs (grouped on the integer
+    day number — strings only materialize on the aggregated output);
+    stage 2: every window as a rangeBetween frame over the SAME partials
+    (the Catalyst analog of hop sharing)."""
     specs = [spec_for(p) for p in parts]
     partial_cols: dict[str, F.Column] = {}
     for sp in specs:
         partial_cols.update(sp.partials())
-    daily = df.groupBy(*keys, PARTITION_COLUMN).agg(
+    daily = df.withColumn("__day", _day_expr(df)).groupBy(*keys, "__day").agg(
         *[c.alias(n) for n, c in partial_cols.items()]
     )
 
     if dense:
         daily = _densify(daily, keys, rng, spec, list(partial_cols))
-
-    day_num = (F.unix_date(F.to_date(F.col(PARTITION_COLUMN)))).cast("long")
-    daily = daily.withColumn("__day", day_num)
 
     w_base = W.partitionBy(*keys).orderBy("__day")
     out_cols = []
@@ -195,7 +207,9 @@ def _compute_plain_parts(df, keys, parts, rng, spec, dense) -> DataFrame:
         daily = daily.withColumn(part.output_name, finalize_rounding(sp.merge(frame), sp))
         out_cols.append(part.output_name)
 
-    out = daily.select(*keys, PARTITION_COLUMN, *out_cols)
+    out = daily.select(
+        *keys, _ds_from_day(F.col("__day")).alias(PARTITION_COLUMN), *out_cols
+    )
     if rng is not None:
         for clause in rng.where_clauses(spec.column):
             out = out.where(clause)
@@ -213,19 +227,17 @@ def _compute_bucketed_part(df, keys, part, rng, spec, dense) -> DataFrame:
     b = part.bucket
     sub = AggregationPart(part.input_column, part.operation, dict(part.arg_map), part.window)
     sp = spec_for(sub)
-    dfb = df.where(F.col(b).isNotNull())
+    dfb = df.where(F.col(b).isNotNull()).withColumn("__day", _day_expr(df))
     partial_cols = sp.partials()
-    daily = dfb.groupBy(*keys, PARTITION_COLUMN, b).agg(
+    daily = dfb.groupBy(*keys, "__day", b).agg(
         *[c.alias(n) for n, c in partial_cols.items()]
     )
     # densify: (key, day) spine x key's observed buckets
-    spine = df.select(*keys, PARTITION_COLUMN).distinct()
+    spine = df.withColumn("__day", _day_expr(df)).select(*keys, "__day").distinct()
     kb = dfb.select(*keys, b).distinct()
     scaffold = spine.join(kb, keys)
-    daily = scaffold.join(daily, keys + [PARTITION_COLUMN, b], "full_outer")
+    daily = scaffold.join(daily, keys + ["__day", b], "full_outer")
 
-    day_num = (F.unix_date(F.to_date(F.col(PARTITION_COLUMN)))).cast("long")
-    daily = daily.withColumn("__day", day_num)
     w_base = W.partitionBy(*keys, b).orderBy("__day")
     days = window_days(part)
     frame = (
@@ -243,9 +255,9 @@ def _compute_bucketed_part(df, keys, part, rng, spec, dense) -> DataFrame:
     entries = F.sort_array(
         F.collect_list(F.when(keep, F.struct(F.col(b).alias("key"), F.col("__v").alias("value"))))
     )
-    out = daily.groupBy(*keys, PARTITION_COLUMN).agg(
+    out = daily.groupBy(*keys, "__day").agg(
         F.map_from_entries(entries).alias(part.output_name)
-    )
+    ).withColumn(PARTITION_COLUMN, _ds_from_day(F.col("__day"))).drop("__day")
     if rng is not None:
         for clause in rng.where_clauses(spec.column):
             out = out.where(clause)
@@ -254,20 +266,21 @@ def _compute_bucketed_part(df, keys, part, rng, spec, dense) -> DataFrame:
 
 def _densify(daily, keys, rng, spec, partial_names):
     """Scaffold every (key, day) pair in the output range so window tails
-    materialize on event-free days (Chronon emits rows for all days)."""
+    materialize on event-free days (Chronon emits rows for all days).
+    Operates on integer day numbers (`__day`)."""
     spark = daily.sparkSession
     assert rng is not None and rng.start is not None and rng.end is not None, (
         "dense mode needs a bounded output range"
     )
     days_df = spark.createDataFrame(
-        [(d,) for d in rng.partitions()], f"{PARTITION_COLUMN} string"
+        [(spec.epoch_millis(d) // DAY_MS,) for d in rng.partitions()], "__day long"
     )
     key_df = daily.select(*keys).distinct()
     scaffold = key_df.crossJoin(F.broadcast(days_df))
     # FULL outer: keep the lookback days' partials (outside the output
     # range) — the window frames need that history — while adding empty
     # rows for event-free days inside the range.
-    return scaffold.join(daily, keys + [PARTITION_COLUMN], "full_outer")
+    return scaffold.join(daily, keys + ["__day"], "full_outer")
 
 
 def _compute_entity_snapshot(spark, group_by, rng, spec) -> DataFrame:

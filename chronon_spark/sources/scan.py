@@ -100,10 +100,15 @@ def scan_df(
             F.date_format(F.timestamp_millis(F.col(TIME_COLUMN)), "yyyy-MM-dd"),
         )
         if scan_rng is not None and not pruned:
-            # range pruning deferred until ds existed; Catalyst rewrites the
-            # ds predicate into a ts-range filter pushed to the scan
-            for clause in scan_rng.where_clauses(part_col):
-                df = df.where(clause)
+            # ds is derived from ts, so prune with LONG ts-range predicates
+            # — these push down to parquet row groups; a string ds filter
+            # would format 10^11 per-row dates just to compare them
+            if scan_rng.start is not None:
+                df = df.where(F.col(TIME_COLUMN) >= spec.epoch_millis(scan_rng.start))
+            if scan_rng.end is not None:
+                df = df.where(
+                    F.col(TIME_COLUMN) < spec.epoch_millis(spec.after(scan_rng.end))
+                )
     return df
 
 

@@ -244,3 +244,27 @@ def test_derivation_star_semantics(spark, events_df):
     base.derivations = {"*": "*", "total": "value_sum_7d"}
     cols = set(compute_snapshot_groupby(spark, base).columns)
     assert cols == {"user_id", "ds", "value_count_7d", "total"}
+
+
+def test_approx_unique_count_hll_partials(spark, events_df):
+    """APPROX_UNIQUE_COUNT snapshot path merges daily HLL sketches over the
+    window frame; estimate must be within ~5% of the exact distinct count."""
+    gb = GroupBy(
+        sources=[_src(events_df)],
+        key_columns=["user_id"],
+        aggregations=[
+            Aggregation("value", Operation.APPROX_UNIQUE_COUNT, windows=[Window(10)]),
+            Aggregation("value", Operation.UNIQUE_COUNT, windows=[Window(10)]),
+        ],
+        name="g",
+    )
+    out = compute_snapshot_groupby(spark, gb).collect()
+    assert out
+    for r in out:
+        exact = r["value_unique_count_10d"]
+        approx = r["value_approx_unique_count_10d"]
+        if exact == 0:
+            continue
+        assert abs(approx - exact) <= max(3, 0.1 * exact), (
+            f"{r['user_id']}/{r['ds']}: approx {approx} vs exact {exact}"
+        )

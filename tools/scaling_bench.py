@@ -44,7 +44,7 @@ def ensure_input(replicas: int, sf_dir: str) -> str:
     return out
 
 
-def run_level(cpus: int, inp: str) -> dict:
+def run_level(cpus: int, inp: str, workload: str = "join") -> dict:
     """Pin the ENTIRE process tree (JVM task threads + python workers +
     GC) to `cpus` physical cores — a faithful N-core-cluster proxy.
     Without the pin, local[N]'s python workers overflow onto spare host
@@ -52,7 +52,7 @@ def run_level(cpus: int, inp: str) -> dict:
     res = subprocess.run(
         ["taskset", "-c", f"0-{cpus - 1}",
          sys.executable, os.path.join(REPO, "tools", "scaling_worker.py"),
-         "--cpus", str(cpus), "--input", inp],
+         "--cpus", str(cpus), "--input", inp, "--workload", workload],
         capture_output=True, text=True, timeout=3600,
     )
     line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
@@ -66,11 +66,12 @@ def main() -> None:
     ap.add_argument("--replicas", type=int, default=640)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--runs", type=int, default=1)  # worker self-measures best-of-2
+    ap.add_argument("--workload", choices=["join", "groupby"], default="join")
     args = ap.parse_args()
 
     inp = ensure_input(args.replicas, args.sf)
-    lows = [run_level(args.low, inp) for _ in range(args.runs)]
-    highs = [run_level(args.high, inp) for _ in range(args.runs)]
+    lows = [run_level(args.low, inp, args.workload) for _ in range(args.runs)]
+    highs = [run_level(args.high, inp, args.workload) for _ in range(args.runs)]
     low = max(lows, key=lambda r: r["rows_per_sec"])
     high = max(highs, key=lambda r: r["rows_per_sec"])
     ratio = high["rows_per_sec"] / low["rows_per_sec"]
@@ -86,7 +87,8 @@ def main() -> None:
     print(json.dumps(result))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    out_md = "BASELINE.md" if args.workload == "join" else f"SCALING_{args.workload}.md"
+    with open(os.path.join(REPO, "BENCH", out_md), "w") as f:
         f.write(f"""# BENCH/BASELINE — two-parallelism scaling evidence
 
 Sandbox proxy for the north_rule's two-cluster-size criterion (no real

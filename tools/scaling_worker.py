@@ -20,6 +20,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, required=True)
     ap.add_argument("--input", required=True)
+    ap.add_argument("--workload", choices=["join", "groupby"], default="join")
     args = ap.parse_args()
 
     from chronon_spark.api import (
@@ -59,15 +60,41 @@ def main() -> None:
         ],
         name="scaling",
     )
+    if args.workload == "join":
+        def run():
+            return compute_temporal_groupby(spark, gb).count()
+    else:
+        # snapshot GroupBy: daily partials + window frames over the same
+        # 64M-event input; throughput measured in INPUT events/sec (the
+        # scan+shuffle work scales with events, output is |keys| x |days|)
+        from chronon_spark.operators.groupby import compute_snapshot_groupby
+
+        gb_s = GroupBy(
+            sources=[EventSource(args.input, Query(
+                selects={"user_id": "user_id", "value": "value"}, time_column="ts"))],
+            key_columns=["user_id"],
+            aggregations=[
+                Aggregation("value", Operation.SUM, windows=[Window(7), None]),
+                Aggregation("value", Operation.COUNT, windows=[Window(7)]),
+                Aggregation("value", Operation.AVERAGE, windows=[Window(30)]),
+            ],
+            name="scaling_gb",
+        )
+        input_rows = spark.read.parquet(args.input).count()
+
+        def run():
+            compute_snapshot_groupby(spark, gb_s).count()
+            return input_rows
+
     # warm-up: one FULL pass — spawns the whole python worker pool, JITs
     # the JVM paths, and populates the page cache. Steady-state throughput
     # is the quantity that scales with cluster size (a 100TB backfill runs
     # for hours; session spin-up is noise).
-    compute_temporal_groupby(spark, gb).count()
+    run()
     best, rows = None, 0
     for _ in range(2):
         t0 = time.perf_counter()
-        rows = compute_temporal_groupby(spark, gb).count()
+        rows = run()
         wall = time.perf_counter() - t0
         best = wall if best is None else min(best, wall)
     print(json.dumps({
