@@ -66,10 +66,16 @@ def main() -> None:
     ap.add_argument("--replicas", type=int, default=640)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--runs", type=int, default=1)  # worker self-measures best-of-2
-    ap.add_argument("--workload", choices=["join", "groupby"], default="join")
+    ap.add_argument("--workload", choices=["join", "groupby", "image"], default="join")
+    ap.add_argument("--images", type=int, default=120_000)
     args = ap.parse_args()
 
-    inp = ensure_input(args.replicas, args.sf)
+    if args.workload == "image":
+        from chronon_spark.fixtures import ensure_image_fixture
+
+        inp = ensure_image_fixture(n=args.images, seed=7)
+    else:
+        inp = ensure_input(args.replicas, args.sf)
     lows = [run_level(args.low, inp, args.workload) for _ in range(args.runs)]
     highs = [run_level(args.high, inp, args.workload) for _ in range(args.runs)]
     low = max(lows, key=lambda r: r["rows_per_sec"])

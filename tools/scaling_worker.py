@@ -20,7 +20,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, required=True)
     ap.add_argument("--input", required=True)
-    ap.add_argument("--workload", choices=["join", "groupby"], default="join")
+    ap.add_argument("--workload", choices=["join", "groupby", "image"], default="join")
     args = ap.parse_args()
 
     from chronon_spark.api import (
@@ -41,6 +41,13 @@ def main() -> None:
             # shuffle to tmpfs: removes disk-write variance from the
             # measurement (cluster analog: NVMe-backed shuffle dirs)
             "spark.local.dir": "/dev/shm/spark-shuffle",
+            # GC/JIT thread pools default to the HOST core count; under a
+            # taskset pin they must match the pinned budget or the small
+            # "cluster" thrashes on threads it doesn't own
+            "spark.driver.extraJavaOptions": (
+                f"-XX:ParallelGCThreads={args.cpus} -XX:ConcGCThreads={max(1, args.cpus // 4)} "
+                f"-XX:CICompilerCount={max(2, args.cpus // 4)}"
+            ),
         },
     )
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -50,19 +57,72 @@ def main() -> None:
         Query(selects={"user_id": "user_id", "value": "value"}, time_column="ts"),
         topic="t",  # TEMPORAL accuracy
     )
+    # a REPRESENTATIVE feature set (the reference's canary GroupBy shape:
+    # sum/count/avg over multiple windows + LAST_K — real backfills
+    # compute many features per pass, amortizing scan/shuffle/serde)
     gb = GroupBy(
         sources=[src],
         key_columns=["user_id"],
         aggregations=[
             Aggregation("value", Operation.COUNT, windows=[Window(1), Window(7), None]),
-            Aggregation("value", Operation.SUM, windows=[Window(7)]),
-            Aggregation("value", Operation.LAST, windows=[Window(7)]),
+            Aggregation("value", Operation.SUM, windows=[Window(7), Window(30)]),
+            Aggregation("value", Operation.AVERAGE, windows=[Window(7)]),
+            Aggregation("value", Operation.MIN, windows=[Window(7)]),
+            Aggregation("value", Operation.MAX, windows=[Window(7)]),
+            Aggregation("value", Operation.VARIANCE, windows=[Window(30)]),
+            Aggregation("value", Operation.LAST_K, arg_map={"k": 5}, windows=[Window(7)]),
         ],
         name="scaling",
     )
     if args.workload == "join":
+        # temporal_features directly on (key, ts[, value]) — no per-row ds
+        # string through the Arrow boundary (the backfill path re-derives
+        # ds on the OUTPUT, which is what a real job partitions by)
+        from chronon_spark.operators.temporal_join import temporal_features
+
+        ev = spark.read.parquet(args.input)
+        left = ev.select("user_id", "ts")
+        right = ev.select("user_id", "ts", "value")
+        parts = [p for a in gb.aggregations for p in a.unpack()]
+
         def run():
-            return compute_temporal_groupby(spark, gb).count()
+            return temporal_features(left, right, ["user_id"], ["user_id"], parts).count()
+    elif args.workload == "image":
+        # the north_star pipeline itself: decode binary images, extract
+        # pixel features (Arrow-batched numpy per image), enrich each
+        # capture with phash-keyed as-of features — one feature vector per
+        # (image, ts). CPU-bound python/numpy per row, the regime the
+        # engine is built for.
+        from pyspark.sql import functions as Fn
+
+        from chronon_spark.operators.multimodal import extract_pixel_features
+        from chronon_spark.operators.temporal_join import temporal_features
+        from chronon_spark.api import AggregationPart
+
+        # the fixture is a single parquet file; spread decode across the
+        # level's cores (binary rows are ~6KB, maxPartitionBytes would
+        # otherwise give one scan task)
+        images = spark.read.parquet(args.input).repartition(8 * args.cpus).cache()
+        images.count()
+        parts = [
+            AggregationPart("caption_len", Operation.COUNT, window=Window(1)),
+            AggregationPart("caption_len", Operation.COUNT, window=None),
+            AggregationPart("caption_len", Operation.MAX, window=None),
+        ]
+
+        def run():
+            feats = extract_pixel_features(images)
+            meta = images.select(
+                "image_id", "phash", "ts",
+                Fn.length("caption").cast("bigint").alias("caption_len"),
+            )
+            asof = temporal_features(
+                meta.select("image_id", "phash", "ts"),
+                meta.select("phash", "ts", "caption_len"),
+                ["phash"], ["phash"], parts,
+            )
+            out = feats.join(asof, "image_id")
+            return out.count()
     else:
         # snapshot GroupBy: daily partials + window frames over the same
         # 64M-event input; throughput measured in INPUT events/sec (the
