@@ -170,10 +170,17 @@ def _day_expr(df) -> F.Column:
     """Integer day number for stage-1 grouping. Event rows bin by EVENT
     TIME via exact integer division — per-row date STRING formatting would
     dominate the scan at 10^11 rows (measured: anti-scaling from GC
-    pressure). Rows without ts fall back to parsing the ds string."""
+    pressure). Rows with NULL ts fall back PER ROW to parsing the ds
+    string (so they still group under their partition instead of being
+    silently dropped)."""
+    from_ds = (
+        F.unix_date(F.to_date(F.col(PARTITION_COLUMN))).cast("long")
+        if PARTITION_COLUMN in df.columns
+        else F.lit(None).cast("long")
+    )
     if TIME_COLUMN in df.columns:
-        return F.expr(f"{TIME_COLUMN} DIV {DAY_MS}")
-    return F.unix_date(F.to_date(F.col(PARTITION_COLUMN))).cast("long")
+        return F.coalesce(F.expr(f"{TIME_COLUMN} DIV {DAY_MS}"), from_ds)
+    return from_ds
 
 
 def _ds_from_day(col: F.Column) -> F.Column:
@@ -232,8 +239,22 @@ def _compute_bucketed_part(df, keys, part, rng, spec, dense) -> DataFrame:
     daily = dfb.groupBy(*keys, "__day", b).agg(
         *[c.alias(n) for n, c in partial_cols.items()]
     )
-    # densify: (key, day) spine x key's observed buckets
-    spine = df.withColumn("__day", _day_expr(df)).select(*keys, "__day").distinct()
+    # densify: (key, day) spine x key's observed buckets. Dense mode (used
+    # by snapshot joins) must cover EVERY day of the output range — not just
+    # observed days — so a window still holding events emits its map on
+    # event-free days.
+    if dense:
+        assert rng is not None and rng.start is not None and rng.end is not None, (
+            "dense mode needs a bounded output range"
+        )
+        spark = df.sparkSession
+        days_df = spark.createDataFrame(
+            [(spec.epoch_millis(d) // DAY_MS,) for d in rng.partitions()],
+            "__day long",
+        )
+        spine = daily.select(*keys).distinct().crossJoin(F.broadcast(days_df))
+    else:
+        spine = df.withColumn("__day", _day_expr(df)).select(*keys, "__day").distinct()
     kb = dfb.select(*keys, b).distinct()
     scaffold = spine.join(kb, keys)
     daily = scaffold.join(daily, keys + ["__day", b], "full_outer")

@@ -105,7 +105,9 @@ def compute_join(
         if not gb.aggregations:
             out = _no_agg_join_part(spark, out, jp, rng, spec)
         elif gb.inferred_accuracy() == Accuracy.TEMPORAL:
-            out = compute_temporal_join_part(spark, out, jp, rng, spec)
+            out = compute_temporal_join_part(
+                spark, out, jp, rng, spec, skew_keys=join.skew_keys
+            )
         else:
             out = compute_snapshot_join_part(spark, out, jp, rng, spec)
     if join.derivations:
@@ -125,30 +127,86 @@ def _no_agg_join_part(
     spec: PartitionSpec,
 ) -> DataFrame:
     """No-aggregation GroupBy = raw feature columns joined by key
-    (reference: NoAggTest): latest row per key as of end of yesterday.
+    (reference: NoAggTest): for each left row, the latest snapshot
+    partition whose ds <= date(left ts) - 1 ("end of yesterday"), carried
+    forward per key so sparse snapshot tables still resolve — with zero
+    leakage from same-day or future partitions.
 
-    For an entity snapshot source this is the previous day's snapshot row;
-    for simplicity and dominant use we take the latest snapshot partition
-    <= left max date - 1."""
+    Physical plan (scale-safe, no theta join): dedupe right to one row per
+    (key, ds); union snapshot rows with the left's distinct probe dates;
+    one `last(ignorenulls)` carry-forward window per key; equi-join the
+    left on (keys, date(ts)-1). Snapshot side is |keys| x |days| so the
+    final join is broadcast/cheap."""
+    from pyspark.sql import Window as W
+
     from chronon_spark.operators.groupby import _union_sources
 
     gb = join_part.group_by
-    right = _union_sources(spark, gb, rng, spec)
     key_map = join_part.right_to_left_keys()
     prefix = join_part.full_prefix() + "_"
+    keys = gb.key_columns
+
+    left_rng = rng if rng is not None and rng.start else _left_date_range(left_df, spec)
+    # scan nothing after end-of-yesterday of the left's max date
+    scan_rng = PartitionRange(None, spec.before(left_rng.end), spec)
+    right = _union_sources(spark, gb, scan_rng, spec)
     value_cols = [
         c for c in right.columns
-        if c not in gb.key_columns + [PARTITION_COLUMN, TIME_COLUMN]
+        if c not in keys + [PARTITION_COLUMN, TIME_COLUMN]
     ]
-    latest = right.groupBy(*gb.key_columns).agg(
-        *[F.max_by(F.col(c), F.col(PARTITION_COLUMN)).alias(prefix + c) for c in value_cols]
-    ).select(
-        *[F.col(k).alias(f"__rk_{k}") for k in gb.key_columns],
-        *[prefix + c for c in value_cols],
+    # one row per (key, snapshot day): latest by ts when present, else max
+    # value-struct for determinism
+    packed = F.struct(*[F.col(c) for c in value_cols])
+    if TIME_COLUMN in right.columns:
+        per_day_snap = F.max_by(packed, F.coalesce(F.col(TIME_COLUMN), F.lit(0)))
+    else:
+        per_day_snap = F.max(packed)
+    snap_rows = right.groupBy(*keys, PARTITION_COLUMN).agg(
+        per_day_snap.alias("__snap")
+    ).select(*keys, F.col(PARTITION_COLUMN).alias("__d"), "__snap",
+             F.lit(0).alias("__ord"))
+
+    # probe rows: the left's distinct (key, date(ts) - 1) needs
+    if TIME_COLUMN in left_df.columns:
+        left_date = F.date_sub(F.to_date(F.timestamp_millis(F.col(TIME_COLUMN))), 1)
+    else:
+        left_date = F.date_sub(F.to_date(F.col(PARTITION_COLUMN)), 1)
+    need_ds = F.date_format(left_date, "yyyy-MM-dd")
+    probes = (
+        left_df.select(
+            *[F.col(key_map[k]).alias(k) for k in keys], need_ds.alias("__d")
+        )
+        .where(F.struct(*keys).isNotNull())
+        .distinct()
     )
-    cond = None
-    for k in gb.key_columns:
-        c = F.col(key_map[k]) == F.col(f"__rk_{k}")
-        cond = c if cond is None else (cond & c)
-    joined = left_df.join(latest, cond, "left")
-    return joined.drop(*[f"__rk_{k}" for k in gb.key_columns])
+    snap_type = snap_rows.schema["__snap"].dataType.simpleString()
+    probe_rows = probes.select(
+        *keys, "__d", F.expr(f"CAST(NULL AS {snap_type})").alias("__snap"),
+        F.lit(1).alias("__ord"),
+    )
+
+    # carry-forward: at equal ds, snapshots (__ord=0) sort before probes so
+    # the ds == left_date - 1 partition IS visible to the probe
+    w = (
+        W.partitionBy(*keys)
+        .orderBy("__d", "__ord")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = (
+        snap_rows.unionByName(probe_rows)
+        .withColumn("__filled", F.last("__snap", ignorenulls=True).over(w))
+        .where(F.col("__ord") == 1)
+        .select(
+            *[F.col(k).alias(f"__rk_{k}") for k in keys],
+            F.col("__d").alias("__need_ds"),
+            *[F.col("__filled")[c].alias(prefix + c) for c in value_cols],
+        )
+    )
+    out = left_df.withColumn("__need_ds_l", need_ds)
+    cond = F.col("__need_ds_l") == F.col("__need_ds")
+    for k in keys:
+        cond = cond & (F.col(key_map[k]) == F.col(f"__rk_{k}"))
+    joined = out.join(filled, cond, "left")
+    return joined.drop(
+        "__need_ds_l", "__need_ds", *[f"__rk_{k}" for k in keys]
+    )

@@ -181,16 +181,36 @@ def _empty_feature(part: AggregationPart, sql_type: str, nq: int):
     return _emit(np.full(nq, None, dtype=object), sql_type)
 
 
+def _norm_key(s: pd.Series, spark_type: str) -> pd.Series:
+    """Coerce a key column to the right side's Spark type so factorize
+    agrees with the bucket hash (which casts left keys Spark-side): int 5
+    and string '5' must match when the declared key type is string."""
+    if spark_type == "string":
+        return s.map(lambda v: None if v is None else str(v))
+    if spark_type in ("bigint", "int", "smallint", "tinyint"):
+        return pd.to_numeric(s, errors="coerce").astype("Int64")
+    if spark_type in ("double", "float"):
+        return pd.to_numeric(s, errors="coerce").astype("float64")
+    return s
+
+
 def _segment_codes(
-    lpdf: pd.DataFrame, rpdf: pd.DataFrame, left_keys: list[str], right_keys: list[str]
+    lpdf: pd.DataFrame,
+    rpdf: pd.DataFrame,
+    left_keys: list[str],
+    right_keys: list[str],
+    key_types: Optional[list[str]] = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Joint integer codes for composite keys across both frames —
     vectorized (np.unique over concatenated values per key column)."""
     nl = len(lpdf)
     lcode = np.zeros(nl, dtype=np.int64)
     rcode = np.zeros(len(rpdf), dtype=np.int64)
-    for lk, rk in zip(left_keys, right_keys):
+    key_types = key_types or [None] * len(left_keys)
+    for lk, rk, kt in zip(left_keys, right_keys, key_types):
         lv, rv = lpdf[lk], rpdf[rk]
+        if kt is not None and lv.dtype != rv.dtype:
+            lv, rv = _norm_key(lv, kt), _norm_key(rv, kt)
         both = pd.concat([lv, rv], ignore_index=True)
         codes, uniq = pd.factorize(both, use_na_sentinel=False)
         n = len(uniq)
@@ -292,7 +312,10 @@ def temporal_features(
             for (name, sql_type), part in zip(feature_fields, parts):
                 out[name] = _empty_feature(part, sql_type, nq)
             return out
-        lcode, rcode = _segment_codes(lpdf, rpdf, left_keys, right_keys)
+        lcode, rcode = _segment_codes(
+            lpdf, rpdf, left_keys, right_keys,
+            [right_types[rk] for rk in right_keys],
+        )
         # sort each side by (key, ts); all per-key work happens on views
         lts = lpdf[time_col].to_numpy().astype(np.int64)
         rts = rpdf[TIME_COLUMN].to_numpy().astype(np.int64)
@@ -354,6 +377,7 @@ def compute_temporal_join_part(
     join_part: JoinPart,
     rng: Optional[PartitionRange] = None,
     spec: PartitionSpec = DEFAULT_SPEC,
+    skew_keys: Optional[dict] = None,
 ) -> DataFrame:
     """One join part: scan right GroupBy sources (lookback-widened),
     cogroup with the left, run the sawtooth kernel."""
@@ -363,6 +387,17 @@ def compute_temporal_join_part(
     parts = gb.aggregation_parts()
     key_map = join_part.right_to_left_keys()  # gb key -> left col
     left_keys = [key_map[k] for k in gb.key_columns]
+    # skew keys excluded from the left must be excluded from the RIGHT scan
+    # too (reference: JoinUtils.skewFilter:330-382 filters both sides) —
+    # otherwise the hot keys' events are still scanned, shuffled and sorted
+    # in their cogroup bucket for nothing.
+    if skew_keys:
+        for gb_key, left_col in key_map.items():
+            values = skew_keys.get(left_col) or skew_keys.get(gb_key)
+            if values:
+                right = right.where(
+                    ~F.col(gb_key).isin(values) | F.col(gb_key).isNull()
+                )
     right = _small_mode_filter(spark, left_df, right, left_keys, gb.key_columns)
     prefix = join_part.full_prefix() + "_"
     return temporal_features(left_df, right, left_keys, gb.key_columns, parts, prefix)
@@ -409,7 +444,9 @@ def compute_temporal_join(
     left_df = _apply_skew_filter(left_df, join)
     out = left_df
     for jp in join.join_parts:
-        out = compute_temporal_join_part(spark, out, jp, rng, spec)
+        out = compute_temporal_join_part(
+            spark, out, jp, rng, spec, skew_keys=join.skew_keys
+        )
     if join.derivations:
         from chronon_spark.api import apply_derivations
 

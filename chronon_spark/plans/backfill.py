@@ -29,7 +29,7 @@ from typing import Callable, Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from chronon_spark.api import GroupBy, Join
+from chronon_spark.api import PARTITION_COLUMN, GroupBy, Join
 from chronon_spark.partitions import (
     DEFAULT_SPEC,
     PartitionRange,
@@ -251,9 +251,17 @@ def run_modular_join(
     from chronon_spark.sources.scan import scan_source
 
     left_table = f"{namespace}_{join.name}_left"
+    # row id (reference: Join.rowIds / JoinPartJob row-id carry): minted
+    # ONCE when the left table materializes, then stable on disk — part
+    # outputs carry it through, and MergeJob joins on it instead of on
+    # every left column (null-valued or duplicated left columns would make
+    # an all-columns equi-join drop or multiply feature rows).
+    ROW_ID = "__row_id"
     src_job = BackfillJob(
         spark, warehouse, left_table,
-        compute=lambda r: scan_source(spark, join.left, r, spec),
+        compute=lambda r: scan_source(spark, join.left, r, spec).withColumn(
+            ROW_ID, F.monotonically_increasing_id()
+        ),
         config=join.left, job_name=f"source/{join.name}",
         step_days=step_days, spec=spec,
     )
@@ -274,16 +282,18 @@ def run_modular_join(
         pj.run(rng.start, rng.end)
 
     # MergeJob: coalesced left-joins of part tables back onto the left
-    # (reference: JoinBase.joinWithLeft / MergeJob.scala:81-140). Part
-    # outputs carry the full left row id columns, so the join keys are the
-    # left's own columns + ts.
+    # (reference: JoinBase.joinWithLeft / MergeJob.scala:81-140), keyed on
+    # (__row_id, ds) — unique because ids are unique within one chunk's
+    # compute and chunks cover disjoint ds ranges.
     left_df = warehouse.read(left_table, rng)
     out = left_df
     left_cols = left_df.columns
+    merge_keys = [ROW_ID, PARTITION_COLUMN]
     for jp, pt in part_tables:
         part_df = warehouse.read(pt, rng)
         feature_cols = [c for c in part_df.columns if c not in left_cols]
-        out = out.join(part_df.select(*left_cols, *feature_cols), left_cols, "left")
+        out = out.join(part_df.select(*merge_keys, *feature_cols), merge_keys, "left")
+    out = out.drop(ROW_ID)
     if join.derivations:
         from chronon_spark.api import apply_derivations
         from chronon_spark.operators.temporal_join import _join_ensure_keys
