@@ -671,6 +671,83 @@ def q_entity_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic entity-changelog fixture derived from events: every event
+# inserts an entity row at its ts; cents%10<3 -> updated (+5000 cents) at
+# ts+6h; cents%10 in (3,4) -> deleted at ts+36h (update/delete cohorts are
+# DISJOINT so before-images always match current row state, as in the
+# reference's DataFrameGen.mutations).
+_MUT_Q0 = 1704672000000  # 2024-01-08
+_MUT_Q1 = 1704931200000  # 2024-01-11 (exclusive)
+_MUT_SNAP_DAYS = ("2024-01-07", "2024-01-08", "2024-01-09")
+
+
+def q_temporal_entity_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(EVENTS, ENTITIES, TEMPORAL): mutation replay over end-of-day
+    snapshots (reference: GroupBy.temporalEntities:188-281,
+    SawtoothMutationAggregator.scala:44-160). Snapshot partition D-1 +
+    day-D mutations with mutation_ts < T, is_before rows deleting; entity
+    window test ts in [round(T-w, hop), T) — head-EXCLUSIVE."""
+    _prep(spark)
+    from chronon_spark.api import AggregationPart
+    from chronon_spark.operators.mutations import temporal_entity_features
+
+    spark.sql(f"""
+        CREATE OR REPLACE TEMPORARY VIEW __mut_base AS
+        SELECT event_id, user_id, {TS_EXPR} AS ts,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents,
+               CASE WHEN CAST(round(value * 100, 0) AS BIGINT) % 10 < 3
+                    THEN unix_millis(cast(ts as timestamp)) + {6 * HOUR} END AS u_ts,
+               CASE WHEN CAST(round(value * 100, 0) AS BIGINT) % 10 IN (3, 4)
+                    THEN unix_millis(cast(ts as timestamp)) + {36 * HOUR} END AS d_ts
+        FROM parquet.`{sf_dir}/events.parquet`
+    """)
+    days_sql = ", ".join(
+        f"('{d}', CAST((unix_date(to_date('{d}')) + 1) AS BIGINT) * {DAY})"
+        for d in _MUT_SNAP_DAYS
+    )
+    snap = spark.sql(f"""
+        SELECT b.user_id, b.ts,
+               CASE WHEN b.u_ts IS NOT NULL AND b.u_ts < d.eod THEN b.cents + 5000
+                    ELSE b.cents END AS cents,
+               d.ds
+        FROM __mut_base b JOIN (VALUES {days_sql}) AS d(ds, eod)
+          ON b.ts < d.eod AND NOT (b.d_ts IS NOT NULL AND b.d_ts < d.eod)
+    """)
+    mut = spark.sql(f"""
+        WITH img AS (
+          SELECT user_id, ts, cents, ts AS mutation_ts, false AS is_before
+          FROM __mut_base
+          UNION ALL
+          SELECT user_id, ts, cents, u_ts, true FROM __mut_base WHERE u_ts IS NOT NULL
+          UNION ALL
+          SELECT user_id, ts, cents + 5000, u_ts, false FROM __mut_base WHERE u_ts IS NOT NULL
+          UNION ALL
+          SELECT user_id, ts, cents, d_ts, true FROM __mut_base WHERE d_ts IS NOT NULL
+        )
+        SELECT * FROM img WHERE mutation_ts >= {_MUT_Q0} AND mutation_ts < {_MUT_Q1}
+    """)
+    left = spark.sql(f"""
+        SELECT DISTINCT user_id, ts FROM __mut_base
+        WHERE ts >= {_MUT_Q0} AND ts < {_MUT_Q1} AND event_id % 3 = 0
+    """)
+    parts = [
+        AggregationPart("cents", Operation.SUM, {}, Window(7)),
+        AggregationPart("cents", Operation.COUNT, {}, None),
+        AggregationPart("cents", Operation.AVERAGE, {}, Window(7)),
+        AggregationPart("cents", Operation.MIN, {}, Window(7)),
+        AggregationPart("cents", Operation.UNIQUE_COUNT, {}, Window(7)),
+    ]
+    out = temporal_entity_features(left, snap, mut, ["user_id"], ["user_id"], parts)
+    return out.select(
+        "user_id", "ts",
+        F.round(F.col("cents_sum_7d") / 100.0, 6).alias("ent_sum_7d"),
+        F.col("cents_count").alias("ent_count"),
+        F.round(F.col("cents_average_7d") / 100.0 + 1e-9, 6).alias("ent_avg_7d"),
+        F.round(F.col("cents_min_7d") / 100.0, 6).alias("ent_min_7d"),
+        F.col("cents_unique_count_7d").alias("ent_uniq_7d"),
+    )
+
+
 FIXTURE_N, FIXTURE_SEED = 500, 42
 _FIXTURE_PATH = f"/root/repo/.fixtures/images_n{FIXTURE_N}_s{FIXTURE_SEED}.parquet"
 
@@ -773,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "staging_revenue_by_nation": q_staging_revenue_by_nation,
         "temporal_histogram": q_temporal_histogram,
         "temporal_topk": q_temporal_topk,
+        "temporal_entity_mutations": q_temporal_entity_mutations,
     }
 
 
@@ -800,6 +878,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(value * 100, 0) AS BIGINT) AS value_cents
             FROM events
             WHERE event_type IN ('click', 'purchase') AND value > 1.0
+        """,
+        # closed-form point-in-time replay: a row is visible at T iff it was
+        # inserted before T and not deleted before T; its value is the
+        # updated one iff u_ts < T. Mutation replay of EOD snapshots reduces
+        # to exactly this because update/delete cohorts are disjoint and
+        # every image's mutation day is tagged from mutation_ts.
+        "temporal_entity_mutations": f"""
+            WITH ev AS (
+              SELECT event_id, user_id, epoch_ms(ts) AS ts,
+                     CAST(round(value * 100, 0) AS BIGINT) AS cents
+              FROM events
+            ), base AS (
+              SELECT *,
+                     CASE WHEN cents % 10 < 3 THEN ts + {6 * HOUR} END AS u_ts,
+                     CASE WHEN cents % 10 IN (3, 4) THEN ts + {36 * HOUR} END AS d_ts
+              FROM ev
+            ), l AS (
+              SELECT DISTINCT user_id, ts FROM ev
+              WHERE ts >= {_MUT_Q0} AND ts < {_MUT_Q1} AND event_id % 3 = 0
+            ), j AS (
+              SELECT l.user_id, l.ts,
+                     CASE WHEN b.u_ts IS NOT NULL AND b.u_ts < l.ts
+                          THEN b.cents + 5000 ELSE b.cents END AS v,
+                     b.ts >= (l.ts - {7 * DAY}) - ((l.ts - {7 * DAY}) % {HOUR})
+                         AND b.ts < l.ts AS in7
+              FROM l LEFT JOIN base b
+                ON b.user_id = l.user_id AND b.ts < l.ts
+               AND NOT (b.d_ts IS NOT NULL AND b.d_ts < l.ts)
+            )
+            SELECT user_id, ts,
+                   ROUND(SUM(CASE WHEN in7 THEN v END) / 100.0, 6) AS ent_sum_7d,
+                   COUNT(v) AS ent_count,
+                   ROUND(SUM(CASE WHEN in7 THEN v END)
+                         / CAST(COUNT(CASE WHEN in7 THEN v END) AS DOUBLE)
+                         / 100.0 + 1e-9, 6) AS ent_avg_7d,
+                   ROUND(MIN(CASE WHEN in7 THEN v END) / 100.0, 6) AS ent_min_7d,
+                   COUNT(DISTINCT CASE WHEN in7 THEN v END) AS ent_uniq_7d
+            FROM j GROUP BY user_id, ts
         """,
         "groupby_snapshot_windows": f"""
             WITH {_SNAP_DAYS},

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from chronon_spark.api import (
     PARTITION_COLUMN,
     TIME_COLUMN,
+    EntitySource,
     GroupBy,
     Join,
     JoinPart,
@@ -102,8 +103,17 @@ def compute_join(
     out = left_df
     for jp in join.join_parts:
         gb = jp.group_by
+        is_mutation_part = gb.inferred_accuracy() == Accuracy.TEMPORAL and any(
+            isinstance(s, EntitySource) and s.mutation_table for s in gb.sources
+        )
         if not gb.aggregations:
             out = _no_agg_join_part(spark, out, jp, rng, spec)
+        elif is_mutation_part:
+            from chronon_spark.operators.mutations import (
+                compute_temporal_entity_join_part,
+            )
+
+            out = compute_temporal_entity_join_part(spark, out, jp, rng, spec)
         elif gb.inferred_accuracy() == Accuracy.TEMPORAL:
             out = compute_temporal_join_part(
                 spark, out, jp, rng, spec, skew_keys=join.skew_keys
