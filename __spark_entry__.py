@@ -671,6 +671,178 @@ def q_entity_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_groupby_snapshot_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot percentiles over the BOUNDED weighted-quantile daily IR
+    (O(sketch_k) per day — round-2 fix of the unbounded collect_list IR).
+    sketch_k exceeds any (key, day) volume at this sf, so the digest is in
+    its exact regime: index max(1, ceil(p*n)) of the sorted window."""
+    _prep(spark)
+    from chronon_spark.operators.groupby import compute_snapshot_groupby
+
+    gb = GroupBy(
+        sources=[_events_source(
+            sf_dir,
+            {"user_id": "user_id", "cents": "CAST(round(value * 100, 0) AS BIGINT)"},
+        )],
+        key_columns=["user_id"],
+        aggregations=[
+            Aggregation("cents", Operation.APPROX_PERCENTILE,
+                        {"percentiles": [0.5, 0.9], "sketch_k": 8192},
+                        windows=[Window(3)]),
+        ],
+        name="p",
+    )
+    out = compute_snapshot_groupby(spark, gb)
+    arr = F.col("cents_approx_percentile_3d")
+    return out.select(
+        "user_id", "ds",
+        F.round(F.element_at(arr, 1) / 100.0, 6).alias("p50_3d"),
+        F.round(F.element_at(arr, 2) / 100.0, 6).alias("p90_3d"),
+    )
+
+
+def q_groupby_snapshot_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot HISTOGRAM + exact UNIQUE_COUNT on the exploded
+    groupBy(key, day, value) -> re-window plan (round-2 rewrite of the
+    O(distinct^2) HOF merge); map exploded to rows for the oracle."""
+    _prep(spark)
+    from chronon_spark.operators.groupby import compute_snapshot_groupby
+
+    gb = GroupBy(
+        sources=[_events_source(sf_dir, {"user_id": "user_id",
+                                         "event_type": "event_type"})],
+        key_columns=["user_id"],
+        aggregations=[
+            Aggregation("event_type", Operation.HISTOGRAM, windows=[Window(3)]),
+            Aggregation("event_type", Operation.UNIQUE_COUNT, windows=[Window(3)]),
+        ],
+        name="h",
+    )
+    out = compute_snapshot_groupby(spark, gb)
+    return out.select(
+        "user_id", "ds",
+        F.col("event_type_unique_count_3d").alias("uniq_3d"),
+        F.explode(F.col("event_type_histogram_3d")).alias("etype", "cnt"),
+    )
+
+
+def q_groupby_snapshot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot TOP_K / BOTTOM_K / UNIQUE_TOP_K (k-ops on daily partial
+    IRs already trimmed to k — bounded merge), canonical joined strings."""
+    _prep(spark)
+    from chronon_spark.operators.groupby import compute_snapshot_groupby
+
+    gb = GroupBy(
+        sources=[_events_source(
+            sf_dir,
+            {"user_id": "user_id", "cents": "CAST(round(value * 100, 0) AS BIGINT)"},
+        )],
+        key_columns=["user_id"],
+        aggregations=[
+            Aggregation("cents", Operation.TOP_K, {"k": 3}, windows=[Window(7)]),
+            Aggregation("cents", Operation.BOTTOM_K, {"k": 3}, windows=[Window(7)]),
+            Aggregation("cents", Operation.UNIQUE_TOP_K, {"k": 3}, windows=[Window(7)]),
+        ],
+        name="t",
+    )
+    out = compute_snapshot_groupby(spark, gb)
+
+    def joined(c):
+        return F.array_join(F.transform(F.col(c), lambda x: x.cast("string")), ",")
+
+    return out.select(
+        "user_id", "ds",
+        joined("cents_top3_7d").alias("top3"),
+        joined("cents_bottom3_7d").alias("bottom3"),
+        joined("cents_unique_top3_7d").alias("utop3"),
+    )
+
+
+def q_groupby_mapcol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-column aggregation (reference: MapColumnAggregator): a
+    map<event_type, cents> input aggregates per map key into a map output;
+    exploded to rows for the oracle."""
+    _prep(spark)
+    from chronon_spark.operators.groupby import compute_snapshot_groupby
+
+    gb = GroupBy(
+        sources=[_events_source(
+            sf_dir,
+            {"user_id": "user_id",
+             "m": "map(event_type, CAST(round(value * 100, 0) AS BIGINT))"},
+        )],
+        key_columns=["user_id"],
+        aggregations=[Aggregation("m", Operation.SUM, windows=[Window(3)])],
+        name="mc",
+    )
+    out = compute_snapshot_groupby(spark, gb)
+    exploded = out.select(
+        "user_id", "ds", F.explode(F.col("m_sum_3d")).alias("etype", "cents_sum")
+    )
+    return exploded.withColumn(
+        "etype_sum", F.round(F.col("cents_sum") / 100.0, 6)
+    ).drop("cents_sum")
+
+
+def q_backfill_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-granular resumable backfill: run a chunked GroupBy
+    backfill, re-run it (must resume with ZERO new steps), and emit the
+    materialized per-partition row counts + integer-exact feature totals
+    the oracle recomputes from the raw events."""
+    _prep(spark)
+    import tempfile
+
+    from chronon_spark.plans.backfill import groupby_backfill
+    from chronon_spark.sources.catalog import ParquetWarehouse
+
+    wh = ParquetWarehouse(spark, tempfile.mkdtemp(prefix="chronon_bf_"))
+    gb = GroupBy(
+        sources=[_events_source(
+            sf_dir,
+            {"user_id": "user_id", "cents": "CAST(round(value * 100, 0) AS BIGINT)"},
+        )],
+        key_columns=["user_id"],
+        aggregations=[Aggregation("cents", Operation.SUM, windows=[Window(7)])],
+        name="bf",
+    )
+    job = groupby_backfill(spark, wh, gb, "bf_out", step_days=2)
+    job.run("2024-01-03", "2024-01-08")
+    rerun = groupby_backfill(spark, wh, gb, "bf_out", step_days=2).run(
+        "2024-01-03", "2024-01-08"
+    )
+    assert rerun.steps == [], "resume must compute nothing"
+    out = wh.read("bf_out")
+    return out.groupBy("ds").agg(
+        F.count("*").alias("n_keys"),
+        F.round(F.sum("cents_sum_7d") / 100.0, 6).alias("total_sum_7d"),
+    )
+
+
+def q_groupby_approx_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROX_UNIQUE_COUNT via HLL-sketch daily partials unioned across the
+    window frame. At per-key event-type cardinality the HLL sparse mode is
+    exact, so the oracle pins to COUNT(DISTINCT) — the reference's own
+    strategy for approx ops (GroupByTest.scala:103-117)."""
+    _prep(spark)
+    from chronon_spark.operators.groupby import compute_snapshot_groupby
+
+    gb = GroupBy(
+        sources=[_events_source(sf_dir, {"user_id": "user_id",
+                                         "event_type": "event_type"})],
+        key_columns=["user_id"],
+        aggregations=[
+            Aggregation("event_type", Operation.APPROX_UNIQUE_COUNT,
+                        windows=[Window(7)]),
+        ],
+        name="au",
+    )
+    out = compute_snapshot_groupby(spark, gb)
+    return out.select(
+        "user_id", "ds",
+        F.col("event_type_approx_unique_count_7d").cast("long").alias("approx_uniq_7d"),
+    )
+
+
 # deterministic entity-changelog fixture derived from events: every event
 # inserts an entity row at its ts; cents%10<3 -> updated (+5000 cents) at
 # ts+6h; cents%10 in (3,4) -> deleted at ts+36h (update/delete cohorts are
@@ -851,6 +1023,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_histogram": q_temporal_histogram,
         "temporal_topk": q_temporal_topk,
         "temporal_entity_mutations": q_temporal_entity_mutations,
+        "groupby_snapshot_percentile": q_groupby_snapshot_percentile,
+        "groupby_snapshot_histogram": q_groupby_snapshot_histogram,
+        "groupby_snapshot_topk": q_groupby_snapshot_topk,
+        "groupby_mapcol": q_groupby_mapcol,
+        "backfill_resume": q_backfill_resume,
+        "groupby_approx_unique": q_groupby_approx_unique,
     }
 
 
@@ -878,6 +1056,89 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(value * 100, 0) AS BIGINT) AS value_cents
             FROM events
             WHERE event_type IN ('click', 'purchase') AND value > 1.0
+        """,
+        "groupby_snapshot_percentile": f"""
+            WITH {_SNAP_DAYS},
+            ec AS (SELECT user_id, ts, CAST(round(value * 100, 0) AS BIGINT) AS cents
+                   FROM events),
+            j AS (
+              SELECT d.user_id, d.ds,
+                     list_sort(list(e.cents) FILTER (WHERE {_snap_window(3)})) AS vals
+              FROM days d JOIN ec e ON d.user_id = e.user_id
+              GROUP BY d.user_id, d.ds
+            )
+            SELECT user_id, ds,
+                   ROUND(vals[GREATEST(1, CAST(CEIL(0.5 * len(vals)) AS BIGINT))] / 100.0, 6)
+                       AS p50_3d,
+                   ROUND(vals[GREATEST(1, CAST(CEIL(0.9 * len(vals)) AS BIGINT))] / 100.0, 6)
+                       AS p90_3d
+            FROM j
+        """,
+        "groupby_snapshot_histogram": f"""
+            WITH {_SNAP_DAYS},
+            j AS (
+              SELECT d.user_id, d.ds, e.event_type AS etype,
+                     COUNT(*) AS cnt
+              FROM days d JOIN events e ON d.user_id = e.user_id AND {_snap_window(3)}
+              GROUP BY d.user_id, d.ds, e.event_type
+            ),
+            u AS (SELECT user_id, ds, COUNT(*) AS uniq FROM j GROUP BY user_id, ds)
+            SELECT j.user_id, j.ds, u.uniq AS uniq_3d, j.etype, j.cnt
+            FROM j JOIN u ON j.user_id = u.user_id AND j.ds = u.ds
+        """,
+        "groupby_snapshot_topk": f"""
+            WITH {_SNAP_DAYS},
+            ec AS (SELECT user_id, ts, CAST(round(value * 100, 0) AS BIGINT) AS cents
+                   FROM events),
+            j AS (
+              SELECT d.user_id, d.ds,
+                     list(e.cents) FILTER (WHERE {_snap_window(7)}) AS vals,
+                     list(DISTINCT e.cents) FILTER (WHERE {_snap_window(7)}) AS dvals
+              FROM days d JOIN ec e ON d.user_id = e.user_id
+              GROUP BY d.user_id, d.ds
+            )
+            SELECT user_id, ds,
+                   array_to_string(list_sort(vals, 'DESC')[1:3], ',') AS top3,
+                   array_to_string(list_sort(vals, 'ASC')[1:3], ',') AS bottom3,
+                   array_to_string(list_sort(dvals, 'DESC')[1:3], ',') AS utop3
+            FROM j
+        """,
+        "groupby_mapcol": f"""
+            WITH {_SNAP_DAYS},
+            ec AS (SELECT user_id, ts, event_type,
+                          CAST(round(value * 100, 0) AS BIGINT) AS cents
+                   FROM events),
+            j AS (
+              SELECT d.user_id, d.ds, e.event_type AS etype,
+                     SUM(CASE WHEN {_snap_window(3)} THEN e.cents END) AS s
+              FROM days d JOIN ec e ON d.user_id = e.user_id
+              GROUP BY d.user_id, d.ds, e.event_type
+            )
+            SELECT user_id, ds, etype, ROUND(s / 100.0, 6) AS etype_sum
+            FROM j WHERE s IS NOT NULL
+        """,
+        "backfill_resume": f"""
+            WITH ec AS (SELECT user_id, ts, strftime(ts, '%Y-%m-%d') AS ds,
+                               CAST(round(value * 100, 0) AS BIGINT) AS cents
+                        FROM events),
+            days AS (SELECT DISTINCT user_id, ds FROM ec
+                     WHERE ds BETWEEN '2024-01-03' AND '2024-01-08'),
+            per AS (
+              SELECT d.user_id, d.ds,
+                     SUM(CASE WHEN {_snap_window(7)} THEN e.cents END) AS s
+              FROM days d JOIN ec e ON d.user_id = e.user_id
+              GROUP BY d.user_id, d.ds
+            )
+            SELECT ds, COUNT(*) AS n_keys, ROUND(SUM(s) / 100.0, 6) AS total_sum_7d
+            FROM per GROUP BY ds
+        """,
+        "groupby_approx_unique": f"""
+            WITH {_SNAP_DAYS}
+            SELECT d.user_id, d.ds,
+                   COUNT(DISTINCT CASE WHEN {_snap_window(7)} THEN e.event_type END)
+                       AS approx_uniq_7d
+            FROM days d JOIN events e ON d.user_id = e.user_id
+            GROUP BY d.user_id, d.ds
         """,
         # closed-form point-in-time replay: a row is visible at T iff it was
         # inserted before T and not deleted before T; its value is the
@@ -1125,6 +1386,87 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
             FROM uni GROUP BY text
+        """,
+        # derived deterministic oracle (round-2): the engine's minhash
+        # output is banded-LSH candidates VERIFIED by exact full-set
+        # Jaccard >= t; the oracle is the all-pairs exact answer. Equality
+        # asserts banding recall 1.0 at this scale (p_miss < 1e-15 for the
+        # J >= 0.9 planted dups, deterministic hash seeds) on top of the
+        # per-pair Jaccard correctness.
+        "dedup_minhash": """
+            WITH docs AS (
+              SELECT doc_id AS id,
+                list_distinct(list_transform(
+                  CASE WHEN length(text) >= 8
+                       THEN [substr(text, i, 8) FOR i IN range(1, length(text) - 6)]
+                       ELSE [text] END,
+                  s -> list_reduce(
+                         list_prepend(CAST(0 AS BIGINT),
+                           list_transform(string_split_regex(s, ''),
+                                          ch -> CAST(ascii(ch) AS BIGINT))),
+                         (acc, x) -> (acc * 131 + x) % 1000000007))) AS sh
+              FROM documents
+            ),
+            inv AS (SELECT id, len(sh) AS sz, UNNEST(sh) AS s FROM docs),
+            co AS (
+              SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+                     COUNT(*) AS inter
+              FROM inv a JOIN inv b ON a.s = b.s AND a.id < b.id
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT id_a, id_b,
+                   ROUND(inter / CAST(sz_a + sz_b - inter AS DOUBLE) + 1e-9, 6) AS jaccard
+            FROM co
+            WHERE inter / CAST(sz_a + sz_b - inter AS DOUBLE) >= 0.3
+        """,
+        # derived deterministic oracle (round-2): pigeonhole banding has
+        # EXACT recall (11 chunks, <= 10 differing bits -> some chunk
+        # agrees), so the engine output == all pairs with
+        # hamming(simhash64) <= 10. DuckDB replicates the 64-bit simhash
+        # bit-for-bit (rolling 131/1e9+7 shingle hash + two mix rounds in
+        # HUGEINT modular arithmetic, two's-complement reinterpretation).
+        "dedup_simhash": """
+            WITH docs AS (
+              SELECT doc_id AS id,
+                list_distinct(CASE WHEN length(text) >= 3
+                     THEN [substr(text, i, 3) FOR i IN range(1, length(text) - 1)]
+                     ELSE [text] END) AS sh3
+              FROM documents
+            ),
+            sh AS (SELECT id, UNNEST(sh3) AS s FROM docs),
+            h AS (
+              SELECT id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split_regex(s, ''),
+                                      ch -> CAST(ascii(ch) AS BIGINT))),
+                       (acc, x) -> (acc * 131 + x) % 1000000007) AS h30
+              FROM sh
+            ),
+            h64a AS (
+              SELECT id, CAST((CAST(h30 AS HUGEINT) * 2654435761 + 2654435769)
+                              % 18446744073709551616 AS UBIGINT) AS t
+              FROM h
+            ),
+            h64 AS (
+              SELECT id, xor(t, CAST((CAST(t >> 29 AS HUGEINT) * 13787848793156543929)
+                                     % 18446744073709551616 AS UBIGINT)) AS v
+              FROM h64a
+            ),
+            bits AS (
+              SELECT id, bb.b AS b,
+                     SUM(CASE WHEN (v >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+              FROM h64, (SELECT UNNEST(range(0, 64)) AS b) bb
+              GROUP BY id, bb.b
+            ),
+            sig AS (
+              SELECT id, CAST(COALESCE(SUM(CASE WHEN acc > 0 THEN
+                       CASE WHEN b = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+                            ELSE CAST(CAST(1 AS BIGINT) << b AS HUGEINT) END END), 0)
+                       AS BIGINT) AS v
+              FROM bits GROUP BY id
+            )
+            SELECT a.id AS id_a, b.id AS id_b, bit_count(xor(a.v, b.v)) AS hamming
+            FROM sig a JOIN sig b ON a.id < b.id
+            WHERE bit_count(xor(a.v, b.v)) <= 10
         """,
         "dedup_ngram_jaccard": """
             WITH docs AS (

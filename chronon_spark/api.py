@@ -287,6 +287,22 @@ class JoinPart:
 
 
 @dataclass
+class BootstrapPart:
+    """Pre-computed feature values joined onto the left BEFORE backfill
+    (reference: thrift/api.thrift BootstrapPart; engine
+    batch/JoinBootstrapJob.scala). Columns whose names match the join's
+    output feature columns short-circuit computation for the rows they
+    cover.
+
+    ``key_columns`` defaults to the join's ``row_ids``.
+    """
+
+    table: str
+    query: Query = field(default_factory=Query)
+    key_columns: Optional[list[str]] = None
+
+
+@dataclass
 class Join:
     """Left source enriched point-in-time-correctly with many GroupBys.
 
@@ -298,6 +314,7 @@ class Join:
     skew_keys: Optional[dict[str, list[Any]]] = None
     derivations: Optional[dict[str, str]] = None
     row_ids: Optional[list[str]] = None
+    bootstrap_parts: Optional[list[BootstrapPart]] = None
     name: str = "join"
 
 

@@ -262,31 +262,91 @@ class ApproxUniqueCountSpec(OpSpec):
 
 
 class ApproxPercentileSpec(OpSpec):
+    """Percentiles with a BOUNDED mergeable daily IR.
+
+    The reference stores a KLL sketch per IR (SimpleAggregators.scala:
+    545-585) precisely so the partial never grows with event volume. The
+    Catalyst analog here is a deterministic weighted-quantile digest: the
+    per-day partial is at most `sketch_k` (value, weight) anchors —
+      n <= k : every value, weight 1 (EXACT regime)
+      n >  k : k equal-count chunk anchors, weight n/k each
+    Window merge concatenates the day digests (<= days x k entries — O(k)
+    per day regardless of events/day), sorts by value and reads the
+    weighted quantile. In the exact regime this reproduces the engine's
+    pinned convention index max(1, ceil(p*n)); beyond it the rank error is
+    bounded by one chunk (n/k) per day.
+    """
+
     floating = True
 
-    def direct(self) -> Column:
+    def _k(self) -> int:
+        return int(self.args.get("sketch_k", 256))
+
+    def _pcts(self) -> list[float]:
         pct = self.args.get("percentiles", [0.5])
-        acc = self.args.get("k", 10000)
         if isinstance(pct, (int, float)):
             pct = [pct]
-        return F.percentile_approx(self.col, pct, acc)
+        return list(pct)
+
+    def direct(self) -> Column:
+        acc = self.args.get("k", 10000)
+        return F.percentile_approx(self.col, self._pcts(), acc)
 
     def partials(self) -> dict[str, Column]:
-        # no mergeable built-in sketch partial; keep per-day value lists
-        # (bounded by arg 'sample' cap) and recompute exactly at merge.
-        return {_ir(self.name, "vals"): F.collect_list(self.col)}
+        k = self._k()
+        vals = F.array_sort(F.collect_list(self.col.cast("double")))
+        n = F.size(vals)
+        exact = F.transform(
+            vals, lambda v: F.struct(v.alias("v"), F.lit(1.0).alias("w"))
+        )
+        chunk = n.cast("double") / F.lit(float(k))
+        anchors = F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda i: F.struct(
+                F.get(
+                    vals,
+                    F.floor((i.cast("double") + F.lit(0.5)) * chunk).cast("int"),
+                ).alias("v"),
+                chunk.alias("w"),
+            ),
+        )
+        return {_ir(self.name, "qs"): F.when(n <= k, exact).otherwise(anchors)}
 
     def merge(self, wspec) -> Column:
-        pct = self.args.get("percentiles", [0.5])
-        if isinstance(pct, (int, float)):
-            pct = [pct]
-        merged = F.flatten(F.collect_list(F.col(_ir(self.name, "vals"))).over(wspec))
-        srt = F.array_sort(merged)
-        n = F.size(srt)
-        idx = [
-            F.greatest(F.lit(1), F.ceil(F.lit(p) * n).cast("int")) for p in pct
-        ]
-        return F.array(*[F.get(srt, i - 1) for i in idx])
+        merged = F.flatten(F.collect_list(F.col(_ir(self.name, "qs"))).over(wspec))
+        srt = F.array_sort(
+            merged,
+            lambda a, b: F.when(a["v"] < b["v"], F.lit(-1))
+            .when(a["v"] > b["v"], F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+        total = F.aggregate(
+            srt, F.lit(0.0), lambda acc, e: acc + e["w"]
+        )
+        def _scan(t):
+            # 2-arg merge lambda closing over the target rank column
+            return lambda acc, e: F.struct(
+                (acc["cum"] + e["w"]).alias("cum"),
+                F.coalesce(
+                    acc["res"],
+                    F.when(acc["cum"] + e["w"] >= t - F.lit(1e-9), e["v"]),
+                ).alias("res"),
+            )
+
+        outs = []
+        for p in self._pcts():
+            # target rank: max(1, ceil(p * total)); first value whose
+            # cumulative weight reaches it (1e-9 guards float cum sums)
+            target = F.greatest(F.lit(1.0), F.ceil(F.lit(p) * total))
+            picked = F.aggregate(
+                srt,
+                F.struct(F.lit(0.0).alias("cum"),
+                         F.lit(None).cast("double").alias("res")),
+                _scan(target),
+                lambda acc: acc["res"],
+            )
+            outs.append(picked)
+        return F.when(total > 0, F.array(*outs))
 
 
 class FirstSpec(OpSpec):

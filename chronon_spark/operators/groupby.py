@@ -121,21 +121,38 @@ def compute_snapshot_groupby(
     dtypes = dict(df.dtypes)
 
     # dispatch parts: plain scalar / auto-explode (array) / map-valued /
-    # bucketed
-    plain, by_array, mapped, bucketed = [], {}, [], []
+    # bucketed / histogram-like (value-exploded plan)
+    from chronon_spark.api import Operation
+
+    _HIST_LIKE = (
+        Operation.HISTOGRAM,
+        Operation.APPROX_FREQUENT_K,
+        Operation.APPROX_HEAVY_HITTERS_K,
+        Operation.UNIQUE_COUNT,
+    )
+    plain, by_array, mapped, bucketed, hist_like, utk_struct = [], {}, [], [], [], []
     for p in parts:
         if p.bucket is not None:
             bucketed.append(p)
+        elif (p.operation == Operation.UNIQUE_TOP_K
+              and dtypes.get(p.input_column, "").startswith("struct<")):
+            utk_struct.append(p)
         elif dtypes.get(p.input_column, "").startswith("array<"):
             by_array.setdefault(p.input_column, []).append(p)
         elif dtypes.get(p.input_column, "").startswith("map<"):
             mapped.append(p)
+        elif p.operation in _HIST_LIKE:
+            hist_like.append(p)
         else:
             plain.append(p)
 
     results = []
     if plain:
         results.append(_compute_plain_parts(df, keys, plain, rng, spec, dense))
+    for p in hist_like:
+        results.append(_compute_hist_like_part(df, keys, p, rng, spec, dense))
+    for p in utk_struct:
+        results.append(_compute_unique_topk_struct_part(df, keys, p, rng, spec, dense))
     for col, ps in by_array.items():
         # auto-explode: each list element aggregates individually
         # (reference: VectorDispatcher, ColumnAggregator.scala:208-217)
@@ -163,6 +180,13 @@ def compute_snapshot_groupby(
     out = results[0]
     for other in results[1:]:
         out = out.join(other, keys + [PARTITION_COLUMN], "full_outer")
+    # a key with zero non-null input values has no exploded rows at all —
+    # its unique count is 0, not null
+    for p in hist_like:
+        if p.operation == Operation.UNIQUE_COUNT:
+            out = out.withColumn(
+                p.output_name, F.coalesce(F.col(p.output_name), F.lit(0).cast("long"))
+            )
     return _apply_derivations(out, group_by)
 
 
@@ -283,6 +307,86 @@ def _compute_bucketed_part(df, keys, part, rng, spec, dense) -> DataFrame:
         for clause in rng.where_clauses(spec.column):
             out = out.where(clause)
     return out
+
+
+def _compute_hist_like_part(df, keys, part, rng, spec, dense) -> DataFrame:
+    """HISTOGRAM / frequent-k / exact UNIQUE_COUNT via the explode ->
+    groupBy(keys, day, value) -> re-window -> fold plan (the shape of the
+    reference's own Spark UDAF, spark/.../udafs/Histogram.scala:28-43).
+
+    Replaces two scale-killers flagged in round 1: the O(distinct^2)
+    higher-order-function merge (interpreted lambdas per output row) and
+    UNIQUE_COUNT's per-output-row set flattening. Total cost here is
+    O(distinct (key, day, value) triples) with map-side combine, and every
+    window shares the same per-value daily counts."""
+    from chronon_spark.api import AggregationPart, Operation
+    from chronon_spark.operators.agg_registry import _cmp_count_desc
+
+    hv = f"__hv_{part.output_name}"
+    dfb = df.withColumn(hv, F.col(part.input_column).cast("string"))
+    sub = AggregationPart(part.input_column, Operation.COUNT, {}, part.window, bucket=hv)
+    r = _compute_bucketed_part(dfb, keys, sub, rng, spec, dense)
+    m = F.col(sub.output_name)
+    if part.operation == Operation.UNIQUE_COUNT:
+        out_col = F.size(m).cast("long")
+    else:
+        k = part.arg_map.get("k")
+        if k:
+            entries = F.slice(
+                F.array_sort(F.map_entries(m), _cmp_count_desc), 1, int(k)
+            )
+            out_col = F.map_from_entries(entries)
+        else:
+            out_col = m
+    return r.withColumn(part.output_name, out_col).drop(sub.output_name)
+
+
+def _cmp_utk(a, b):
+    """array_sort comparator: sort_key DESC, unique_id ASC — the
+    deterministic order of the reference's UniqueOrderByLimit (topK=true)."""
+    return (
+        F.when(a["sort_key"] > b["sort_key"], F.lit(-1))
+        .when(a["sort_key"] < b["sort_key"], F.lit(1))
+        .when(a["unique_id"] < b["unique_id"], F.lit(-1))
+        .when(a["unique_id"] > b["unique_id"], F.lit(1))
+        .otherwise(F.lit(0))
+    )
+
+
+def _compute_unique_topk_struct_part(df, keys, part, rng, spec, dense) -> DataFrame:
+    """UNIQUE_TOP_K over struct{sort_key: string, unique_id: bigint}
+    (reference: UniqueTopKAggregator / UniqueOrderByLimit.scala:1-123,
+    SimpleAggregators.scala:768-917): top-k elements by sort_key desc,
+    at most one element per unique_id.
+
+    Plan: explode -> groupBy(keys, day, unique_id) keeping the MAX
+    sort_key per id per day (deterministic tiebreak; the reference keeps
+    the first-inserted element, which is partition-order-dependent) ->
+    window max per (keys, unique_id) -> fold per (keys, day) to the k
+    best (sort_key desc, unique_id asc). State stays O(ids/day), the
+    windowed merge is a plain max — same asymptotics as the reference's
+    bounded insert-with-watermark state."""
+    from chronon_spark.api import AggregationPart, Operation
+
+    uid = f"__uid_{part.output_name}"
+    sk = f"__sk_{part.output_name}"
+    exploded = df.select(
+        *[c for c in df.columns if c != part.input_column],
+        F.col(f"{part.input_column}.unique_id").alias(uid),
+        F.col(f"{part.input_column}.sort_key").alias(sk),
+    )
+    sub = AggregationPart(sk, Operation.MAX, {}, part.window, bucket=uid)
+    r = _compute_bucketed_part(exploded, keys, sub, rng, spec, dense)
+    k = int(part.arg_map.get("k", 10))
+    entries = F.transform(
+        F.map_entries(F.col(sub.output_name)),
+        lambda e: F.struct(
+            e["value"].alias("sort_key"),
+            e["key"].cast("long").alias("unique_id"),
+        ),
+    )
+    out_col = F.slice(F.array_sort(entries, _cmp_utk), 1, k)
+    return r.withColumn(part.output_name, out_col).drop(sub.output_name)
 
 
 def _densify(daily, keys, rng, spec, partial_names):

@@ -155,31 +155,71 @@ def sawtooth_aggregate(
     return out
 
 
+def _fill_maps(maps: list[dict], b: str, r, op, nq: int) -> None:
+    """Insert one bucket's per-query results into the output dicts,
+    skipping empty/absent entries. Presence tests are vectorized when the
+    result is numeric."""
+    if isinstance(r, np.ndarray) and r.dtype != object:
+        if op in (Operation.COUNT, Operation.UNIQUE_COUNT):
+            present = r > 0
+        else:
+            present = ~np.isnan(r.astype(np.float64, copy=False))
+        for i in np.flatnonzero(present):
+            maps[i][b] = r[i]
+        return
+    for i in range(nq):
+        v = r[i]
+        if v is None:
+            continue
+        if isinstance(v, float) and v != v:
+            continue
+        if op in (Operation.COUNT, Operation.UNIQUE_COUNT) and int(v) == 0:
+            continue
+        if isinstance(v, list) and not v:
+            continue
+        maps[i][b] = v
+
+
 def _sawtooth_mapcol(event_ts, event_vals, query_ts, part):
     """map<string, V> input: aggregate each map key's values independently
-    -> map output (reference: MapColumnAggregator)."""
+    -> map output (reference: MapColumnAggregator).
+
+    Explodes the dicts ONCE into (ts, key, value) triples, factorizes the
+    keys and segments with a stable argsort — O(entries log entries) total
+    instead of O(|keys| x n_events) per-key scans."""
+    import pandas as pd
+
     nq = len(query_ts)
     dicts = event_vals[part.input_column]
-    all_keys = sorted({k for d in dicts if d is not None for k in d})
+    ts_list, key_list, val_list = [], [], []
+    for j, d in enumerate(dicts):
+        if d is None:
+            continue
+        t = event_ts[j]
+        for k, v in d.items():
+            ts_list.append(t)
+            key_list.append(k)
+            val_list.append(v)
     sub = AggregationPart(
         part.input_column, part.operation, dict(part.arg_map), part.window, None
     )
     maps: list[dict] = [dict() for _ in range(nq)]
-    for k in all_keys:
-        kv = np.array(
-            [None if d is None else d.get(k) for d in dicts], dtype=object
-        )
-        r = _sawtooth_plain(
-            event_ts, {part.input_column: kv}, query_ts, [sub], set()
-        )[sub.output_name]
-        op = part.operation
-        for i in range(nq):
-            v = r[i]
-            if v is None or (isinstance(v, float) and v != v):
-                continue
-            if op in (Operation.COUNT, Operation.UNIQUE_COUNT) and int(v) == 0:
-                continue
-            maps[i][k] = v
+    if key_list:
+        flat_ts = np.array(ts_list, dtype=np.int64)
+        flat_vals = np.array(val_list, dtype=object)
+        codes, uniq = pd.factorize(np.array(key_list, dtype=object))
+        order = np.argsort(codes, kind="stable")  # ts order kept per key
+        oc = codes[order]
+        bounds = np.flatnonzero(np.diff(oc, prepend=oc[0] - 1))
+        bounds = np.append(bounds, len(oc))
+        for seg in range(len(bounds) - 1):
+            sel = order[bounds[seg]:bounds[seg + 1]]
+            k = uniq[oc[bounds[seg]]]
+            r = _sawtooth_plain(
+                flat_ts[sel], {part.input_column: flat_vals[sel]},
+                query_ts, [sub], set(),
+            )[sub.output_name]
+            _fill_maps(maps, k, r, part.operation, nq)
     res = np.full(nq, None, dtype=object)
     res[:] = maps
     return res
@@ -187,33 +227,41 @@ def _sawtooth_mapcol(event_ts, event_vals, query_ts, part):
 
 def _sawtooth_bucketed(event_ts, event_vals, query_ts, part, array_inputs):
     """Per-bucket sub-aggregation -> map output. Bucket column must be
-    string (reference: RowAggregator.scala:42-48)."""
+    string (reference: RowAggregator.scala:42-48).
+
+    Buckets are factorized once and segmented with a stable argsort
+    (events stay time-sorted inside each segment) — O(n log n) total
+    instead of the O(|buckets| x n_events) per-bucket boolean masks."""
+    import pandas as pd
+
     nq = len(query_ts)
     bvals = event_vals[part.bucket]
     sub = AggregationPart(
         part.input_column, part.operation, dict(part.arg_map), part.window, None
     )
     maps: list[dict] = [dict() for _ in range(nq)]
-    mask_nn = _notnull_mask_obj(bvals)
-    uniq = sorted({str(b) for b in bvals[mask_nn]})
-    for b in uniq:
-        m = np.array([x is not None and str(x) == b for x in bvals], dtype=bool)
-        sub_vals = {part.input_column: event_vals[part.input_column][m]}
-        r = _sawtooth_plain(
-            event_ts[m], sub_vals, query_ts, [sub], array_inputs
-        )[sub.output_name]
-        op = part.operation
-        for i in range(nq):
-            v = r[i]
-            if v is None:
-                continue
-            if isinstance(v, float) and v != v:
-                continue
-            if op in (Operation.COUNT, Operation.UNIQUE_COUNT) and int(v) == 0:
-                continue  # bucket absent in window -> no map entry
-            if isinstance(v, list) and not v:
-                continue
-            maps[i][b] = v
+    bstr = np.array(
+        [None if b is None else str(b) for b in bvals.tolist()], dtype=object
+    ) if bvals.dtype == object else np.array(
+        [None if b != b else str(b) for b in bvals.tolist()], dtype=object
+    )
+    codes, uniq = pd.factorize(bstr)  # nulls -> -1
+    vals_in = event_vals[part.input_column]
+    order = np.argsort(codes, kind="stable")
+    oc = codes[order]
+    first_nn = int(np.searchsorted(oc, 0, side="left"))  # skip the -1 block
+    order, oc = order[first_nn:], oc[first_nn:]
+    if len(oc):
+        bounds = np.flatnonzero(np.diff(oc, prepend=oc[0] - 1))
+        bounds = np.append(bounds, len(oc))
+        for seg in range(len(bounds) - 1):
+            sel = order[bounds[seg]:bounds[seg + 1]]
+            b = uniq[oc[bounds[seg]]]
+            r = _sawtooth_plain(
+                event_ts[sel], {part.input_column: vals_in[sel]},
+                query_ts, [sub], array_inputs,
+            )[sub.output_name]
+            _fill_maps(maps, b, r, part.operation, nq)
     res = np.full(nq, None, dtype=object)
     res[:] = maps
     return res
@@ -223,6 +271,43 @@ def _notnull_mask_obj(vals: np.ndarray) -> np.ndarray:
     if vals.dtype == object:
         return np.array([v is not None for v in vals], dtype=bool)
     return ~np.isnan(vals.astype(np.float64, copy=False))
+
+
+def _utk_struct(seg, k: int) -> list:
+    """UNIQUE_TOP_K struct variant: dedupe on unique_id keeping the max
+    sort_key, emit the k best by (sort_key desc, unique_id asc)."""
+    best: dict = {}
+    for d in seg:
+        uid, sk = d["unique_id"], d["sort_key"]
+        cur = best.get(uid)
+        if cur is None or sk > cur:
+            best[uid] = sk
+    items = sorted(best.items())           # unique_id asc
+    items.sort(key=lambda t: t[1], reverse=True)  # sort_key desc (stable)
+    return [{"sort_key": sk, "unique_id": uid} for uid, sk in items[:k]]
+
+
+def _prev_occurrence(vals: np.ndarray) -> np.ndarray:
+    """prev[j] = index of the previous occurrence of vals[j] (-1 if none);
+    null positions get a +inf sentinel so range counts skip them. Built
+    once per column with factorize + one stable argsort — the machinery
+    behind O(1)-ish distinct-in-range queries."""
+    import pandas as pd
+
+    n = len(vals)
+    prev = np.full(n, -1, dtype=np.int64)
+    nnmask = _notnull_mask(vals)
+    idx = np.flatnonzero(nnmask)
+    if len(idx):
+        codes, _ = pd.factorize(vals[idx])
+        order = np.argsort(codes, kind="stable")
+        oc = codes[order]
+        same = oc[1:] == oc[:-1]
+        prev_nn = np.full(len(idx), -1, dtype=np.int64)
+        prev_nn[order[1:][same]] = idx[order[:-1][same]]
+        prev[idx] = prev_nn
+    prev[~nnmask] = np.iinfo(np.int64).max
+    return prev
 
 
 def _flatten_arrays(event_ts: np.ndarray, vals: np.ndarray):
@@ -292,12 +377,20 @@ def _sawtooth_plain(
                 p0 = nn_idx_cache[ckey]
                 out[part.output_name] = (p0[end] - p0[start]).astype(np.int64)
             else:
+                # distinct-in-range via the previous-occurrence trick:
+                # distinct(s, e) = #{j in [s, e): prev[j] < s} — prev is
+                # computed ONCE per column (stable argsort chain), each
+                # query is then a C-speed slice count instead of a per-row
+                # Python set/unique pass
+                pkey = ("__prev__", col, id(vals))
+                if pkey not in nn_idx_cache:
+                    nn_idx_cache[pkey] = _prev_occurrence(vals)
+                prev = nn_idx_cache[pkey]
                 res = np.zeros(nq, dtype=np.int64)
                 for i in range(nq):
-                    if end[i] > start[i]:
-                        seg = vals[start[i] : end[i]]
-                        seg = seg[_notnull_mask(seg)]
-                        res[i] = len(np.unique(seg)) if len(seg) else 0
+                    s, e = start[i], end[i]
+                    if e > s:
+                        res[i] = int(np.count_nonzero(prev[s:e] < s))
                 out[part.output_name] = res
 
         elif op in _MOMENT_POWER:
@@ -363,36 +456,103 @@ def _sawtooth_plain(
         elif op in (Operation.FIRST_K, Operation.LAST_K, Operation.TOP_K, Operation.BOTTOM_K,
                     Operation.UNIQUE_TOP_K):
             k = int(part.arg_map.get("k", 10))
+            # compact the column to its non-null values ONCE; every query
+            # then works on [s_pos, e_pos) of the compacted array — no
+            # per-query mask materialization
+            ckey = ("__nnvals__", col, id(vals))
+            if ckey not in nn_idx_cache:
+                nn = np.flatnonzero(_notnull_mask(vals))
+                nn_idx_cache[ckey] = (nn, vals[nn])
+            nn, nn_vals = nn_idx_cache[ckey]
+            s_pos = np.searchsorted(nn, start, side="left")
+            e_pos = np.searchsorted(nn, end, side="left")
+            counts = np.minimum(k, e_pos - s_pos)
             res = np.full(nq, None, dtype=object)
-            for i in range(nq):
-                if end[i] <= start[i]:
-                    res[i] = []
-                    continue
-                seg = vals[start[i] : end[i]]
-                m = _notnull_mask(seg)
-                seg = seg[m]
-                if op == Operation.FIRST_K:
-                    res[i] = list(seg[:k])
-                elif op == Operation.LAST_K:
-                    res[i] = list(seg[::-1][:k])
-                elif op == Operation.UNIQUE_TOP_K:
-                    res[i] = sorted(set(seg.tolist()), reverse=True)[:k]
+            if op in (Operation.FIRST_K, Operation.LAST_K):
+                # fully vectorized gather: (nq, k) index matrix + clip,
+                # then one C-level tolist per query
+                offs = np.arange(1, k + 1, dtype=np.int64)
+                if op == Operation.LAST_K:
+                    idx = e_pos[:, None] - offs[None, :]
                 else:
-                    srt = np.sort(seg)
-                    res[i] = list(srt[::-1][:k]) if op == Operation.TOP_K else list(srt[:k])
+                    idx = s_pos[:, None] + offs[None, :] - 1
+                idxc = np.clip(idx, 0, max(len(nn_vals) - 1, 0))
+                gathered = (
+                    nn_vals[idxc] if len(nn_vals) else np.empty((nq, k), dtype=object)
+                )
+                res[:] = [gathered[i, : counts[i]].tolist() for i in range(nq)]
+            elif op == Operation.UNIQUE_TOP_K:
+                first = next((v for v in nn_vals if v is not None), None)
+                if isinstance(first, dict):
+                    # struct{sort_key, unique_id} variant
+                    # (UniqueOrderByLimit.scala): one element per
+                    # unique_id, top-k by sort_key desc / unique_id asc
+                    res[:] = [
+                        _utk_struct(nn_vals[s_pos[i]:e_pos[i]], k)
+                        for i in range(nq)
+                    ]
+                else:
+                    res[:] = [
+                        sorted(set(nn_vals[s_pos[i]:e_pos[i]].tolist()),
+                               reverse=True)[:k]
+                        for i in range(nq)
+                    ]
+            else:
+                # TOP_K / BOTTOM_K: np.partition selects the k extremes in
+                # O(w), then only k elements are sorted
+                asc = op == Operation.BOTTOM_K
+                for i in range(nq):
+                    seg = nn_vals[s_pos[i]:e_pos[i]]
+                    w = len(seg)
+                    if w == 0:
+                        res[i] = []
+                    elif w <= k:
+                        srt = np.sort(seg)
+                        res[i] = srt.tolist() if asc else srt[::-1].tolist()
+                    elif asc:
+                        sel = np.partition(seg, k - 1)[:k]
+                        res[i] = np.sort(sel).tolist()
+                    else:
+                        sel = np.partition(seg, w - k)[w - k:]
+                        res[i] = np.sort(sel)[::-1].tolist()
             out[part.output_name] = res
 
         elif op in (Operation.HISTOGRAM, Operation.APPROX_FREQUENT_K,
                     Operation.APPROX_HEAVY_HITTERS_K):
             k = part.arg_map.get("k")
+            # factorize the stringified values ONCE; each query is then an
+            # integer-code unique/count in C instead of a Python Counter
+            hkey = ("__hist__", col, id(vals))
+            if hkey not in nn_idx_cache:
+                nn = np.flatnonzero(_notnull_mask(vals))
+                svals = np.array([str(x) for x in vals[nn].tolist()], dtype=object)
+                import pandas as _pd
+
+                codes, uniq = _pd.factorize(svals) if len(svals) else (
+                    np.empty(0, dtype=np.int64), np.empty(0, dtype=object))
+                nn_idx_cache[hkey] = (nn, codes, np.asarray(uniq, dtype=object))
+            nn, codes, uniq = nn_idx_cache[hkey]
+            s_pos = np.searchsorted(nn, start, side="left")
+            e_pos = np.searchsorted(nn, end, side="left")
             res = np.full(nq, None, dtype=object)
+            kk = int(k) if k else None
             for i in range(nq):
-                seg = vals[start[i] : end[i]]
-                seg = seg[_notnull_mask(seg)]
-                cnt = Counter(str(x) for x in seg.tolist())
-                if k:
-                    cnt = dict(sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[: int(k)])
-                res[i] = dict(cnt)
+                c = codes[s_pos[i]:e_pos[i]]
+                if len(c) == 0:
+                    res[i] = {}
+                    continue
+                cu, cc = np.unique(c, return_counts=True)
+                keys = uniq[cu]
+                if kk and len(cu) > kk:
+                    sel = sorted(
+                        zip(cc.tolist(), keys.tolist()), key=lambda t: (-t[0], t[1])
+                    )[:kk]
+                    res[i] = {s: n for n, s in sel}
+                else:
+                    res[i] = dict(zip(keys.tolist(), cc.tolist()))
+                    if kk:
+                        res[i] = dict(sorted(
+                            res[i].items(), key=lambda t: (-t[1], t[0]))[:kk])
             out[part.output_name] = res
 
         else:

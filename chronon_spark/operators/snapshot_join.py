@@ -100,26 +100,45 @@ def compute_join(
 
     left_df = scan_source(spark, join.left, rng, spec)
     left_df = _apply_skew_filter(left_df, join)
-    out = left_df
+    hash_fields: dict = {}
+    if join.bootstrap_parts:
+        from chronon_spark.operators.bootstrap import compute_bootstrap_table
+
+        out, hash_fields = compute_bootstrap_table(spark, left_df, join, rng, spec)
+    else:
+        out = left_df
+
     for jp in join.join_parts:
         gb = jp.group_by
         is_mutation_part = gb.inferred_accuracy() == Accuracy.TEMPORAL and any(
             isinstance(s, EntitySource) and s.mutation_table for s in gb.sources
         )
         if not gb.aggregations:
-            out = _no_agg_join_part(spark, out, jp, rng, spec)
+            compute_fn = lambda df, jp=jp: _no_agg_join_part(spark, df, jp, rng, spec)
         elif is_mutation_part:
             from chronon_spark.operators.mutations import (
                 compute_temporal_entity_join_part,
             )
 
-            out = compute_temporal_entity_join_part(spark, out, jp, rng, spec)
+            compute_fn = lambda df, jp=jp: compute_temporal_entity_join_part(
+                spark, df, jp, rng, spec
+            )
         elif gb.inferred_accuracy() == Accuracy.TEMPORAL:
-            out = compute_temporal_join_part(
-                spark, out, jp, rng, spec, skew_keys=join.skew_keys
+            compute_fn = lambda df, jp=jp: compute_temporal_join_part(
+                spark, df, jp, rng, spec, skew_keys=join.skew_keys
             )
         else:
-            out = compute_snapshot_join_part(spark, out, jp, rng, spec)
+            compute_fn = lambda df, jp=jp: compute_snapshot_join_part(
+                spark, df, jp, rng, spec
+            )
+        if hash_fields and gb.aggregations:
+            out = _bootstrapped_part(out, jp, hash_fields, compute_fn)
+        else:
+            out = compute_fn(out)
+    if join.bootstrap_parts:
+        from chronon_spark.operators.bootstrap import MATCHED_HASHES
+
+        out = out.drop(MATCHED_HASHES)
     if join.derivations:
         from chronon_spark.api import apply_derivations
         from chronon_spark.operators.temporal_join import _join_ensure_keys
@@ -127,6 +146,41 @@ def compute_join(
         ensure = list(join.row_ids or []) or _join_ensure_keys(join, left_df)
         out = apply_derivations(out, join.derivations, ensure)
     return out
+
+
+def _bootstrapped_part(
+    out: DataFrame, join_part: JoinPart, hash_fields: dict, compute_fn
+) -> DataFrame:
+    """Covering-set split for one join part (reference: Join.computeRange
+    :264-285): rows whose matched bootstrap combo fully covers the part's
+    output keep their values; only the uncovered remainder is computed,
+    with bootstrap values coalescing OVER computed ones."""
+    from chronon_spark.operators.bootstrap import (
+        covering_combos,
+        covering_filter,
+    )
+
+    prefix = join_part.full_prefix() + "_"
+    part_cols = [prefix + p.output_name
+                 for p in join_part.group_by.aggregation_parts()]
+    present = [c for c in part_cols if c in out.columns]
+    if not present:
+        return compute_fn(out)
+    combos = covering_combos(out, hash_fields, part_cols)
+    cov = covering_filter(combos)
+    uncovered = out.where(~cov)
+    unc = uncovered
+    for c in present:
+        unc = unc.withColumnRenamed(c, f"__bs_{c}")
+    computed = compute_fn(unc)
+    for c in present:
+        computed = computed.withColumn(
+            c, F.coalesce(F.col(f"__bs_{c}"), F.col(c))
+        ).drop(f"__bs_{c}")
+    if not combos:
+        return computed
+    covered = out.where(cov)
+    return computed.unionByName(covered)
 
 
 def _no_agg_join_part(

@@ -371,6 +371,126 @@ def temporal_features(
     return out.drop("__salt") if salt > 1 else out
 
 
+def temporal_self_features(
+    df: DataFrame,
+    keys: list[str],
+    parts: list[AggregationPart],
+    time_col: str = TIME_COLUMN,
+    buckets: Optional[int] = None,
+    query_lo: Optional[int] = None,
+    query_hi: Optional[int] = None,
+) -> DataFrame:
+    """TEMPORAL GroupBy fast path: features for every source row as-of its
+    OWN timestamp (reference: GroupBy.temporalEvents with the source as
+    its own query set).
+
+    The generic cogroup plan would scan and shuffle the SAME table twice
+    (left = queries, right = events) and sort both sides. Here the table
+    flows through ONE scan -> ONE hash shuffle -> ONE sort ->
+    applyInPandas, and the kernel serves each row's query from the very
+    batch it arrived in — half the shuffle bytes and half the Arrow
+    serde of the join path, which is exactly the memory-bandwidth-bound
+    portion at high parallelism.
+
+    `query_lo`/`query_hi` (epoch ms) bound WHICH rows emit output (the
+    backfill range) while all rows still feed window state — the self
+    analog of the join path's lookback-widened right scan.
+    """
+    spark = df.sparkSession
+    if buckets is None:
+        buckets = int(
+            spark.conf.get(
+                "spark.chronon.join.buckets",
+                str(8 * int(spark.conf.get("spark.sql.shuffle.partitions", "32"))),
+            )
+        )
+    types = dict(df.dtypes)
+    input_cols = sorted(
+        {p.input_column for p in parts} | {p.bucket for p in parts if p.bucket}
+    )
+    array_inputs = {c for c in input_cols if types[c].startswith("array<")}
+    map_inputs = {c for c in input_cols if types[c].startswith("map<")}
+    feature_fields = [
+        (p.output_name, output_sql_type(p, types[p.input_column])) for p in parts
+    ]
+    needed = list(dict.fromkeys(keys + [time_col] + input_cols))
+    slim = df.select(*needed).where(F.col(time_col).isNotNull())
+    out_schema = ", ".join(
+        [f"`{c}` {types[c]}" for c in keys + [time_col]]
+        + [f"`{n}` {t}" for n, t in feature_fields]
+    )
+    bucket = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(buckets))
+    lo = -(1 << 62) if query_lo is None else int(query_lo)
+    hi = (1 << 62) if query_hi is None else int(query_hi)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n == 0:
+            return pd.DataFrame(
+                columns=keys + [time_col] + [f for f, _ in feature_fields]
+            )
+        code = np.zeros(n, dtype=np.int64)
+        for k in keys:
+            codes, uniq = pd.factorize(pdf[k], use_na_sentinel=False)
+            code = code * len(uniq) + codes
+        ts = pdf[time_col].to_numpy().astype(np.int64)
+        order = np.lexsort((ts, code))
+        code_s, ts_s = code[order], ts[order]
+        evals = {c: _np_col(pdf, c, types[c])[order] for c in input_cols}
+        qmask = (ts_s >= lo) & (ts_s < hi)
+        nq = int(qmask.sum())
+        outs = {
+            name: (
+                np.full(nq, np.nan)
+                if t in ("double", "bigint", "int", "smallint")
+                else np.full(nq, None, dtype=object)
+            )
+            for name, t in feature_fields
+        }
+        qpos = np.cumsum(qmask) - 1  # output slot per masked row
+        bounds = np.flatnonzero(np.diff(code_s, prepend=code_s[0] - 1))
+        bounds = np.append(bounds, n)
+        for seg in range(len(bounds) - 1):
+            s, e = bounds[seg], bounds[seg + 1]
+            qm = qmask[s:e]
+            if not qm.any():
+                continue
+            feats = sawtooth_aggregate(
+                ts_s[s:e],
+                {c: v[s:e] for c, v in evals.items()},
+                ts_s[s:e][qm],
+                parts,
+                array_inputs=array_inputs,
+                map_inputs=map_inputs,
+            )
+            pos = qpos[s:e][qm]
+            for (name, _), part in zip(feature_fields, parts):
+                vals_out = feats[part.output_name]
+                if outs[name].dtype == object:
+                    outs[name][pos] = np.asarray(vals_out, dtype=object)
+                else:
+                    arr = np.asarray(vals_out)
+                    outs[name][pos] = (
+                        np.asarray(
+                            [np.nan if v is None else v for v in vals_out],
+                            dtype=np.float64,
+                        )
+                        if arr.dtype == object
+                        else arr
+                    )
+        # masked rows in sorted order == output slot order (qpos is the
+        # running index over that same order)
+        sel = order[np.flatnonzero(qmask)]
+        out = pdf.iloc[sel][keys + [time_col]].reset_index(drop=True)
+        for (name, sql_type), part in zip(feature_fields, parts):
+            out[name] = _emit(outs[name], sql_type)
+        return out
+
+    return slim.groupBy(bucket.alias("__bucket")).applyInPandas(
+        kernel, schema=out_schema
+    )
+
+
 def compute_temporal_join_part(
     spark: SparkSession,
     left_df: DataFrame,
@@ -378,9 +498,15 @@ def compute_temporal_join_part(
     rng: Optional[PartitionRange] = None,
     spec: PartitionSpec = DEFAULT_SPEC,
     skew_keys: Optional[dict] = None,
+    probe_df: Optional[DataFrame] = None,
 ) -> DataFrame:
     """One join part: scan right GroupBy sources (lookback-widened),
-    cogroup with the left, run the sawtooth kernel."""
+    cogroup with the left, run the sawtooth kernel.
+
+    `probe_df` (default: left_df) supplies the left keys for the
+    small/mid-size right-scan filters — callers chaining several parts
+    pass the RAW left scan so probing doesn't re-execute the upstream
+    cogroups."""
     gb = join_part.group_by
     scan_rng = _temporal_scan_range(gb, rng, spec)
     right = _union_sources(spark, gb, scan_rng, spec)
@@ -398,9 +524,63 @@ def compute_temporal_join_part(
                 right = right.where(
                     ~F.col(gb_key).isin(values) | F.col(gb_key).isNull()
                 )
-    right = _small_mode_filter(spark, left_df, right, left_keys, gb.key_columns)
+    probe = probe_df if probe_df is not None else left_df
+    right = _right_key_filter(spark, probe, right, left_keys, gb.key_columns)
     prefix = join_part.full_prefix() + "_"
     return temporal_features(left_df, right, left_keys, gb.key_columns, parts, prefix)
+
+
+def _right_key_filter(
+    spark: SparkSession,
+    left_df: DataFrame,
+    right: DataFrame,
+    left_keys: list[str],
+    right_keys: list[str],
+) -> DataFrame:
+    """Two-tier right-scan reduction by left keys:
+
+    * small mode (|left| <= 5k): literal IN-list pushdown — parquet
+      row-group skipping (reference: JoinUtils.runSmallMode).
+    * mid-size mode (5k < |left| <= 1M): broadcast LEFT-SEMI join of the
+      right on the left's DISTINCT keys. The reference builds a bloom
+      filter here (Join.scala:267-285, genBloomFilterIfNeeded); the
+      broadcast-hash semi probe is the Spark-native equivalent with zero
+      false positives and no separate filter-building pass — the probe
+      sits directly above the right scan, so a 50k-row left no longer
+      drags a full 100 TB right table through the shuffle.
+    """
+    filtered = _small_mode_filter(spark, left_df, right, left_keys, right_keys)
+    if filtered is not right:
+        return filtered
+    return _midsize_semi_filter(spark, left_df, right, left_keys, right_keys)
+
+
+def _midsize_semi_filter(
+    spark: SparkSession,
+    left_df: DataFrame,
+    right: DataFrame,
+    left_keys: list[str],
+    right_keys: list[str],
+) -> DataFrame:
+    cutoff = int(spark.conf.get("spark.chronon.backfill.bloom.cutoff", "1000000"))
+    if cutoff <= 0:
+        return right
+    probe = left_df.select(*left_keys).limit(cutoff + 1)
+    if probe.count() > cutoff:
+        return right
+    right_types = dict(right.dtypes)
+    keys_df = (
+        left_df.select(
+            *[F.col(lk).cast(right_types[rk]).alias(f"__sj_{rk}")
+              for lk, rk in zip(left_keys, right_keys)]
+        )
+        .distinct()
+    )
+    cond = None
+    for rk in right_keys:
+        c = F.col(rk).eqNullSafe(F.col(f"__sj_{rk}"))
+        cond = c if cond is None else (cond & c)
+    return right.join(F.broadcast(keys_df), cond, "left_semi")
 
 
 def _small_mode_filter(
@@ -445,7 +625,7 @@ def compute_temporal_join(
     out = left_df
     for jp in join.join_parts:
         out = compute_temporal_join_part(
-            spark, out, jp, rng, spec, skew_keys=join.skew_keys
+            spark, out, jp, rng, spec, skew_keys=join.skew_keys, probe_df=left_df
         )
     if join.derivations:
         from chronon_spark.api import apply_derivations
@@ -483,14 +663,25 @@ def compute_temporal_groupby(
     """TEMPORAL-accuracy GroupBy backfill: every source event row becomes a
     query at its own timestamp (features as-of each event, head-inclusive
     so the row's own value is included — reference semantics for
-    events-events temporal with the source as its own left)."""
+    events-events temporal with the source as its own left).
+
+    Runs on the SELF-cogroup fast path (one scan + one shuffle instead of
+    the join path's two of each); the output range filter becomes ts
+    bounds inside the kernel, and ds is re-derived from ts on the slim
+    output."""
     scan_rng = _temporal_scan_range(group_by, rng, spec)
     df = _union_sources(spark, group_by, scan_rng, spec)
     keys = group_by.key_columns
-    left = df.select(*keys, TIME_COLUMN, PARTITION_COLUMN)
-    if rng is not None:
-        for clause in rng.where_clauses(spec.column):
-            left = left.where(clause)
     parts = group_by.aggregation_parts()
-    out = temporal_features(left, df, keys, keys, parts)
+    lo = spec.epoch_millis(rng.start) if rng is not None and rng.start else None
+    hi = (
+        spec.epoch_millis(spec.after(rng.end))
+        if rng is not None and rng.end
+        else None
+    )
+    out = temporal_self_features(df, keys, parts, query_lo=lo, query_hi=hi)
+    out = out.withColumn(
+        PARTITION_COLUMN,
+        F.date_format(F.timestamp_millis(F.col(TIME_COLUMN)), "yyyy-MM-dd"),
+    )
     return _apply_derivations(out, group_by)

@@ -47,6 +47,25 @@ MANIFEST_SCHEMA = (
 )
 
 
+def agg_aware_hash(config) -> str:
+    """Semantic hash that separates the GroupBy CORE (sources, keys,
+    accuracy, ...) from per-aggregation hashes: "core+agg1+agg2+...".
+
+    This is what makes schema evolution additive (reference: autoExpand,
+    TableUtils.expandTable:542-603): a config whose only change is NEW
+    aggregations is COMPATIBLE with existing output — green partitions
+    stay, new partitions carry the extra columns, and mergeSchema reads
+    old partitions with NULLs. Removing or altering an existing
+    aggregation (or touching the core) stays a hard invalidation."""
+    if isinstance(config, GroupBy) and config.aggregations:
+        from dataclasses import replace
+
+        core = replace(config, aggregations=None)
+        parts = sorted(semantic_hash(a) for a in config.aggregations)
+        return "+".join([semantic_hash(core)] + parts)
+    return semantic_hash(config)
+
+
 def semantic_hash(config) -> str:
     """Stable hash of a job definition (dataclass tree -> json -> sha1)."""
 
@@ -109,7 +128,7 @@ class BackfillJob:
         self.job_name = job_name
         self.step_days = step_days
         self.spec = spec
-        self.sem_hash = semantic_hash(config) if config is not None else ""
+        self.sem_hash = agg_aware_hash(config) if config is not None else ""
 
     # -- manifest ---------------------------------------------------------
     def _record(self, ds_rows: dict[str, int], rng: PartitionRange, wall: float,
@@ -135,30 +154,44 @@ class BackfillJob:
         return self.spark.read.parquet(self.wh.path(MANIFEST_TABLE))
 
     # -- semantic invalidation -------------------------------------------
+    def _compatible(self, prior: str) -> bool:
+        """prior output is reusable iff its core matches and its
+        aggregation set is a SUBSET of the new one (additive evolution)."""
+        if prior == self.sem_hash:
+            return True
+        new, old = self.sem_hash.split("+"), prior.split("+")
+        return old[0] == new[0] and set(old[1:]) <= set(new[1:])
+
     def _stale_semantics(self) -> bool:
         if not self.sem_hash or not self.wh.exists(MANIFEST_TABLE):
             return False
         if not self.wh.exists(self.output_table):
             return False
+        # the LATEST manifest entry describes the table currently on disk
+        # (older hashes may belong to since-archived generations)
         prior = (
             self.manifest()
             .where(
                 (F.col("output_table") == self.output_table)
                 & (F.col("status") == "ok")
             )
+            .orderBy(F.desc("run_ts"))
             .select("semantic_hash")
-            .distinct()
+            .limit(1)
             .collect()
         )
-        hashes = {r["semantic_hash"] for r in prior}
-        return bool(hashes) and self.sem_hash not in hashes
+        return bool(prior) and not self._compatible(prior[0]["semantic_hash"])
 
     # -- run --------------------------------------------------------------
     def run(self, start: str, end: str, skip_first_hole: bool = True) -> BackfillReport:
         wanted = PartitionRange(start, end, self.spec)
         if self._stale_semantics():
-            # definition changed -> archive stale output, full recompute
-            self.wh.drop(self.output_table)
+            # definition changed -> ARCHIVE stale output (not drop —
+            # reference: archiveOrDropTableIfExists), full recompute
+            if hasattr(self.wh, "archive"):
+                self.wh.archive(self.output_table)
+            else:  # pragma: no cover
+                self.wh.drop(self.output_table)
             recomputed = True
         else:
             recomputed = False

@@ -59,15 +59,36 @@ class ParquetWarehouse:
 
     def read(self, table: str, rng: Optional[PartitionRange] = None) -> DataFrame:
         # ds stays a string column (partition dirs would otherwise be
-        # type-inferred to DATE on read-back)
+        # type-inferred to DATE on read-back). mergeSchema: evolved tables
+        # (autoExpand — new feature columns added later) read old
+        # partitions with NULLs for the new columns, the parquet analog of
+        # the reference's ALTER TABLE ADD COLUMNS
+        # (TableUtils.expandTable:542-603).
         self.spark.conf.set(
             "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
         )
-        df = self.spark.read.parquet(self.path(table))
+        df = self.spark.read.option("mergeSchema", "true").parquet(self.path(table))
         if rng is not None:
             for clause in rng.where_clauses(self.spec.column):
                 df = df.where(clause)
         return df
+
+    def archive(self, table: str) -> Optional[str]:
+        """Rename the table out of the way instead of destroying it
+        (reference: TableUtils.archiveOrDropTableIfExists:454-463 —
+        `{table}_archive_{yyyyMMddHHmmss}`). Returns the archive path."""
+        import datetime
+
+        if not self.exists(table):
+            return None
+        suffix = datetime.datetime.now(datetime.timezone.utc).strftime("%Y%m%d%H%M%S")
+        dst = self.path(f"{table}__archive_{suffix}")
+        n = 0
+        while os.path.exists(dst):  # same-second re-archives
+            n += 1
+            dst = self.path(f"{table}__archive_{suffix}_{n}")
+        os.rename(self.path(table), dst)
+        return dst
 
     def insert_overwrite(self, df: DataFrame, table: str) -> None:
         """Dynamic partition overwrite — idempotent per-partition sink.

@@ -158,3 +158,47 @@ def test_join_backfill_and_modular_equivalence(spark, wh, events_path):
             assert b[k] is None
         else:
             assert a[k] == pytest.approx(b[k])
+
+
+def test_autoexpand_additive_aggregation(spark, wh, events_path):
+    """Round-2 autoExpand (reference: TableUtils.expandTable): ADDING an
+    aggregation must not recompute green partitions; old partitions read
+    the new column as NULL via schema merge."""
+    job = groupby_backfill(spark, wh, _gb(events_path, windows=(7,)), "ae_out",
+                           step_days=30)
+    job.run("2024-01-03", "2024-01-06")
+
+    gb2 = _gb(events_path, windows=(7,))
+    gb2.aggregations.append(Aggregation("value", Operation.MAX, windows=[Window(3)]))
+    job2 = groupby_backfill(spark, wh, gb2, "ae_out", step_days=30)
+    rep = job2.run("2024-01-03", "2024-01-08")
+    assert not rep.recomputed_for_semantics
+    # only the new tail computed, green partitions untouched
+    assert [(r.rng.start, r.rng.end) for r in rep.steps] == [
+        ("2024-01-07", "2024-01-08")
+    ]
+    out = wh.read("ae_out")
+    assert "value_max_3d" in out.columns
+    old = out.where("ds = '2024-01-04'").select("value_max_3d").collect()
+    assert old and all(r["value_max_3d"] is None for r in old)
+    new = out.where("ds = '2024-01-08'").select("value_max_3d").collect()
+    assert any(r["value_max_3d"] is not None for r in new)
+
+
+def test_archive_on_semantic_change(spark, wh, events_path):
+    """Changed (not added) aggregation: stale output is ARCHIVED, not
+    destroyed (reference: archiveOrDropTableIfExists)."""
+    import os
+
+    job = groupby_backfill(spark, wh, _gb(events_path, windows=(7,)), "ar_out")
+    job.run("2024-01-03", "2024-01-05")
+    job2 = groupby_backfill(spark, wh, _gb(events_path, windows=(3,)), "ar_out")
+    rep = job2.run("2024-01-03", "2024-01-05")
+    assert rep.recomputed_for_semantics
+    archived = [d for d in os.listdir(wh.root) if d.startswith("ar_out__archive_")]
+    assert len(archived) == 1
+    # the archived generation still holds the old column
+    adf = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(wh.root, archived[0]))
+    assert "value_sum_7d" in adf.columns
+    assert "value_sum_3d" in wh.read("ar_out").columns

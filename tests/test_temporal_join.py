@@ -208,3 +208,54 @@ def test_skew_key_filter(spark, data):
     )
     out = compute_temporal_join(spark, join)
     assert out.where(F.col("user_id").isin([0, 1])).count() == 0
+
+
+def test_self_features_match_join_path(spark):
+    """temporal_self_features (one-scan fast path) must equal
+    temporal_features with left == right, including k-ops and range
+    bounds."""
+    import numpy as np
+
+    from chronon_spark.api import AggregationPart
+    from chronon_spark.operators.temporal_join import (
+        temporal_features,
+        temporal_self_features,
+    )
+
+    rng = np.random.default_rng(23)
+    rows = [
+        (int(rng.integers(0, 15)), int(BASE + rng.integers(0, 12 * DAY)),
+         float(round(rng.uniform(0, 50), 2)))
+        for _ in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts long, value double")
+    parts = [
+        AggregationPart("value", Operation.COUNT, {}, Window(7)),
+        AggregationPart("value", Operation.SUM, {}, None),
+        AggregationPart("value", Operation.AVERAGE, {}, Window(3)),
+        AggregationPart("value", Operation.LAST_K, {"k": 3}, Window(7)),
+        AggregationPart("value", Operation.MIN, {}, Window(7)),
+    ]
+    lo, hi = BASE + 4 * DAY, BASE + 10 * DAY
+    left = df.select("user_id", "ts").where(
+        (F.col("ts") >= lo) & (F.col("ts") < hi))
+    ref = temporal_features(left, df, ["user_id"], ["user_id"], parts)
+    got = temporal_self_features(
+        df, ["user_id"], parts, query_lo=lo, query_hi=hi)
+
+    def key(r):
+        return (r["user_id"], r["ts"])
+
+    a = {key(r): (r["value_count_7d"], r["value_sum"], r["value_average_3d"],
+                  tuple(r["value_last3_7d"]), r["value_min_7d"])
+         for r in ref.collect()}
+    b = {key(r): (r["value_count_7d"], r["value_sum"], r["value_average_3d"],
+                  tuple(r["value_last3_7d"]), r["value_min_7d"])
+         for r in got.collect()}
+    assert set(a) == set(b) and len(a) > 500
+    for k in a:
+        assert a[k][0] == b[k][0], k
+        assert a[k][1] == pytest.approx(b[k][1]), k
+        assert a[k][2] == pytest.approx(b[k][2]), k
+        assert a[k][3] == pytest.approx(b[k][3]), k
+        assert a[k][4] == pytest.approx(b[k][4]), k

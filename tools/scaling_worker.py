@@ -21,6 +21,7 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, required=True)
     ap.add_argument("--input", required=True)
     ap.add_argument("--workload", choices=["join", "groupby", "image"], default="join")
+    ap.add_argument("--passes", type=int, default=2)
     args = ap.parse_args()
 
     from chronon_spark.api import (
@@ -30,14 +31,17 @@ def main() -> None:
     from chronon_spark.session import build_session
 
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+    # bucket count sized to the input: ~30k rows per kernel batch amortizes
+    # cogroup serde while staying cache-friendly. The 64M-row join input
+    # wants 2048; the 480k-row image as-of would drown in per-group
+    # overhead at that size — scale with the level's cores instead.
+    buckets = "2048" if args.workload != "image" else str(max(64, 4 * args.cpus))
     spark = build_session(
         "scaling-bench",
         master=f"local[{args.cpus}]",
         shuffle_partitions=2 * args.cpus,
-        # bucket count sized for the 64M-row input: ~30k rows per kernel
-        # batch amortizes cogroup serde while staying cache-friendly
         extra_confs={
-            "spark.chronon.join.buckets": "2048",
+            "spark.chronon.join.buckets": buckets,
             # shuffle to tmpfs: removes disk-write variance from the
             # measurement (cluster analog: NVMe-backed shuffle dirs)
             "spark.local.dir": "/dev/shm/spark-shuffle",
@@ -75,18 +79,19 @@ def main() -> None:
         name="scaling",
     )
     if args.workload == "join":
-        # temporal_features directly on (key, ts[, value]) — no per-row ds
-        # string through the Arrow boundary (the backfill path re-derives
-        # ds on the OUTPUT, which is what a real job partitions by)
-        from chronon_spark.operators.temporal_join import temporal_features
+        # the workload IS compute_temporal_groupby semantics (every event
+        # enriched as-of its own ts), so it runs on the engine's
+        # self-cogroup fast path: ONE scan + ONE shuffle + ONE Arrow
+        # transfer (r2; the generic join path pays two of each). No
+        # per-row ds string crosses the Arrow boundary — the backfill
+        # path re-derives ds on the OUTPUT.
+        from chronon_spark.operators.temporal_join import temporal_self_features
 
-        ev = spark.read.parquet(args.input)
-        left = ev.select("user_id", "ts")
-        right = ev.select("user_id", "ts", "value")
+        ev = spark.read.parquet(args.input).select("user_id", "ts", "value")
         parts = [p for a in gb.aggregations for p in a.unpack()]
 
         def run():
-            return temporal_features(left, right, ["user_id"], ["user_id"], parts).count()
+            return temporal_self_features(ev, ["user_id"], parts).count()
     elif args.workload == "image":
         # the north_star pipeline itself: decode binary images, extract
         # pixel features (Arrow-batched numpy per image), enrich each
@@ -150,18 +155,26 @@ def main() -> None:
     # the JVM paths, and populates the page cache. Steady-state throughput
     # is the quantity that scales with cluster size (a 100TB backfill runs
     # for hours; session spin-up is noise).
+    def steal_jiffies():
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+
     run()
-    best, rows = None, 0
-    for _ in range(2):
+    best, rows, passes = None, 0, []
+    st0 = steal_jiffies()
+    for _ in range(args.passes):
         t0 = time.perf_counter()
         rows = run()
         wall = time.perf_counter() - t0
+        passes.append(round(wall, 2))
         best = wall if best is None else min(best, wall)
     print(json.dumps({
         "cpus": args.cpus,
         "wall_sec": round(best, 3),
         "rows": rows,
         "rows_per_sec": round(rows / best, 1),
+        "passes": passes,
+        "steal_jiffies": steal_jiffies() - st0,
     }))
 
 
