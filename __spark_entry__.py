@@ -671,6 +671,38 @@ def q_entity_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temporal_groupby_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL GroupBy on the one-scan self-cogroup fast path (r2):
+    every event enriched as-of its own ts (head-INCLUSIVE), one shuffle
+    total — the plan behind the scaling-bench headline."""
+    _prep(spark)
+    from chronon_spark.operators.temporal_join import compute_temporal_groupby
+
+    gb = GroupBy(
+        sources=[EventSource(
+            f"{sf_dir}/events.parquet",
+            Query(selects={"user_id": "user_id",
+                           "cents": "CAST(round(value * 100, 0) AS BIGINT)"},
+                  time_column=TS_EXPR),
+            topic="t",
+        )],
+        key_columns=["user_id"],
+        aggregations=[
+            Aggregation("cents", Operation.COUNT, windows=[Window(7)]),
+            Aggregation("cents", Operation.SUM),
+            Aggregation("cents", Operation.AVERAGE, windows=[Window(3)]),
+        ],
+        name="sg",
+    )
+    out = compute_temporal_groupby(spark, gb)
+    return out.select(
+        "user_id", "ts", "ds",
+        F.col("cents_count_7d").alias("n_7d"),
+        F.round(F.col("cents_sum") / 100.0, 6).alias("sum_life"),
+        F.round(F.col("cents_average_3d") / 100.0 + 1e-9, 6).alias("avg_3d"),
+    ).dropDuplicates(["user_id", "ts"])
+
+
 def q_groupby_snapshot_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot percentiles over the BOUNDED weighted-quantile daily IR
     (O(sketch_k) per day — round-2 fix of the unbounded collect_list IR).
@@ -1023,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_histogram": q_temporal_histogram,
         "temporal_topk": q_temporal_topk,
         "temporal_entity_mutations": q_temporal_entity_mutations,
+        "temporal_groupby_self": q_temporal_groupby_self,
         "groupby_snapshot_percentile": q_groupby_snapshot_percentile,
         "groupby_snapshot_histogram": q_groupby_snapshot_histogram,
         "groupby_snapshot_topk": q_groupby_snapshot_topk,
@@ -1056,6 +1089,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(value * 100, 0) AS BIGINT) AS value_cents
             FROM events
             WHERE event_type IN ('click', 'purchase') AND value > 1.0
+        """,
+        "temporal_groupby_self": f"""
+            WITH e AS (SELECT user_id, epoch_ms(ts) AS ts,
+                              CAST(round(value * 100, 0) AS BIGINT) AS cents
+                       FROM events),
+            l AS (SELECT DISTINCT user_id, ts FROM e),
+            j AS (
+              SELECT l.user_id, l.ts, r.ts AS rts, r.cents
+              FROM l JOIN e r ON r.user_id = l.user_id AND r.ts <= l.ts
+            )
+            SELECT user_id, ts,
+                   strftime(make_timestamp(ts * 1000), '%Y-%m-%d') AS ds,
+                   COUNT(CASE WHEN rts >= (ts - {7 * DAY}) - ((ts - {7 * DAY}) % {HOUR})
+                              THEN cents END) AS n_7d,
+                   ROUND(SUM(cents) / 100.0, 6) AS sum_life,
+                   ROUND(SUM(CASE WHEN rts >= (ts - {3 * DAY}) - ((ts - {3 * DAY}) % {HOUR})
+                                  THEN cents END)
+                         / CAST(COUNT(CASE WHEN rts >= (ts - {3 * DAY}) - ((ts - {3 * DAY}) % {HOUR})
+                                           THEN cents END) AS DOUBLE)
+                         / 100.0 + 1e-9, 6) AS avg_3d
+            FROM j GROUP BY user_id, ts
         """,
         "groupby_snapshot_percentile": f"""
             WITH {_SNAP_DAYS},

@@ -31,6 +31,8 @@ BENCH_QUERIES = [
     "sessionize",
     "lag_lead",
     "staging_query",
+    "temporal_groupby_self",   # r2: one-scan self-cogroup fast path
+    "temporal_entity_mutations",  # r2: mutation replay
 ]
 
 

@@ -192,6 +192,17 @@ class Query:
     end_partition: Optional[str] = None
     partition_column: Optional[str] = None  # override of 'ds'
     setups: Optional[list[str]] = None  # SQL run before the job (UDF registration)
+    #: source partition date format in java DateTimeFormatter spec
+    #: (reference: api.thrift:21 partitionFormat), e.g. "yyyyMMdd" or
+    #: "yyyy/MM/dd". Pruning predicates are rendered in the source format
+    #: and the column is normalized to the engine-canonical yyyy-MM-dd on
+    #: scan. Must be year-first (lexicographically ordered).
+    partition_format: Optional[str] = None
+    #: reference api.thrift:23 partitionLag — how late the source's
+    #: partitions typically land. Orchestration-sensing metadata (the
+    #: reference consumes it in planner TableDependencies, not in scans);
+    #: carried for config parity, unused by the batch scan itself.
+    partition_lag_days: Optional[int] = None
 
 
 @dataclass

@@ -411,18 +411,38 @@ def _densify(daily, keys, rng, spec, partial_names):
 def _compute_entity_snapshot(spark, group_by, rng, spec) -> DataFrame:
     """Entities: aggregate each daily snapshot partition independently
     (reference: GroupBy.snapshotEntities, GroupBy.scala:113-146). Windowed
-    entity aggregations hop over prior snapshot days like events do."""
+    entity aggregations hop over prior snapshot days like events do; an
+    UNWINDOWED entity aggregation is the CURRENT day's snapshot state
+    (each partition already carries the accumulated world — merging days
+    would double-count entities)."""
+    from chronon_spark.api import Operation
+
+    _HIST_LIKE = (
+        Operation.HISTOGRAM,
+        Operation.APPROX_FREQUENT_K,
+        Operation.APPROX_HEAVY_HITTERS_K,
+        Operation.UNIQUE_COUNT,
+    )
     df = _union_sources(spark, group_by, rng, spec)
     keys = group_by.key_columns
     parts = group_by.aggregation_parts()
-    specs = [spec_for(p) for p in parts]
     if all(p.window is None for p in parts):
+        specs = [spec_for(p) for p in parts]
         aggs = [
             finalize_rounding(sp.direct(), sp).alias(p.output_name)
             for p, sp in zip(parts, specs)
         ]
         out = df.groupBy(*keys, PARTITION_COLUMN).agg(*aggs)
     else:
+        # windowed hist-like parts ride the exploded per-value plan (same
+        # round-2 rewrite as the events path — no O(distinct^2) HOF merge)
+        def _is_hist(p):
+            return (p.window is not None and p.operation in _HIST_LIKE
+                    and p.bucket is None)
+
+        plain = [p for p in parts if not _is_hist(p)]
+        hist_like = [p for p in parts if _is_hist(p)]
+        specs = [spec_for(p) for p in plain]
         partial_cols: dict[str, F.Column] = {}
         for sp in specs:
             partial_cols.update(sp.partials())
@@ -433,15 +453,23 @@ def _compute_entity_snapshot(spark, group_by, rng, spec) -> DataFrame:
             "__day", F.unix_date(F.to_date(F.col(PARTITION_COLUMN))).cast("long")
         )
         w_base = W.partitionBy(*keys).orderBy("__day")
-        for part, sp in zip(parts, specs):
+        for part, sp in zip(plain, specs):
             days = window_days(part)
             frame = (
-                w_base.rangeBetween(W.unboundedPreceding, W.currentRow)
+                w_base.rangeBetween(W.currentRow, W.currentRow)
                 if days is None
                 else w_base.rangeBetween(-(days - 1), W.currentRow)
             )
             daily = daily.withColumn(part.output_name, finalize_rounding(sp.merge(frame), sp))
-        out = daily.select(*keys, PARTITION_COLUMN, *[p.output_name for p in parts])
+        out = daily.select(*keys, PARTITION_COLUMN, *[p.output_name for p in plain])
+        for p in hist_like:
+            r = _compute_hist_like_part(df, keys, p, rng, spec, dense=False)
+            out = out.join(r, keys + [PARTITION_COLUMN], "full_outer")
+            if p.operation == Operation.UNIQUE_COUNT:
+                out = out.withColumn(
+                    p.output_name,
+                    F.coalesce(F.col(p.output_name), F.lit(0).cast("long")),
+                )
     if rng is not None:
         for clause in rng.where_clauses(spec.column):
             out = out.where(clause)

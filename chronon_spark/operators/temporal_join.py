@@ -565,6 +565,22 @@ def _midsize_semi_filter(
     cutoff = int(spark.conf.get("spark.chronon.backfill.bloom.cutoff", "1000000"))
     if cutoff <= 0:
         return right
+    # only worth paying the probe job + broadcast when the right scan is
+    # big enough that skipping rows saves real IO (the reference gates its
+    # bloom the same way, on leftRowCount vs threshold); the size estimate
+    # comes free from file statistics — no job
+    min_right = int(
+        spark.conf.get("spark.chronon.backfill.bloom.min_right_bytes",
+                       str(256 * 1024 * 1024))
+    )
+    try:
+        right_bytes = int(
+            right._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # pragma: no cover - non-file-backed plans
+        right_bytes = 1 << 62
+    if right_bytes < min_right:
+        return right
     probe = left_df.select(*left_keys).limit(cutoff + 1)
     if probe.count() > cutoff:
         return right

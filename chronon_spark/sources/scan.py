@@ -31,6 +31,15 @@ from chronon_spark.api import (
 from chronon_spark.partitions import DEFAULT_SPEC, PartitionRange, PartitionSpec
 
 
+def _java_fmt_to_py(java_fmt: str) -> str:
+    """Translate the (year-first) java DateTimeFormatter patterns the
+    partitionFormat knob accepts into strftime form."""
+    assert java_fmt.startswith("yyyy"), (
+        f"partition_format must be year-first (lexicographic): {java_fmt}"
+    )
+    return java_fmt.replace("yyyy", "%Y").replace("MM", "%m").replace("dd", "%d")
+
+
 def _load_table(spark: SparkSession, table: str) -> DataFrame:
     """Table name, or a direct parquet path (dev convenience,
     reference: LocalDataLoader.scala)."""
@@ -62,9 +71,34 @@ def scan_df(
         scan_rng = q_rng if scan_rng is None else scan_rng.intersect(q_rng)
     pruned = False
     if scan_rng is not None and part_col in df.columns:
-        for clause in scan_rng.where_clauses(part_col):
-            df = df.where(clause)
+        if query.partition_format and query.partition_format != "yyyy-MM-dd":
+            # source partitions in a foreign date format (reference:
+            # Query.partitionFormat, api.thrift:21): render the pruning
+            # bounds IN THAT FORMAT so they still push down as string
+            # predicates, then normalize the column below
+            src_spec = PartitionSpec(
+                part_col, _java_fmt_to_py(query.partition_format),
+                spec.interval_millis,
+            )
+            conv = lambda ds: src_spec.format(spec.parse(ds)) if ds else None
+            src_rng = PartitionRange(conv(scan_rng.start), conv(scan_rng.end), src_spec)
+            for clause in src_rng.where_clauses(part_col):
+                df = df.where(clause)
+        else:
+            for clause in scan_rng.where_clauses(part_col):
+                df = df.where(clause)
         pruned = True
+    if (
+        query.partition_format
+        and query.partition_format != "yyyy-MM-dd"
+        and part_col in df.columns
+    ):
+        df = df.withColumn(
+            part_col,
+            F.date_format(
+                F.to_date(F.col(part_col), query.partition_format), "yyyy-MM-dd"
+            ),
+        )
 
     for clause in query.wheres or []:
         df = df.where(clause)

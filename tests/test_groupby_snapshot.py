@@ -268,3 +268,50 @@ def test_approx_unique_count_hll_partials(spark, events_df):
         assert abs(approx - exact) <= max(3, 0.1 * exact), (
             f"{r['user_id']}/{r['ds']}: approx {approx} vs exact {exact}"
         )
+
+
+def test_entity_mixed_unbounded_is_current_day(spark):
+    """Entity snapshot with MIXED windows: the unwindowed agg must read
+    the CURRENT day's snapshot only (each partition is the full state —
+    merging days would double-count), while windowed aggs roll over days."""
+    snap = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (1, "2024-01-02", 11.0), (1, "2024-01-03", 12.0)],
+        "acct int, ds string, bal double",
+    )
+    gb = GroupBy(
+        sources=[DataFrameSource(lambda s: snap, entity=True)],
+        key_columns=["acct"],
+        aggregations=[
+            Aggregation("bal", Operation.SUM),                      # unbounded
+            Aggregation("bal", Operation.SUM, windows=[Window(2)]),  # 2d roll
+        ],
+        name="e",
+    )
+    rows = {r["ds"]: r for r in compute_snapshot_groupby(spark, gb).collect()}
+    assert rows["2024-01-03"]["bal_sum"] == pytest.approx(12.0)  # NOT 33
+    assert rows["2024-01-03"]["bal_sum_2d"] == pytest.approx(23.0)
+    assert rows["2024-01-01"]["bal_sum"] == pytest.approx(10.0)
+
+
+def test_entity_windowed_histogram_and_unique(spark):
+    """Entity windowed HISTOGRAM/UNIQUE_COUNT on the exploded plan."""
+    snap = spark.createDataFrame(
+        [(1, "2024-01-01", "a"), (1, "2024-01-01", "b"),
+         (1, "2024-01-02", "a"), (1, "2024-01-03", "c")],
+        "acct int, ds string, tag string",
+    )
+    gb = GroupBy(
+        sources=[DataFrameSource(lambda s: snap, entity=True)],
+        key_columns=["acct"],
+        aggregations=[
+            Aggregation("tag", Operation.HISTOGRAM, windows=[Window(2)]),
+            Aggregation("tag", Operation.UNIQUE_COUNT, windows=[Window(2)]),
+            Aggregation("tag", Operation.COUNT, windows=[Window(2)]),
+        ],
+        name="e",
+    )
+    rows = {r["ds"]: r for r in compute_snapshot_groupby(spark, gb).collect()}
+    assert rows["2024-01-02"]["tag_histogram_2d"] == {"a": 2, "b": 1}
+    assert rows["2024-01-02"]["tag_unique_count_2d"] == 2
+    assert rows["2024-01-03"]["tag_histogram_2d"] == {"a": 1, "c": 1}
+    assert rows["2024-01-03"]["tag_count_2d"] == 2

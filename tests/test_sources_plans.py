@@ -126,3 +126,29 @@ def test_scan_projection_pushdown(spark, events_path):
     # ReadSchema should NOT include columns the query never references
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert read_schema and "value" in read_schema[0]
+
+
+def test_partition_format_scan(spark, tmp_path):
+    """Query.partitionFormat (api.thrift:21): a source partitioned as
+    yyyyMMdd is pruned in ITS format (pushed-down string predicates) and
+    the column is normalized to engine-canonical yyyy-MM-dd."""
+    from chronon_spark.api import Query
+    from chronon_spark.partitions import PartitionRange
+    from chronon_spark.sources.scan import scan_df
+
+    df = spark.createDataFrame(
+        [(1, 1704326400000 + i * 86_400_000, f"2024010{4 + i}") for i in range(4)],
+        "user_id int, ts long, ds string",
+    )
+    p = str(tmp_path / "fmt.parquet")
+    df.write.parquet(p)
+    out = scan_df(
+        spark, p,
+        Query(selects={"user_id": "user_id"}, time_column="ts",
+              partition_format="yyyyMMdd"),
+        PartitionRange("2024-01-05", "2024-01-06"),
+    )
+    rows = sorted(r["ds"] for r in out.collect())
+    assert rows == ["2024-01-05", "2024-01-06"]  # pruned + normalized
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "20240105" in plan  # predicate rendered in the SOURCE format
