@@ -489,6 +489,14 @@ def compute_groupby(
     acc = group_by.inferred_accuracy()
     if acc == Accuracy.SNAPSHOT:
         return compute_snapshot_groupby(spark, group_by, rng, spec, dense)
+    if any(isinstance(s, EntitySource) and s.mutation_table for s in group_by.sources):
+        # (ENTITIES, TEMPORAL) has no standalone backfill shape — mutation
+        # replay needs a query set (the reference's temporalEntities takes
+        # the JOIN's left). Attach this GroupBy to a Join instead.
+        raise NotImplementedError(
+            "temporal-entity GroupBys are served through Join "
+            "(operators/mutations.compute_temporal_entity_join_part)"
+        )
     from chronon_spark.operators.temporal_join import compute_temporal_groupby
 
     return compute_temporal_groupby(spark, group_by, rng, spec)
