@@ -185,7 +185,7 @@ levels; the decode stage alone measures ~0.67-0.9 efficiency depending on the
 steal weather and the as-of stage is pure fixed cost at this input size. At
 production image counts (the 10^12 target) the fixed share vanishes — the
 per-row operators are the things this proxy can actually test, and the
-64M-row join below shows them at 0.92.
+32M-row join below shows them at 0.92.
 
 ## 2. Temporal as-of join backfill, {join["rows"] // 1_000_000}M rows (4 -> 16 cores)
 
