@@ -881,8 +881,9 @@ def q_groupby_approx_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DISJOINT so before-images always match current row state, as in the
 # reference's DataFrameGen.mutations).
 _MUT_Q0 = 1704672000000  # 2024-01-08
-_MUT_Q1 = 1704931200000  # 2024-01-11 (exclusive)
-_MUT_SNAP_DAYS = ("2024-01-07", "2024-01-08", "2024-01-09")
+_MUT_Q1 = 1706486400000  # 2024-01-29 (exclusive) — 21 query days so the
+# bench measures the replay kernel, not fixed job overhead
+_MUT_SNAP_DAYS = tuple(f"2024-01-{d:02d}" for d in range(7, 29))
 
 
 def q_temporal_entity_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -932,7 +933,7 @@ def q_temporal_entity_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
     left = spark.sql(f"""
         SELECT DISTINCT user_id, ts FROM __mut_base
-        WHERE ts >= {_MUT_Q0} AND ts < {_MUT_Q1} AND event_id % 3 = 0
+        WHERE ts >= {_MUT_Q0} AND ts < {_MUT_Q1}
     """)
     parts = [
         AggregationPart("cents", Operation.SUM, {}, Window(7)),
@@ -1211,7 +1212,7 @@ def oracle_sql() -> dict[str, str]:
               FROM ev
             ), l AS (
               SELECT DISTINCT user_id, ts FROM ev
-              WHERE ts >= {_MUT_Q0} AND ts < {_MUT_Q1} AND event_id % 3 = 0
+              WHERE ts >= {_MUT_Q0} AND ts < {_MUT_Q1}
             ), j AS (
               SELECT l.user_id, l.ts,
                      CASE WHEN b.u_ts IS NOT NULL AND b.u_ts < l.ts

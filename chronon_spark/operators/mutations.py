@@ -69,55 +69,357 @@ DAY_MS = 86_400_000
 _QDAY = "__qday"
 
 
-def replay_aggregate(
+_INVERTIBLE_OPS = (
+    Operation.SUM,
+    Operation.COUNT,
+    Operation.AVERAGE,
+    Operation.VARIANCE,
+    Operation.SKEW,
+    Operation.KURTOSIS,
+)
+_OP_POWERS = {
+    Operation.COUNT: 0,
+    Operation.SUM: 1,
+    Operation.AVERAGE: 1,
+    Operation.VARIANCE: 2,
+    Operation.SKEW: 3,
+    Operation.KURTOSIS: 4,
+}
+
+
+def replay_aggregate_batch(
+    qidx: np.ndarray,
+    ridx: np.ndarray,
+    query_ts: np.ndarray,
+    nq: int,
     event_ts: np.ndarray,
-    event_vals: dict[str, np.ndarray],
     mut_ts: np.ndarray,
     signs: np.ndarray,
-    query_ts: np.ndarray,
+    event_vals: dict[str, np.ndarray],
     parts: list[AggregationPart],
-) -> dict[str, np.ndarray]:
-    """Per-(key, day) signed-multiset replay.
+    out: dict[str, np.ndarray],
+) -> None:
+    """Batched signed-multiset replay over (query, right-row) PAIRS.
 
-    event_ts: entity-row timestamps (long). mut_ts: NaN for snapshot rows
-    (visible from the start of the day), else the mutation time. signs:
-    +1 insert / -1 delete. Rows need NOT be sorted. Returns
-    output_name -> object array aligned with query_ts.
+    `qidx`/`ridx` enumerate every candidate pair (left query i, right row j
+    of the same (key, day) segment) — built by one searchsorted per query,
+    so there is NO per-segment or per-query Python loop on the hot path:
+
+      * visibility/window masks are evaluated once per pair (C-speed),
+      * invertible ops (SUM/COUNT/AVG/moments) are signed `np.bincount`
+        scatter-adds of value powers keyed on the query index,
+      * non-invertible ops build per-(query, (ts,value)-code) NET counts
+        with one `np.unique` over a composite int64 key; deletions cancel
+        at the code level (net = inserts − deletes, clipped at 0), exactly
+        the reference's delete-by-row-identity
+        (SawtoothMutationAggregator.scala:124-141),
+      * MIN/MAX/FIRST/LAST/UNIQUE_COUNT then reduce the alive codes with
+        `np.minimum.at`-style vector ops; only k-ops/HISTOGRAM/percentile
+        (and bucketed shapes) walk the — already netted, tiny — alive-code
+        segments per query.
+
+    Writes results into `out` (output_name -> object array of len nq,
+    pre-filled with the empty-state value).
     """
-    nq = len(query_ts)
-    out: dict[str, np.ndarray] = {
-        p.output_name: np.full(nq, None, dtype=object) for p in parts
-    }
-    if len(event_ts) == 0:
-        for p in parts:
-            out[p.output_name][:] = [_replay_empty(p)] * nq
-        return out
+    if len(qidx) == 0:
+        return
     ets = event_ts.astype(np.int64, copy=False)
     mts = mut_ts.astype(np.float64, copy=False)
     is_snap = np.isnan(mts)
-    # stable order for FIRST/LAST ties: (ts, snapshot-first, mutation_ts)
+    sgn = signs.astype(np.int64, copy=False)
+    # global emission rank for FIRST/LAST ties: (ts, snapshot-first,
+    # mutation_ts); ranks are only ever compared within one segment, so a
+    # single global lexsort serves every (key, day) group at once.
     order = np.lexsort((np.where(is_snap, -np.inf, mts), ~is_snap, ets))
-    for i in range(nq):
-        T = int(query_ts[i])
-        visible = is_snap | (mts < T)
-        for part in parts:
-            w = part.window
+    rank = np.empty(len(ets), dtype=np.int64)
+    rank[order] = np.arange(len(ets))
+
+    T = query_ts.astype(np.int64, copy=False)
+    p_ets = ets[ridx]
+    p_T = T[qidx]
+    visible = is_snap[ridx] | (mts[ridx] < p_T)
+
+    # pair mask per distinct window (entity head is EXCLUSIVE: ts < T)
+    mask_cache: dict = {}
+
+    def pair_mask(w) -> np.ndarray:
+        key = None if w is None else w.millis
+        m = mask_cache.get(key)
+        if m is None:
             if w is None:
-                wmask = visible
+                m = visible
             else:
                 hop = sawtooth_hop_millis(w)
-                tail = ((T - w.millis) // hop) * hop
-                wmask = visible & (ets >= tail) & (ets < T)
-            sel_idx = order[wmask[order]]
-            vals = event_vals[part.input_column]
-            if part.bucket is not None:
-                bvals = event_vals[part.bucket]
-                out[part.output_name][i] = _replay_bucketed(
-                    part, sel_idx, ets, vals, bvals, signs
+                tail = ((p_T - w.millis) // hop) * hop
+                m = visible & (p_ets >= tail) & (p_ets < p_T)
+            mask_cache[key] = m
+        return m
+
+    # value-column caches
+    fcol_cache: dict[str, tuple] = {}
+
+    def float_col(col: str) -> tuple:
+        t = fcol_cache.get(col)
+        if t is None:
+            raw = event_vals[col]
+            if raw.dtype == object:
+                fv = np.array(
+                    [np.nan if v is None else float(v) for v in raw], dtype=np.float64
                 )
             else:
-                out[part.output_name][i] = _replay_one(part, sel_idx, ets, vals, signs)
-    return out
+                fv = raw.astype(np.float64, copy=False)
+            nn = ~np.isnan(fv)
+            t = (np.where(nn, fv, 0.0), nn)
+            fcol_cache[col] = t
+        return t
+
+    code_cache: dict[tuple, tuple] = {}
+
+    def code_col(col: str, bucket) -> tuple:
+        """Net-multiset codes for (ts, value[, bucket]) over non-null rows.
+
+        Returns (code_full: per-row code or -1 when value is null,
+        ncodes, rep_val, rep_vcode, nv, rep_bcode, buniq)."""
+        ck = (col, bucket)
+        t = code_cache.get(ck)
+        if t is not None:
+            return t
+        raw = event_vals[col]
+        if raw.dtype == object:
+            nnz = np.array([not (v is None or (isinstance(v, float) and v != v))
+                            for v in raw], dtype=bool)
+            keyvals = np.array([_mkey(v) for v in raw[nnz]], dtype=object)
+        else:
+            nnz = ~np.isnan(raw)
+            keyvals = np.round(raw[nnz], 12)
+        vcode, vuniq = pd.factorize(keyvals, use_na_sentinel=False)
+        nv = max(len(vuniq), 1)
+        tuniq, tcode = np.unique(ets[nnz], return_inverse=True)
+        comp = tcode.astype(np.int64) * nv + vcode
+        rep_bcode = buniq = None
+        if bucket is not None:
+            braw = event_vals[bucket]
+            bstr = np.array(
+                [None if b is None else str(b) for b in braw[nnz]], dtype=object
+            )
+            bc, buniq = pd.factorize(bstr, use_na_sentinel=False)
+            nb = max(len(buniq), 1)
+            comp = comp * nb + bc
+        ucomp, first_idx, code_nnz = np.unique(
+            comp, return_index=True, return_inverse=True
+        )
+        code_full = np.full(len(raw), -1, dtype=np.int64)
+        nnz_pos = np.flatnonzero(nnz)
+        code_full[nnz_pos] = code_nnz
+        rep_val = raw[nnz][first_idx]
+        rep_vcode = vcode[first_idx]
+        if bucket is not None:
+            rep_bcode = (ucomp % max(len(buniq), 1)).astype(np.int64)
+        t = (code_full, len(ucomp), rep_val, rep_vcode, nv, rep_bcode, buniq)
+        code_cache[ck] = t
+        return t
+
+    for part in parts:
+        op = part.operation
+        pm = pair_mask(part.window)
+        name = part.output_name
+        if op in _INVERTIBLE_OPS and part.bucket is None:
+            fv0, nn = float_col(part.input_column)
+            base = np.where(nn, sgn.astype(np.float64), 0.0)
+            sel = np.flatnonzero(pm)
+            rsel, qsel = ridx[sel], qidx[sel]
+            npow = _OP_POWERS[op]
+            w = base[rsel]
+            n_i = np.bincount(qsel, weights=w, minlength=nq)
+            sums = [n_i]
+            fvr = fv0[rsel]
+            for _ in range(npow):
+                w = w * fvr
+                sums.append(np.bincount(qsel, weights=w, minlength=nq))
+            _emit_invertible(op, sums, out[name])
+        elif op in _INVERTIBLE_OPS and part.bucket is not None:
+            _invertible_bucketed(
+                part, pm, qidx, ridx, sgn, nq, float_col, event_vals, out[name]
+            )
+        else:
+            _net_multiset_part(
+                part, pm, qidx, ridx, sgn, rank, nq, code_col, out[name]
+            )
+
+
+def _emit_invertible(op, sums, res: np.ndarray) -> None:
+    """Closed-form moment formulas, vectorized over queries; writes into
+    the object output array (None where the state is empty/degenerate —
+    the engine-wide SQL-portable convention)."""
+    n = sums[0]
+    if op == Operation.COUNT:
+        res[:] = np.rint(n).astype(np.int64).astype(object)
+        return
+    ok = n > 0
+    with np.errstate(invalid="ignore", divide="ignore"):
+        s1 = sums[1]
+        if op == Operation.SUM:
+            vals = s1
+        elif op == Operation.AVERAGE:
+            vals = s1 / n
+        else:
+            mu = s1 / n
+            m2 = sums[2] / n - mu * mu
+            if op == Operation.VARIANCE:
+                vals = np.maximum(m2, 0.0)
+            elif op == Operation.SKEW:
+                m3 = sums[3] / n - 3 * mu * (sums[2] / n) + 2 * mu**3
+                vals = m3 / m2**1.5
+                ok = ok & (np.rint(n) >= 3) & (m2 > 0)
+            else:  # KURTOSIS (excess)
+                m4 = (sums[4] / n - 4 * mu * (sums[3] / n)
+                      + 6 * mu * mu * (sums[2] / n) - 3 * mu**4)
+                vals = m4 / (m2 * m2) - 3.0
+                ok = ok & (np.rint(n) >= 4) & (m2 > 0)
+    obj = vals.astype(object)
+    obj[~ok] = None
+    res[:] = obj
+
+
+def _invertible_bucketed(
+    part, pm, qidx, ridx, sgn, nq, float_col, event_vals, res
+) -> None:
+    """Signed per-(query, bucket) accumulation -> map<bucket, value>."""
+    op = part.operation
+    fv0, nn = float_col(part.input_column)
+    braw = event_vals[part.bucket]
+    bstr = np.array([None if b is None else str(b) for b in braw], dtype=object)
+    bcode, buniq = pd.factorize(bstr, use_na_sentinel=False)
+    bvalid = np.array([b is not None for b in buniq], dtype=bool)
+    nb = max(len(buniq), 1)
+    sel = np.flatnonzero(pm)
+    rsel, qsel = ridx[sel], qidx[sel]
+    comp = qsel * nb + bcode[rsel]
+    base = np.where(nn, sgn.astype(np.float64), 0.0)
+    npow = _OP_POWERS[op]
+    w = base[rsel]
+    size = nq * nb
+    sums = [np.bincount(comp, weights=w, minlength=size).reshape(nq, nb)]
+    fvr = fv0[rsel]
+    for _ in range(npow):
+        w = w * fvr
+        sums.append(np.bincount(comp, weights=w, minlength=size).reshape(nq, nb))
+    flat = np.empty(size, dtype=object)
+    _emit_invertible(op, [s.reshape(-1) for s in sums], flat)
+    grid = flat.reshape(nq, nb)
+    n_grid = np.rint(sums[0]).astype(np.int64)
+    for i in range(nq):
+        m = {}
+        row = grid[i]
+        for b in np.flatnonzero(n_grid[i] > 0):
+            if not bvalid[b]:
+                continue
+            v = row[b]
+            if v is None:
+                continue
+            if op in (Operation.COUNT,) and int(v) == 0:
+                continue
+            m[buniq[b]] = v
+        res[i] = m
+
+
+def _net_multiset_part(part, pm, qidx, ridx, sgn, rank, nq, code_col, res) -> None:
+    """Exact net-multiset replay for non-invertible ops: per-(query, code)
+    nets via one np.unique composite; deletes cancel whole code instances
+    (reference deletes by row identity). Alive codes carry a representative
+    value + the rank of their first visible positive row for tie order."""
+    op = part.operation
+    code_full, ncodes, rep_val, rep_vcode, nv, rep_bcode, buniq = code_col(
+        part.input_column, part.bucket
+    )
+    if ncodes == 0:
+        return
+    sel = np.flatnonzero(pm & (code_full[ridx] >= 0))
+    if len(sel) == 0:
+        return
+    rsel, qsel = ridx[sel], qidx[sel]
+    csel = code_full[rsel]
+    comp = qsel * np.int64(ncodes) + csel
+    ucomp, inv = np.unique(comp, return_inverse=True)
+    net = np.rint(
+        np.bincount(inv, weights=sgn[rsel].astype(np.float64))
+    ).astype(np.int64)
+    minrank = np.full(len(ucomp), np.iinfo(np.int64).max, dtype=np.int64)
+    possel = sgn[rsel] > 0
+    np.minimum.at(minrank, inv[possel], rank[rsel[possel]])
+    alive = net > 0
+    if not alive.any():
+        return
+    qa = (ucomp[alive] // ncodes).astype(np.int64)
+    ca = (ucomp[alive] % ncodes).astype(np.int64)
+    cnt = net[alive]
+    mr = minrank[alive]
+
+    numeric = rep_val.dtype != object
+    if part.bucket is None and op in (Operation.MIN, Operation.MAX) and numeric:
+        repf = rep_val.astype(np.float64)
+        acc = np.full(nq, np.inf if op == Operation.MIN else -np.inf)
+        if op == Operation.MIN:
+            np.minimum.at(acc, qa, repf[ca])
+        else:
+            np.maximum.at(acc, qa, repf[ca])
+        touched = np.zeros(nq, dtype=bool)
+        touched[qa] = True
+        res[touched] = acc[touched].astype(object)
+        return
+    if part.bucket is None and op in (
+        Operation.UNIQUE_COUNT, Operation.APPROX_UNIQUE_COUNT
+    ):
+        du = np.unique(qa * np.int64(nv) + rep_vcode[ca])
+        counts = np.bincount((du // nv).astype(np.int64), minlength=nq)
+        res[:] = counts.astype(object)
+        return
+    if part.bucket is None and op in (Operation.FIRST, Operation.LAST):
+        o = np.lexsort((mr, qa))
+        qo = qa[o]
+        bounds = np.flatnonzero(np.diff(qo, prepend=qo[0] - 1))
+        if op == Operation.FIRST:
+            pick = o[bounds]
+        else:
+            pick = o[np.append(bounds[1:] - 1, len(o) - 1)]
+        for i, j in zip(qa[pick], ca[pick]):
+            res[i] = rep_val[j]
+        return
+    # general path: walk alive-code segments per query (already netted;
+    # tiny vs raw rows), expanding multiplicities in emission order
+    if part.bucket is not None:
+        o = np.lexsort((mr, rep_bcode[ca], qa))
+        sub = AggregationPart(part.input_column, op, dict(part.arg_map), part.window)
+    else:
+        o = np.lexsort((mr, qa))
+        sub = None
+    qo, co, no = qa[o], ca[o], cnt[o]
+    bounds = np.flatnonzero(np.diff(qo, prepend=qo[0] - 1))
+    bounds = np.append(bounds, len(qo))
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        i = qo[s]
+        if part.bucket is None:
+            surv = list(np.repeat(rep_val[co[s:e]], no[s:e]))
+            res[i] = _naive_one(part, surv)
+        else:
+            m = {}
+            bo = rep_bcode[co[s:e]]
+            bb = np.flatnonzero(np.diff(bo, prepend=bo[0] - 1))
+            bb = np.append(bb, e - s)
+            for bs, be in zip(bb[:-1], bb[1:]):
+                b = buniq[bo[bs]]
+                if b is None:
+                    continue
+                surv = list(np.repeat(rep_val[co[s + bs:s + be]], no[s + bs:s + be]))
+                v = _naive_one(sub, surv)
+                if v is None or (isinstance(v, float) and v != v):
+                    continue
+                if op in (Operation.COUNT, Operation.UNIQUE_COUNT) and int(v) == 0:
+                    continue
+                if isinstance(v, list) and not v:
+                    continue
+                m[b] = v
+            res[i] = m
 
 
 def _replay_empty(part: AggregationPart):
@@ -135,102 +437,8 @@ def _replay_empty(part: AggregationPart):
     return None
 
 
-def _expand_multiset(
-    sel_idx: np.ndarray, ets: np.ndarray, vals: np.ndarray, signs: np.ndarray
-) -> list:
-    """Net multiset keyed by (entity ts, value): a before-image cancels ONE
-    instance of the identical row (reference deletes by row identity).
-    Returns the surviving values in time order."""
-    net: Counter = Counter()
-    keyed: list = []
-    for j in sel_idx:
-        v = vals[j]
-        if v is None or (isinstance(v, float) and v != v):
-            continue
-        k = (int(ets[j]), _mkey(v))
-        keyed.append((k, v, int(signs[j])))
-        net[k] += int(signs[j])
-    remaining = dict(net)
-    survivors = []
-    # walk time-ordered; emit each row while its net count lasts
-    emitted: Counter = Counter()
-    for k, v, sgn in keyed:
-        if sgn < 0:
-            continue
-        if emitted[k] < remaining.get(k, 0):
-            survivors.append(v)
-            emitted[k] += 1
-    return survivors
-
-
 def _mkey(v):
     return v if not isinstance(v, float) else round(v, 12)
-
-
-def _replay_one(part: AggregationPart, sel_idx, ets, vals, signs):
-    op = part.operation
-    # invertible fast path: signed accumulation, no multiset expansion
-    if op in (Operation.SUM, Operation.COUNT, Operation.AVERAGE,
-              Operation.VARIANCE, Operation.SKEW, Operation.KURTOSIS):
-        s = signs[sel_idx].astype(np.float64)
-        v = np.array(
-            [np.nan if vals[j] is None or (isinstance(vals[j], float) and vals[j] != vals[j])
-             else float(vals[j]) for j in sel_idx],
-            dtype=np.float64,
-        )
-        nn = ~np.isnan(v)
-        n = float(np.sum(s[nn]))
-        if op == Operation.COUNT:
-            return int(round(n))
-        if n <= 0:
-            return None
-        sv = v[nn] * s[nn]
-        s1 = float(np.sum(sv))
-        if op == Operation.SUM:
-            return s1
-        if op == Operation.AVERAGE:
-            return s1 / n
-        s2 = float(np.sum(sv * v[nn]))
-        mu = s1 / n
-        m2 = s2 / n - mu * mu
-        if op == Operation.VARIANCE:
-            return max(m2, 0.0) if n >= 1 else None
-        s3 = float(np.sum(sv * v[nn] ** 2))
-        if op == Operation.SKEW:
-            if n < 3 or m2 <= 0:
-                return None
-            m3 = s3 / n - 3 * mu * (s2 / n) + 2 * mu**3
-            return m3 / m2**1.5
-        s4 = float(np.sum(sv * v[nn] ** 3))
-        if n < 4 or m2 <= 0:
-            return None
-        m4 = s4 / n - 4 * mu * (s3 / n) + 6 * mu * mu * (s2 / n) - 3 * mu**4
-        return m4 / (m2 * m2) - 3.0
-    # everything else: exact net-multiset replay
-    survivors = _expand_multiset(sel_idx, ets, vals, signs)
-    return _naive_one(part, survivors)
-
-
-def _replay_bucketed(part: AggregationPart, sel_idx, ets, vals, bvals, signs):
-    sub = AggregationPart(part.input_column, part.operation, dict(part.arg_map),
-                          part.window)
-    per_b: dict[str, list] = {}
-    for j in sel_idx:
-        b = bvals[j]
-        if b is None:
-            continue
-        per_b.setdefault(str(b), []).append(j)
-    out = {}
-    for b, idxs in sorted(per_b.items()):
-        v = _replay_one(sub, np.array(idxs, dtype=np.int64), ets, vals, signs)
-        if v is None or (isinstance(v, float) and v != v):
-            continue
-        if part.operation in (Operation.COUNT, Operation.UNIQUE_COUNT) and int(v) == 0:
-            continue
-        if isinstance(v, list) and not v:
-            continue
-        out[b] = v
-    return out
 
 
 def temporal_entity_features(
@@ -252,10 +460,13 @@ def temporal_entity_features(
     """
     spark = left_df.sparkSession
     if buckets is None:
+        # group state is day-bounded (day is in the hash), so buckets only
+        # need to cover the cluster: 4x parallelism balances per-group
+        # Arrow overhead against skew headroom (conf-overridable)
         buckets = int(
             spark.conf.get(
-                "spark.chronon.join.buckets",
-                str(8 * int(spark.conf.get("spark.sql.shuffle.partitions", "32"))),
+                "spark.chronon.mutations.buckets",
+                str(max(64, 4 * spark.sparkContext.defaultParallelism)),
             )
         )
     right_types = dict(snapshot_df.dtypes)
@@ -315,36 +526,44 @@ def temporal_entity_features(
             return out
         lcode, rcode = _segment_codes(lpdf, rpdf, seg_l, seg_r, seg_types)
         lts = lpdf[time_col].to_numpy().astype(np.int64)
-        rts = rpdf[TIME_COLUMN].to_numpy().astype(np.int64)
-        lorder = np.argsort(lcode, kind="stable")
         rorder = np.argsort(rcode, kind="stable")
-        lcode_s, lts_s = lcode[lorder], lts[lorder]
         rcode_s = rcode[rorder]
+        rts_s = rpdf[TIME_COLUMN].to_numpy().astype(np.int64)[rorder]
         mut_ts = rpdf["__mut_ts"].to_numpy(dtype=np.float64)[rorder]
         signs = rpdf["__sign"].to_numpy(dtype=np.int64)[rorder]
-        rts_s = rts[rorder]
         evals = {c: _np_col(rpdf, c, right_types[c])[rorder] for c in input_cols}
-        outs = {
-            name: np.full(nq, None, dtype=object) for name, _ in feature_fields
-        }
-        bounds = np.flatnonzero(np.diff(lcode_s, prepend=lcode_s[0] - 1))
-        bounds = np.append(bounds, nq)
-        for seg in range(len(bounds) - 1):
-            s, e = bounds[seg], bounds[seg + 1]
-            code = lcode_s[s]
-            r0 = np.searchsorted(rcode_s, code, side="left")
-            r1 = np.searchsorted(rcode_s, code, side="right")
-            feats = replay_aggregate(
-                rts_s[r0:r1],
-                {c: v[r0:r1] for c, v in evals.items()},
-                mut_ts[r0:r1],
-                signs[r0:r1],
-                lts_s[s:e],
-                parts,
-            )
-            pos = lorder[s:e]
-            for (name, _), part in zip(feature_fields, parts):
-                outs[name][pos] = feats[part.output_name]
+        outs: dict[str, np.ndarray] = {}
+        for (name, _), part in zip(feature_fields, parts):
+            arr = np.empty(nq, dtype=object)
+            arr[:] = [_replay_empty(part) for _ in range(nq)]
+            outs[name] = arr
+        # one searchsorted pair per query -> (query, right-row) pair
+        # expansion; no per-segment Python loop. Chunk queries so the pair
+        # arrays stay bounded regardless of state size.
+        r0 = np.searchsorted(rcode_s, lcode, side="left")
+        r1 = np.searchsorted(rcode_s, lcode, side="right")
+        cntq = (r1 - r0).astype(np.int64)
+        csum = np.concatenate(([0], np.cumsum(cntq)))
+        max_pairs = 8_000_000
+        a = 0
+        while a < nq:
+            b = int(np.searchsorted(csum, csum[a] + max_pairs, side="left"))
+            b = min(max(b, a + 1), nq)
+            cc = cntq[a:b]
+            total = int(cc.sum())
+            if total > 0:
+                qidx = np.repeat(np.arange(b - a, dtype=np.int64), cc)
+                cl = np.concatenate(([0], np.cumsum(cc)))
+                ridx = (np.repeat(r0[a:b], cc)
+                        + np.arange(total, dtype=np.int64)
+                        - np.repeat(cl[:-1], cc))
+                views = {p.output_name: outs[n][a:b]
+                         for (n, _), p in zip(feature_fields, parts)}
+                replay_aggregate_batch(
+                    qidx, ridx, lts[a:b], b - a, rts_s, mut_ts, signs,
+                    evals, parts, views,
+                )
+            a = b
         for (name, sql_type), part in zip(feature_fields, parts):
             out[name] = _emit(outs[name], sql_type)
         return out
