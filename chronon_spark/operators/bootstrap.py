@@ -120,18 +120,24 @@ def compute_bootstrap_table(
     return df, hash_fields
 
 
-def covering_combos(
-    bootstrap_df: DataFrame,
-    hash_fields: dict[str, set[str]],
-    part_cols: list[str],
-) -> list[tuple[str, ...]]:
-    """Distinct matched-hash combos that fully cover `part_cols`
-    (reference: findBootstrapSetCoverings, Join.scala:130-193)."""
-    combos = [
+def collect_combos(bootstrap_df: DataFrame) -> list[tuple[str, ...]]:
+    """Distinct matched-hash combos of the bootstrap table — collected ONCE
+    before join parts are chained (combos are small by construction: one
+    per distinct subset of bootstrap parts that co-matched some row)."""
+    return [
         tuple(r[MATCHED_HASHES])
         for r in bootstrap_df.select(MATCHED_HASHES).distinct().collect()
         if r[MATCHED_HASHES]
     ]
+
+
+def covering_combos(
+    combos: list[tuple[str, ...]],
+    hash_fields: dict[str, set[str]],
+    part_cols: list[str],
+) -> list[tuple[str, ...]]:
+    """Combos that fully cover `part_cols` — pure-Python filter
+    (reference: findBootstrapSetCoverings, Join.scala:130-193)."""
     need = set(part_cols)
     out = []
     for combo in combos:

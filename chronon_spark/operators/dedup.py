@@ -366,18 +366,31 @@ def embedding_neardup_pairs(
     vec_col: str,
     threshold: float = 0.95,
     planes: int = 16,
+    dim: Optional[int] = None,
+    max_bucket: Optional[int] = 10_000,
 ) -> DataFrame:
     """Pairs with cosine >= threshold. Random-hyperplane LSH bucket join
-    (sign-bit sketch) prunes candidates; exact cosine verifies.
+    (sign-bit sketch, Arrow matmul) prunes candidates; exact cosine
+    verifies.
 
-    Deterministic hyperplanes: pseudo-random from a fixed LCG per (plane,
-    dim) — reproducible across runs/engines.
+    Pass `dim` explicitly at scale (falls back to a one-row probe).
+    `max_bucket` drops degenerate sketch buckets (e.g. a zero-vector
+    cluster) whose self-join would go quadratic — same guard as minhash's
+    bucket cap. Deterministic hyperplanes: pseudo-random from a fixed LCG
+    per (plane, dim) — reproducible across runs/engines.
     """
     from chronon_spark.operators.similarity import cosine_expr, hyperplane_bits
 
     docs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    dim = len(docs.select("v").first()["v"])
+    if dim is None:
+        dim = len(docs.select("v").first()["v"])
     sketch = docs.withColumn("bits", hyperplane_bits(F.col("v"), dim, planes))
+    if max_bucket is not None:
+        hot = (
+            sketch.groupBy("bits").count()
+            .where(F.col("count") > max_bucket).select("bits")
+        )
+        sketch = sketch.join(F.broadcast(hot), "bits", "left_anti")
     a, b = sketch.alias("a"), sketch.alias("b")
     cand = a.join(
         b,

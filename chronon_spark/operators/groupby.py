@@ -131,14 +131,20 @@ def compute_snapshot_groupby(
         Operation.UNIQUE_COUNT,
     )
     plain, by_array, mapped, bucketed, hist_like, utk_struct = [], {}, [], [], [], []
+    bucketed_hist, hist_array = [], []
     for p in parts:
         if p.bucket is not None:
-            bucketed.append(p)
+            # hist-like bucketed ops get the exploded (bucket, value) plan —
+            # the map-merge HOF shape is O(distinct^2) interpreted lambdas
+            (bucketed_hist if p.operation in _HIST_LIKE else bucketed).append(p)
         elif (p.operation == Operation.UNIQUE_TOP_K
               and dtypes.get(p.input_column, "").startswith("struct<")):
             utk_struct.append(p)
         elif dtypes.get(p.input_column, "").startswith("array<"):
-            by_array.setdefault(p.input_column, []).append(p)
+            if p.operation in _HIST_LIKE:
+                hist_array.append(p)
+            else:
+                by_array.setdefault(p.input_column, []).append(p)
         elif dtypes.get(p.input_column, "").startswith("map<"):
             mapped.append(p)
         elif p.operation in _HIST_LIKE:
@@ -151,6 +157,16 @@ def compute_snapshot_groupby(
         results.append(_compute_plain_parts(df, keys, plain, rng, spec, dense))
     for p in hist_like:
         results.append(_compute_hist_like_part(df, keys, p, rng, spec, dense))
+    for p in hist_array:
+        # array input: each element counts individually — explode, then the
+        # same exploded-value plan as scalar hist-like ops
+        exploded = df.select(
+            *[c for c in df.columns if c != p.input_column],
+            F.explode_outer(F.col(p.input_column)).alias(p.input_column),
+        )
+        results.append(_compute_hist_like_part(exploded, keys, p, rng, spec, dense))
+    for p in bucketed_hist:
+        results.append(_compute_bucketed_hist_part(df, keys, p, rng, spec, dense))
     for p in utk_struct:
         results.append(_compute_unique_topk_struct_part(df, keys, p, rng, spec, dense))
     for col, ps in by_array.items():
@@ -172,7 +188,9 @@ def compute_snapshot_groupby(
             F.explode_outer(F.col(p.input_column)).alias(mk, mv),
         )
         sub = AP(mv, p.operation, dict(p.arg_map), p.window, bucket=mk)
-        r = _compute_bucketed_part(exploded, keys, sub, rng, spec, dense)
+        fn = (_compute_bucketed_hist_part if p.operation in _HIST_LIKE
+              else _compute_bucketed_part)
+        r = fn(exploded, keys, sub, rng, spec, dense)
         results.append(r.withColumnRenamed(sub.output_name, p.output_name))
     for p in bucketed:
         results.append(_compute_bucketed_part(df, keys, p, rng, spec, dense))
@@ -181,11 +199,23 @@ def compute_snapshot_groupby(
     for other in results[1:]:
         out = out.join(other, keys + [PARTITION_COLUMN], "full_outer")
     # a key with zero non-null input values has no exploded rows at all —
-    # its unique count is 0, not null
-    for p in hist_like:
-        if p.operation == Operation.UNIQUE_COUNT:
+    # its unique count is 0 (not null) and its histogram-like map is {}
+    # (kernel parity)
+    out_types = dict(out.dtypes)
+    hist_mapped = [p for p in mapped if p.operation in _HIST_LIKE]
+    for p in hist_like + hist_array + bucketed_hist + hist_mapped:
+        if p.operation == Operation.UNIQUE_COUNT and p.bucket is None \
+                and not out_types[p.output_name].startswith("map<"):
             out = out.withColumn(
                 p.output_name, F.coalesce(F.col(p.output_name), F.lit(0).cast("long"))
+            )
+        else:
+            out = out.withColumn(
+                p.output_name,
+                F.coalesce(
+                    F.col(p.output_name),
+                    F.expr(f"CAST(map() AS {out_types[p.output_name]})"),
+                ),
             )
     return _apply_derivations(out, group_by)
 
@@ -339,6 +369,91 @@ def _compute_hist_like_part(df, keys, part, rng, spec, dense) -> DataFrame:
         else:
             out_col = m
     return r.withColumn(part.output_name, out_col).drop(sub.output_name)
+
+
+def _compute_bucketed_hist_part(df, keys, part, rng, spec, dense) -> DataFrame:
+    """Bucketed HISTOGRAM / frequent-k / UNIQUE_COUNT without interpreted
+    map-merge lambdas: explode to (keys, day, bucket, value) daily counts,
+    re-window the counts (bucket AND value are plain group columns), then
+    fold twice — per (keys, day, bucket) to the inner value map (or its
+    distinct count), per (keys, day) to the outer bucket map. Cost is
+    O(distinct (key, day, bucket, value)) with map-side combine, replacing
+    the O(distinct^2) HistogramSpec/UniqueCountSpec HOF merges."""
+    from chronon_spark.api import Operation
+    from chronon_spark.operators.agg_registry import _cmp_count_desc
+
+    b, col = part.bucket, part.input_column
+    hv = f"__hv_{part.output_name}"
+    dayed = df.withColumn("__day", _day_expr(df))
+    dfb = dayed.where(F.col(b).isNotNull()).withColumn(hv, F.col(col).cast("string"))
+    daily = (
+        dfb.where(F.col(hv).isNotNull())
+        .groupBy(*keys, "__day", b, hv)
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    # scaffold: (key, day) spine x the key's observed (bucket, value) pairs
+    # so windows still emit on days without that exact pair
+    if dense:
+        assert rng is not None and rng.start is not None and rng.end is not None, (
+            "dense mode needs a bounded output range"
+        )
+        spark = df.sparkSession
+        days_df = spark.createDataFrame(
+            [(spec.epoch_millis(d) // DAY_MS,) for d in rng.partitions()],
+            "__day long",
+        )
+        spine = daily.select(*keys).distinct().crossJoin(F.broadcast(days_df))
+    else:
+        spine = dayed.select(*keys, "__day").distinct()
+    kb = dfb.where(F.col(hv).isNotNull()).select(*keys, b, hv).distinct()
+    scaffold = spine.join(kb, keys)
+    daily = scaffold.join(daily, keys + ["__day", b, hv], "full_outer")
+
+    days = window_days(part)
+    w_base = W.partitionBy(*keys, b, hv).orderBy("__day")
+    frame = (
+        w_base.rangeBetween(W.unboundedPreceding, W.currentRow)
+        if days is None
+        else w_base.rangeBetween(-(days - 1), W.currentRow)
+    )
+    windowed = daily.withColumn("__v", F.sum("__c").over(frame)).where(
+        F.col("__v") > 0
+    )
+    if part.operation == Operation.UNIQUE_COUNT:
+        inner = F.count(F.lit(1)).cast("long").alias("__m")
+    else:
+        entries = F.sort_array(F.collect_list(
+            F.struct(F.col(hv).alias("key"), F.col("__v").alias("value"))
+        ))
+        k = part.arg_map.get("k")
+        if k:
+            entries = F.slice(F.array_sort(entries, _cmp_count_desc), 1, int(k))
+        inner = F.map_from_entries(entries).alias("__m")
+    per_bucket = windowed.groupBy(*keys, "__day", b).agg(inner)
+
+    def _cmp_key(x, y):  # structs holding maps aren't orderable; sort by key
+        return (F.when(x["key"] < y["key"], F.lit(-1))
+                .when(x["key"] > y["key"], F.lit(1)).otherwise(F.lit(0)))
+
+    outer = per_bucket.groupBy(*keys, "__day").agg(
+        F.map_from_entries(F.array_sort(F.collect_list(
+            F.struct(F.col(b).alias("key"), F.col("__m").alias("value"))
+        ), _cmp_key)).alias(part.output_name)
+    )
+    out_type = dict(outer.dtypes)[part.output_name]
+    out = (
+        spine.join(outer, keys + ["__day"], "left")
+        .withColumn(
+            part.output_name,
+            F.coalesce(F.col(part.output_name), F.expr(f"CAST(map() AS {out_type})")),
+        )
+        .withColumn(PARTITION_COLUMN, _ds_from_day(F.col("__day")))
+        .drop("__day")
+    )
+    if rng is not None:
+        for clause in rng.where_clauses(spec.column):
+            out = out.where(clause)
+    return out
 
 
 def _cmp_utk(a, b):

@@ -273,18 +273,51 @@ def _notnull_mask_obj(vals: np.ndarray) -> np.ndarray:
     return ~np.isnan(vals.astype(np.float64, copy=False))
 
 
-def _utk_struct(seg, k: int) -> list:
-    """UNIQUE_TOP_K struct variant: dedupe on unique_id keeping the max
-    sort_key, emit the k best by (sort_key desc, unique_id asc)."""
-    best: dict = {}
-    for d in seg:
-        uid, sk = d["unique_id"], d["sort_key"]
-        cur = best.get(uid)
-        if cur is None or sk > cur:
-            best[uid] = sk
-    items = sorted(best.items())           # unique_id asc
-    items.sort(key=lambda t: t[1], reverse=True)  # sort_key desc (stable)
-    return [{"sort_key": sk, "unique_id": uid} for uid, sk in items[:k]]
+def _utk_struct_index(vals: np.ndarray):
+    """Precompute for the UNIQUE_TOP_K struct variant: factorized unique_id
+    codes and ORDER RANKS for both fields (ranks order by the actual value,
+    so string sort keys work), over elements whose struct, sort_key and
+    unique_id are all non-null (reference UniqueOrderByLimit skips nulls).
+    Returns (valid_idx, ucodes, sk_rank, uid_rank_of_code, uids, sks)."""
+    import pandas as pd
+
+    ok = np.array(
+        [v is not None and v.get("sort_key") is not None
+         and v.get("unique_id") is not None for v in vals],
+        dtype=bool,
+    )
+    vv = np.flatnonzero(ok)
+    uids = np.array([vals[j]["unique_id"] for j in vv], dtype=object)
+    sks = np.array([vals[j]["sort_key"] for j in vv], dtype=object)
+    ucodes, uuniq = pd.factorize(uids, use_na_sentinel=False)
+    uid_rank_of_code = np.empty(max(len(uuniq), 1), dtype=np.int64)
+    uid_rank_of_code[np.argsort(np.asarray(uuniq, dtype=object), kind="stable")] = (
+        np.arange(len(uuniq)) if len(uuniq) else np.empty(0, dtype=np.int64)
+    )
+    skcodes, skuniq = pd.factorize(sks, use_na_sentinel=False)
+    sk_rank_of_code = np.empty(max(len(skuniq), 1), dtype=np.int64)
+    sk_rank_of_code[np.argsort(np.asarray(skuniq, dtype=object), kind="stable")] = (
+        np.arange(len(skuniq)) if len(skuniq) else np.empty(0, dtype=np.int64)
+    )
+    sk_rank = sk_rank_of_code[skcodes] if len(sks) else np.empty(0, dtype=np.int64)
+    return vv, ucodes, sk_rank, uid_rank_of_code, uids, sks
+
+
+def _utk_struct_topk(s, e, ucodes, sk_rank, uid_rank_of_code, uids, sks, k) -> list:
+    """One query's UNIQUE_TOP_K struct answer from the precomputed index:
+    per-uid max sort_key via one lexsort + group-last, then the k best by
+    (sort_key desc, unique_id asc) — no per-element Python."""
+    if e <= s:
+        return []
+    c = ucodes[s:e]
+    r = sk_rank[s:e]
+    o = np.lexsort((r, c))
+    cs = c[o]
+    last = np.flatnonzero(np.concatenate([cs[1:] != cs[:-1], [True]]))
+    grp = o[last]                       # rep element per uid (max sort_key)
+    sel = np.lexsort((uid_rank_of_code[cs[last]], -r[grp]))[:k]
+    top = grp[sel]
+    return [{"sort_key": sks[s + j], "unique_id": uids[s + j]} for j in top]
 
 
 def _prev_occurrence(vals: np.ndarray) -> np.ndarray:
@@ -487,8 +520,15 @@ def _sawtooth_plain(
                     # struct{sort_key, unique_id} variant
                     # (UniqueOrderByLimit.scala): one element per
                     # unique_id, top-k by sort_key desc / unique_id asc
+                    ukey = ("__utk__", col, id(vals))
+                    if ukey not in nn_idx_cache:
+                        nn_idx_cache[ukey] = _utk_struct_index(vals)
+                    vv, ucodes, skr, urank, uids_v, sks_v = nn_idx_cache[ukey]
+                    us = np.searchsorted(vv, start, side="left")
+                    ue = np.searchsorted(vv, end, side="left")
                     res[:] = [
-                        _utk_struct(nn_vals[s_pos[i]:e_pos[i]], k)
+                        _utk_struct_topk(us[i], ue[i], ucodes, skr, urank,
+                                         uids_v, sks_v, k)
                         for i in range(nq)
                     ]
                 else:

@@ -60,18 +60,29 @@ def hyperplane_matrix(dim: int, planes: int) -> np.ndarray:
 
 
 def hyperplane_bits(vec: Column, dim: int, planes: int) -> Column:
-    """Sign-bit sketch of a vector as a bigint (Catalyst-native)."""
-    bits = None
-    H = hyperplane_matrix(dim, planes)
-    for p in range(planes):
-        dot = None
-        for d in range(dim):
-            term = F.get(vec, d) * float(H[p, d])
-            dot = term if dot is None else dot + term
-        bit = F.when(dot >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        contrib = bit * (1 << p)
-        bits = contrib if bits is None else bits + contrib
-    return bits
+    """Sign-bit sketch of a vector as a bigint.
+
+    Arrow-batched pandas UDF doing ONE matmul per batch (n x dim @ dim x
+    planes). The earlier Catalyst expression unrolled planes x dim nodes —
+    fine at dim 8, a codegen blowup at dim 512-1024; the matmul is flat in
+    plan size and faster per row. NULL/short vectors sketch to NULL."""
+    H_T = hyperplane_matrix(dim, planes).T.copy()  # dim x planes
+    weights = (np.int64(1) << np.arange(planes, dtype=np.int64))
+
+    @F.pandas_udf("long")
+    def _bits(s: pd.Series) -> pd.Series:
+        if len(s) == 0:
+            return pd.Series([], dtype="Int64")
+        ok = np.array(
+            [v is not None and len(v) == dim for v in s], dtype=bool
+        )
+        out = np.zeros(len(s), dtype=np.int64)
+        if ok.any():
+            M = np.array([list(v) for v, o in zip(s, ok) if o], dtype=np.float64)
+            out[ok] = ((M @ H_T) >= 0).astype(np.int64) @ weights
+        return pd.Series(out).mask(~ok, None).astype("Int64")
+
+    return _bits(vec)
 
 
 def brute_force_topk(

@@ -100,11 +100,25 @@ def compute_join(
 
     left_df = scan_source(spark, join.left, rng, spec)
     left_df = _apply_skew_filter(left_df, join)
+    # resolve the date range ONCE against the raw left scan: per-part range
+    # probes (and the mid-size semi filter's probe.count) must never execute
+    # the accumulated chained plan with earlier parts' Arrow kernels in it
+    if rng is None or not rng.start:
+        if PARTITION_COLUMN in left_df.columns:
+            rng = _left_date_range(left_df, spec)
     hash_fields: dict = {}
+    combos: list = []
     if join.bootstrap_parts:
-        from chronon_spark.operators.bootstrap import compute_bootstrap_table
+        from chronon_spark.operators.bootstrap import (
+            collect_combos,
+            compute_bootstrap_table,
+        )
 
         out, hash_fields = compute_bootstrap_table(spark, left_df, join, rng, spec)
+        # one collect on the un-chained bootstrap table; per-part covering
+        # sets are then pure-Python filters over these combos
+        if hash_fields:
+            combos = collect_combos(out)
     else:
         out = left_df
 
@@ -125,14 +139,15 @@ def compute_join(
             )
         elif gb.inferred_accuracy() == Accuracy.TEMPORAL:
             compute_fn = lambda df, jp=jp: compute_temporal_join_part(
-                spark, df, jp, rng, spec, skew_keys=join.skew_keys
+                spark, df, jp, rng, spec, skew_keys=join.skew_keys,
+                probe_df=left_df,
             )
         else:
             compute_fn = lambda df, jp=jp: compute_snapshot_join_part(
                 spark, df, jp, rng, spec
             )
         if hash_fields and gb.aggregations:
-            out = _bootstrapped_part(out, jp, hash_fields, compute_fn)
+            out = _bootstrapped_part(out, jp, hash_fields, combos, compute_fn)
         else:
             out = compute_fn(out)
     if join.bootstrap_parts:
@@ -149,12 +164,14 @@ def compute_join(
 
 
 def _bootstrapped_part(
-    out: DataFrame, join_part: JoinPart, hash_fields: dict, compute_fn
+    out: DataFrame, join_part: JoinPart, hash_fields: dict,
+    all_combos: list, compute_fn
 ) -> DataFrame:
     """Covering-set split for one join part (reference: Join.computeRange
     :264-285): rows whose matched bootstrap combo fully covers the part's
     output keep their values; only the uncovered remainder is computed,
-    with bootstrap values coalescing OVER computed ones."""
+    with bootstrap values coalescing OVER computed ones. `all_combos` was
+    collected once from the bootstrap table before any part was chained."""
     from chronon_spark.operators.bootstrap import (
         covering_combos,
         covering_filter,
@@ -166,7 +183,7 @@ def _bootstrapped_part(
     present = [c for c in part_cols if c in out.columns]
     if not present:
         return compute_fn(out)
-    combos = covering_combos(out, hash_fields, part_cols)
+    combos = covering_combos(all_combos, hash_fields, part_cols)
     cov = covering_filter(combos)
     uncovered = out.where(~cov)
     unc = uncovered
@@ -236,11 +253,14 @@ def _no_agg_join_part(
     else:
         left_date = F.date_sub(F.to_date(F.col(PARTITION_COLUMN)), 1)
     need_ds = F.date_format(left_date, "yyyy-MM-dd")
+    nonnull_keys = F.lit(True)
+    for k in keys:
+        nonnull_keys = nonnull_keys & F.col(k).isNotNull()
     probes = (
         left_df.select(
             *[F.col(key_map[k]).alias(k) for k in keys], need_ds.alias("__d")
         )
-        .where(F.struct(*keys).isNotNull())
+        .where(nonnull_keys)
         .distinct()
     )
     snap_type = snap_rows.schema["__snap"].dataType.simpleString()

@@ -100,6 +100,10 @@ class BackfillReport:
     planned: list[PartitionRange]
     steps: list[StepResult] = field(default_factory=list)
     recomputed_for_semantics: bool = False
+    # partitions that existed under an older-but-compatible (additive)
+    # definition and were re-materialized so the NEW aggregation columns
+    # are computed instead of silently NULL
+    additive_refilled: list[str] = field(default_factory=list)
 
     @property
     def rows_written(self) -> int:
@@ -162,11 +166,11 @@ class BackfillJob:
         new, old = self.sem_hash.split("+"), prior.split("+")
         return old[0] == new[0] and set(old[1:]) <= set(new[1:])
 
-    def _stale_semantics(self) -> bool:
+    def _prior_hash(self) -> Optional[str]:
         if not self.sem_hash or not self.wh.exists(MANIFEST_TABLE):
-            return False
+            return None
         if not self.wh.exists(self.output_table):
-            return False
+            return None
         # the LATEST manifest entry describes the table currently on disk
         # (older hashes may belong to since-archived generations)
         prior = (
@@ -180,25 +184,58 @@ class BackfillJob:
             .limit(1)
             .collect()
         )
-        return bool(prior) and not self._compatible(prior[0]["semantic_hash"])
+        return prior[0]["semantic_hash"] if prior else None
+
+    def _partitions_at_current_hash(self) -> set[str]:
+        """Partitions whose LATEST ok manifest row carries the current
+        semantic hash — only these may be reused after an additive change
+        (older-compatible partitions lack the new aggregation columns)."""
+        rows = (
+            self.manifest()
+            .where(
+                (F.col("output_table") == self.output_table)
+                & (F.col("status") == "ok")
+            )
+            .groupBy("ds")
+            .agg(F.max_by("semantic_hash", "run_ts").alias("h"))
+            .collect()
+        )
+        return {r["ds"] for r in rows if r["h"] == self.sem_hash}
 
     # -- run --------------------------------------------------------------
     def run(self, start: str, end: str, skip_first_hole: bool = True) -> BackfillReport:
         wanted = PartitionRange(start, end, self.spec)
-        if self._stale_semantics():
-            # definition changed -> ARCHIVE stale output (not drop —
-            # reference: archiveOrDropTableIfExists), full recompute
-            if hasattr(self.wh, "archive"):
-                self.wh.archive(self.output_table)
-            else:  # pragma: no cover
-                self.wh.drop(self.output_table)
-            recomputed = True
-        else:
-            recomputed = False
+        prior = self._prior_hash()
+        recomputed = False
+        additive: list[str] = []
+        if prior is not None and prior != self.sem_hash:
+            if not self._compatible(prior):
+                # definition changed -> ARCHIVE stale output (not drop —
+                # reference: archiveOrDropTableIfExists), full recompute
+                if hasattr(self.wh, "archive"):
+                    self.wh.archive(self.output_table)
+                else:  # pragma: no cover
+                    self.wh.drop(self.output_table)
+                recomputed = True
+            else:
+                # ADDITIVE change: schema may expand in place (reference
+                # autoExpand), but partitions written under the old hash
+                # lack the new aggregation's VALUES — re-materialize them
+                # instead of reporting success with silently-NULL columns
+                current = self._partitions_at_current_hash()
+                additive = [
+                    p for p in self.wh.partitions(self.output_table)
+                    if p not in current
+                    and (wanted.start is None or p >= wanted.start)
+                    and (wanted.end is None or p <= wanted.end)
+                ]
         existing = self.wh.partitions(self.output_table)
+        if additive:
+            existing = [p for p in existing if p not in set(additive)]
         holes = unfilled_ranges(wanted, existing, skip_first_hole, self.spec)
         report = BackfillReport(self.output_table, wanted, holes,
-                                recomputed_for_semantics=recomputed)
+                                recomputed_for_semantics=recomputed,
+                                additive_refilled=sorted(additive))
         for hole in holes:
             for step in hole.steps(self.step_days):
                 t0 = time.perf_counter()

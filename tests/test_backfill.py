@@ -161,9 +161,10 @@ def test_join_backfill_and_modular_equivalence(spark, wh, events_path):
 
 
 def test_autoexpand_additive_aggregation(spark, wh, events_path):
-    """Round-2 autoExpand (reference: TableUtils.expandTable): ADDING an
-    aggregation must not recompute green partitions; old partitions read
-    the new column as NULL via schema merge."""
+    """Additive schema evolution (reference: TableUtils.expandTable +
+    tablesToRecompute): ADDING an aggregation keeps the table (no archive),
+    but partitions written under the old definition are RE-MATERIALIZED so
+    the new column carries values instead of silent NULLs."""
     job = groupby_backfill(spark, wh, _gb(events_path, windows=(7,)), "ae_out",
                            step_days=30)
     job.run("2024-01-03", "2024-01-06")
@@ -172,17 +173,22 @@ def test_autoexpand_additive_aggregation(spark, wh, events_path):
     gb2.aggregations.append(Aggregation("value", Operation.MAX, windows=[Window(3)]))
     job2 = groupby_backfill(spark, wh, gb2, "ae_out", step_days=30)
     rep = job2.run("2024-01-03", "2024-01-08")
-    assert not rep.recomputed_for_semantics
-    # only the new tail computed, green partitions untouched
-    assert [(r.rng.start, r.rng.end) for r in rep.steps] == [
-        ("2024-01-07", "2024-01-08")
+    assert not rep.recomputed_for_semantics  # compatible: no archive
+    assert rep.additive_refilled == [
+        "2024-01-03", "2024-01-04", "2024-01-05", "2024-01-06"
     ]
     out = wh.read("ae_out")
     assert "value_max_3d" in out.columns
+    # old partitions now carry VALUES for the added aggregation
     old = out.where("ds = '2024-01-04'").select("value_max_3d").collect()
-    assert old and all(r["value_max_3d"] is None for r in old)
+    assert old and any(r["value_max_3d"] is not None for r in old)
     new = out.where("ds = '2024-01-08'").select("value_max_3d").collect()
     assert any(r["value_max_3d"] is not None for r in new)
+
+    # idempotence: a third run under the SAME definition refills nothing
+    job3 = groupby_backfill(spark, wh, gb2, "ae_out", step_days=30)
+    rep3 = job3.run("2024-01-03", "2024-01-08")
+    assert rep3.additive_refilled == [] and rep3.steps == []
 
 
 def test_archive_on_semantic_change(spark, wh, events_path):

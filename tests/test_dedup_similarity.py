@@ -157,3 +157,51 @@ def test_embedding_neardup_planted(spark):
     found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     planted = {(i, i + 100) for i in range(10)}
     assert planted <= found
+
+
+def test_hyperplane_sketch_high_dim(spark):
+    """dim-512 sketch: the Arrow matmul path keeps the plan flat (one UDF
+    node, no planes x dim Catalyst unroll) and recall holds; NULL/ragged
+    vectors sketch to NULL instead of crashing."""
+    from chronon_spark.operators.dedup import embedding_neardup_pairs
+    from chronon_spark.operators.similarity import hyperplane_bits
+
+    rng = np.random.default_rng(31)
+    dim = 512
+    base = rng.normal(size=(40, dim))
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    for i in range(8):  # planted near-dups
+        rows.append((i + 100, (base[i] + rng.normal(size=dim) * 0.005).tolist()))
+    rows.append((999, None))            # null vector
+    rows.append((998, [1.0, 2.0]))      # ragged vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    sk = df.select(hyperplane_bits(F.col("embedding"), dim, 16).alias("bits"))
+    plan = sk._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan) < 4000, "sketch plan should be one UDF node, not an unroll"
+    got = {r["vec_id"]: r["bits"] for r in df.select(
+        "vec_id", hyperplane_bits(F.col("embedding"), dim, 16).alias("bits")).collect()}
+    assert got[999] is None and got[998] is None
+
+    pairs = embedding_neardup_pairs(
+        df.where(F.col("vec_id") < 500), "vec_id", "embedding",
+        threshold=0.99, planes=8, dim=dim)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert {(i, i + 100) for i in range(8)} <= found
+
+
+def test_embedding_neardup_bucket_cap(spark):
+    """A degenerate cluster (identical sketch bucket) larger than
+    max_bucket is dropped instead of going quadratic."""
+    from chronon_spark.operators.dedup import embedding_neardup_pairs
+
+    rng = np.random.default_rng(17)
+    v = rng.normal(size=8)
+    rows = [(i, (v + rng.normal(size=8) * 1e-6).tolist()) for i in range(30)]
+    rows += [(100, rng.normal(size=8).tolist()), (101, rng.normal(size=8).tolist())]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = embedding_neardup_pairs(
+        df, "vec_id", "embedding", threshold=0.9, planes=8, dim=8, max_bucket=10)
+    got = pairs.collect()
+    # the 30-row degenerate bucket (435 pairs) was dropped entirely
+    assert not any(r["id_a"] < 100 and r["id_b"] < 100 for r in got)

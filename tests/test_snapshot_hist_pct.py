@@ -143,3 +143,58 @@ def test_histogram_plan_uses_exploded_window(spark):
     assert "__hv_" in plan  # exploded per-value grouping column present
     # no aggregate() HOF over a filter() HOF — the old quadratic merge shape
     assert "aggregate(filter(" not in plan.replace(" ", "")
+
+
+def test_bucketed_histogram_exploded_plan(spark):
+    """Bucketed HISTOGRAM -> map<bucket, map<value, count>> via the
+    exploded (bucket, value) plan: golden values + no HOF merge lambdas."""
+    rows = [
+        (1, BASE + 10, "a", "x"),
+        (1, BASE + 20, "a", "x"),
+        (1, BASE + 30, "b", "x"),
+        (1, BASE + 40, "a", "y"),
+        (1, BASE + DAY + 10, "c", "x"),
+        (2, BASE + 50, None, "x"),     # null value: no entry
+        (2, BASE + 60, "z", None),     # null bucket: dropped
+    ]
+    df = spark.createDataFrame(rows, "k int, ts long, v string, cat string")
+    gb = _gb(lambda s: df, [
+        Aggregation("v", Operation.HISTOGRAM, windows=[Window(3)], buckets=["cat"]),
+        Aggregation("v", Operation.UNIQUE_COUNT, windows=[Window(3)], buckets=["cat"]),
+    ])
+    out = compute_snapshot_groupby(spark, gb)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "aggregate(filter(" not in plan.replace(" ", "")
+    got = {(r["k"], r["ds"]): r for r in out.collect()}
+    h1 = got[(1, "2024-01-01")]["v_histogram_3d_by_cat"]
+    assert {b: dict(m) for b, m in h1.items()} == {
+        "x": {"a": 2, "b": 1}, "y": {"a": 1}}
+    h2 = got[(1, "2024-01-02")]["v_histogram_3d_by_cat"]
+    assert {b: dict(m) for b, m in h2.items()} == {
+        "x": {"a": 2, "b": 1, "c": 1}, "y": {"a": 1}}
+    assert dict(got[(1, "2024-01-02")]["v_unique_count_3d_by_cat"]) == {"x": 3, "y": 1}
+    # key 2: only null value/bucket rows -> empty map, row still present
+    assert dict(got[(2, "2024-01-01")]["v_histogram_3d_by_cat"]) == {}
+
+
+def test_array_input_histogram_exploded_plan(spark):
+    """HISTOGRAM / UNIQUE_COUNT over array<string> input: elements count
+    individually through the exploded-value plan (no HOF merges)."""
+    rows = [
+        (1, BASE + 10, ["a", "b", "a"]),
+        (1, BASE + DAY + 10, ["b"]),
+        (1, BASE + DAY + 20, None),
+    ]
+    df = spark.createDataFrame(rows, "k int, ts long, v array<string>")
+    gb = _gb(lambda s: df, [
+        Aggregation("v", Operation.HISTOGRAM, windows=[Window(3)]),
+        Aggregation("v", Operation.UNIQUE_COUNT, windows=[Window(3)]),
+    ])
+    out = compute_snapshot_groupby(spark, gb)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "aggregate(filter(" not in plan.replace(" ", "")
+    got = {r["ds"]: r for r in out.collect()}
+    assert dict(got["2024-01-01"]["v_histogram_3d"]) == {"a": 2, "b": 1}
+    assert dict(got["2024-01-02"]["v_histogram_3d"]) == {"a": 2, "b": 2}
+    assert got["2024-01-01"]["v_unique_count_3d"] == 2
+    assert got["2024-01-02"]["v_unique_count_3d"] == 2

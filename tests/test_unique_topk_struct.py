@@ -69,3 +69,24 @@ def test_unique_topk_struct_temporal_kernel(spark):
     row = temporal_features(left, df, ["k"], ["k"], parts).collect()[0]
     got = [(e["sort_key"], e["unique_id"]) for e in row["item_unique_top3_7d"]]
     assert got == [("009", 2), ("008", 4), ("007", 1)]
+
+
+def test_unique_topk_struct_null_fields_skipped(spark):
+    """Elements with NULL sort_key or unique_id are skipped, not a kernel
+    crash (reference UniqueOrderByLimit null handling)."""
+    rows = [
+        (1, BASE + 10, "005", 1),
+        (1, BASE + 20, None, 2),     # null sort_key
+        (1, BASE + 30, "008", None),  # null unique_id
+        (1, BASE + 40, "007", 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "k int, ts long, sk string, uid long"
+    ).withColumn("item", F.struct(F.col("sk").alias("sort_key"),
+                                  F.col("uid").alias("unique_id"))).select(
+        "k", "ts", "item")
+    left = spark.createDataFrame([(1, BASE + 100)], "k int, ts long")
+    parts = [AggregationPart("item", Operation.UNIQUE_TOP_K, {"k": 5}, Window(7))]
+    row = temporal_features(left, df, ["k"], ["k"], parts).collect()[0]
+    got = [(e["sort_key"], e["unique_id"]) for e in row["item_unique_top5_7d"]]
+    assert got == [("007", 3), ("005", 1)]
