@@ -953,6 +953,119 @@ def q_temporal_entity_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bootstrap_covered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap covering set on a temporal join (reference: Join.scala
+    :38-60 CoveringSet + :264-285 computeRange split): rows event_id%5=0
+    arrive pre-joined with a sentinel sum; the covering combo keeps their
+    bootstrapped value untouched while ONLY the uncovered remainder runs
+    the as-of compute."""
+    _prep(spark)
+    from chronon_spark.api import BootstrapPart
+    from chronon_spark.operators.snapshot_join import compute_join
+
+    spark.sql(f"""
+        CREATE OR REPLACE TEMPORARY VIEW __bs_sentinel AS
+        SELECT event_id, CAST(-12345 AS DOUBLE) AS f_cents_sum_7d
+        FROM parquet.`{sf_dir}/events.parquet` WHERE event_id % 5 = 0
+    """)
+    right = _events_source(
+        sf_dir,
+        {"user_id": "user_id", "cents": "CAST(round(value * 100, 0) AS BIGINT)"},
+    )
+    from chronon_spark.api import Accuracy
+
+    gb = GroupBy(
+        sources=[right],
+        key_columns=["user_id"],
+        aggregations=[Aggregation("cents", Operation.SUM, windows=[Window(7)])],
+        accuracy=Accuracy.TEMPORAL,
+        name="f",
+    )
+    join = Join(
+        left=_events_source(sf_dir, {"event_id": "event_id", "user_id": "user_id"}),
+        join_parts=[JoinPart(gb)],
+        bootstrap_parts=[BootstrapPart("__bs_sentinel")],
+        row_ids=["event_id"],
+        name="bsj",
+    )
+    out = compute_join(spark, join)
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.round(F.col("f_cents_sum_7d") / 100.0, 6).alias("sum_7d"),
+    )
+
+
+def q_groupby_frequent_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROX_FREQUENT_K / APPROX_HEAVY_HITTERS_K (exact top-k maps — a
+    valid NO_FALSE_NEGATIVES superset of the reference's ItemsSketch,
+    SimpleAggregators.scala:400-491), canonicalized as 'key:count' strings
+    ordered by (count desc, key asc)."""
+    _prep(spark)
+    from chronon_spark.operators.groupby import compute_snapshot_groupby
+
+    gb = GroupBy(
+        sources=[_events_source(sf_dir, {"user_id": "user_id",
+                                         "event_type": "event_type"})],
+        key_columns=["user_id"],
+        aggregations=[
+            Aggregation("event_type", Operation.APPROX_FREQUENT_K, {"k": 2},
+                        windows=[Window(7)]),
+            Aggregation("event_type", Operation.APPROX_HEAVY_HITTERS_K, {"k": 2},
+                        windows=[Window(7)]),
+        ],
+        name="fk",
+    )
+    out = compute_snapshot_groupby(spark, gb)
+
+    def canon(c):
+        entries = F.expr(
+            f"array_sort(map_entries({c}), (a, b) -> CASE"
+            " WHEN a.value > b.value THEN -1 WHEN a.value < b.value THEN 1"
+            " WHEN a.key < b.key THEN -1 WHEN a.key > b.key THEN 1 ELSE 0 END)"
+        )
+        return F.array_join(
+            F.transform(entries, lambda e: F.concat_ws(":", e["key"], e["value"])),
+            ",",
+        )
+
+    return out.select(
+        "user_id", "ds",
+        canon("event_type_approx_frequent2_7d").alias("freq2"),
+        canon("event_type_approx_heavy_hitters2_7d").alias("hh2"),
+    )
+
+
+def q_groupby_unique_topk_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIQUE_TOP_K struct{sort_key, unique_id} (reference:
+    UniqueOrderByLimit.scala, SimpleAggregators.scala:768-917): top-3 by
+    sort_key desc with one element per unique_id, max sort_key kept per
+    id; canonical 'sort_key:uid' string."""
+    _prep(spark)
+    from chronon_spark.operators.groupby import compute_snapshot_groupby
+
+    item = ("named_struct('sort_key',"
+            " lpad(CAST(CAST(round(value * 100, 0) AS BIGINT) AS STRING), 8, '0'),"
+            " 'unique_id', event_id % 50)")
+    gb = GroupBy(
+        sources=[_events_source(sf_dir, {"user_id": "user_id", "item": item})],
+        key_columns=["user_id"],
+        aggregations=[
+            Aggregation("item", Operation.UNIQUE_TOP_K, {"k": 3},
+                        windows=[Window(7)]),
+        ],
+        name="utk",
+    )
+    out = compute_snapshot_groupby(spark, gb)
+    joined = F.array_join(
+        F.transform(
+            F.col("item_unique_top3_7d"),
+            lambda e: F.concat_ws(":", e["sort_key"], e["unique_id"]),
+        ),
+        ",",
+    )
+    return out.select("user_id", "ds", joined.alias("utk3"))
+
+
 FIXTURE_N, FIXTURE_SEED = 500, 42
 _FIXTURE_PATH = f"/root/repo/.fixtures/images_n{FIXTURE_N}_s{FIXTURE_SEED}.parquet"
 
@@ -1063,6 +1176,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_mapcol": q_groupby_mapcol,
         "backfill_resume": q_backfill_resume,
         "groupby_approx_unique": q_groupby_approx_unique,
+        "bootstrap_covered": q_bootstrap_covered,
+        "groupby_frequent_k": q_groupby_frequent_k,
+        "groupby_unique_topk_struct": q_groupby_unique_topk_struct,
     }
 
 
@@ -1299,6 +1415,59 @@ def oracle_sql() -> dict[str, str]:
         """,
         # temporal as-of: tail = floor((T - w)/hop)*hop (1d window -> 1h hop,
         # 7d -> 1h hop per Resolution.scala:38-48), head inclusive.
+        "bootstrap_covered": f"""
+            WITH l AS (SELECT event_id, user_id, epoch_ms(ts) AS ts FROM events),
+            e AS (SELECT user_id, epoch_ms(ts) AS ts,
+                         CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+            comp AS (
+              SELECT l.event_id, l.user_id, l.ts,
+                     ROUND(SUM(CASE WHEN e.ts >= ((l.ts - {7 * DAY}) // {HOUR}) * {HOUR}
+                               THEN e.cents END) / 100.0, 6) AS sum_real
+              FROM l LEFT JOIN e ON l.user_id = e.user_id AND e.ts <= l.ts
+              GROUP BY l.event_id, l.user_id, l.ts
+            )
+            SELECT event_id, user_id, ts,
+                   CASE WHEN event_id % 5 = 0 THEN -123.45 ELSE sum_real END AS sum_7d
+            FROM comp
+        """,
+        "groupby_frequent_k": f"""
+            WITH {_SNAP_DAYS},
+            j AS (
+              SELECT d.user_id, d.ds, e.event_type AS etype, COUNT(*) AS cnt
+              FROM days d JOIN events e ON d.user_id = e.user_id AND {_snap_window(7)}
+              GROUP BY d.user_id, d.ds, e.event_type
+            ),
+            r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id, ds ORDER BY cnt DESC, etype) AS rn
+              FROM j
+            ),
+            agg AS (
+              SELECT user_id, ds,
+                     string_agg(etype || ':' || cnt, ',' ORDER BY cnt DESC, etype)
+                       AS top2
+              FROM r WHERE rn <= 2 GROUP BY user_id, ds
+            )
+            SELECT user_id, ds, top2 AS freq2, top2 AS hh2 FROM agg
+        """,
+        "groupby_unique_topk_struct": f"""
+            WITH {_SNAP_DAYS},
+            j AS (
+              SELECT d.user_id, d.ds, e.event_id % 50 AS uid,
+                     max(lpad(CAST(CAST(round(e.value * 100, 0) AS BIGINT) AS VARCHAR),
+                              8, '0')) AS sk
+              FROM days d JOIN events e ON d.user_id = e.user_id AND {_snap_window(7)}
+              GROUP BY d.user_id, d.ds, e.event_id % 50
+            ),
+            r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id, ds ORDER BY sk DESC, uid) AS rn
+              FROM j
+            )
+            SELECT user_id, ds,
+                   string_agg(sk || ':' || uid, ',' ORDER BY sk DESC, uid) AS utk3
+            FROM r WHERE rn <= 3 GROUP BY user_id, ds
+        """,
         "temporal_join_asof": f"""
             WITH l AS (SELECT event_id, user_id, epoch_ms(ts) AS ts FROM events),
             e AS (SELECT user_id, epoch_ms(ts) AS ts,
