@@ -631,18 +631,48 @@ def compute_temporal_join(
     rng: Optional[PartitionRange] = None,
     spec: PartitionSpec = DEFAULT_SPEC,
 ) -> DataFrame:
-    """Full join: left source scanned once, then enriched part-by-part
-    (sequential cogroups — each part is one co-partitioned shuffle stage,
-    the analog of the reference's per-part JoinPartJobs folded by MergeJob)."""
+    """Full join: left source scanned once, then enriched per part.
+
+    Single part: one co-partitioned cogroup over the left (no extra join).
+    Multiple parts: each part cogroups a SLIM probe — (row_id, ts, the
+    union of join-key columns) — and the feature columns merge back onto
+    the left by row id at the end (the monolith analog of the modular
+    MergeJob, reference MergeJob.scala:81-140). Chaining parts directly
+    would push part 1..N-1's feature columns through part N's Arrow
+    kernel serde: payload grows linearly with part count for nothing.
+    Row ids are minted with monotonically_increasing_id over the scanned
+    left — deterministic because the left plan below it is a parquet scan
+    plus narrow ops (no round-robin repartition); the modular path
+    materializes ids to disk for full re-execution safety."""
     from chronon_spark.sources.scan import scan_source
 
     left_df = scan_source(spark, join.left, rng, spec)
     left_df = _apply_skew_filter(left_df, join)
-    out = left_df
-    for jp in join.join_parts:
-        out = compute_temporal_join_part(
-            spark, out, jp, rng, spec, skew_keys=join.skew_keys, probe_df=left_df
+    if len(join.join_parts) <= 1:
+        out = left_df
+        for jp in join.join_parts:
+            out = compute_temporal_join_part(
+                spark, out, jp, rng, spec, skew_keys=join.skew_keys,
+                probe_df=left_df,
+            )
+    else:
+        row_id = "__row_id"
+        base = left_df.withColumn(row_id, F.monotonically_increasing_id())
+        need = {TIME_COLUMN}
+        for jp in join.join_parts:
+            need.update(jp.right_to_left_keys().values())
+        slim = base.select(
+            *[c for c in base.columns if c in need], row_id
         )
+        out = base
+        for jp in join.join_parts:
+            pf = compute_temporal_join_part(
+                spark, slim, jp, rng, spec, skew_keys=join.skew_keys,
+                probe_df=left_df,
+            )
+            fcols = [c for c in pf.columns if c not in slim.columns]
+            out = out.join(pf.select(row_id, *fcols), row_id, "left")
+        out = out.drop(row_id)
     if join.derivations:
         from chronon_spark.api import apply_derivations
 

@@ -25,6 +25,7 @@ from chronon_spark.api import (
 )
 from chronon_spark.operators.temporal_join import (
     compute_temporal_join,
+    compute_temporal_join_part,
     temporal_features,
 )
 
@@ -259,3 +260,50 @@ def test_self_features_match_join_path(spark):
         assert a[k][2] == pytest.approx(b[k][2]), k
         assert a[k][3] == pytest.approx(b[k][3]), k
         assert a[k][4] == pytest.approx(b[k][4]), k
+
+
+def test_multi_part_row_id_merge_flat_payload(spark, data):
+    """3-part monolith join: each part cogroups the SLIM (row_id, keys, ts)
+    probe — earlier parts' features never ride through later kernels'
+    Arrow serde — and the row-id merge reproduces the chained result."""
+    left, right = data
+    left3 = left.withColumn("payload", F.concat(F.lit("blob_"), F.col("ts")))
+    right_src = DataFrameSource(lambda s: right)
+    gbs = [
+        GroupBy(sources=[right_src], key_columns=["user_id"],
+                aggregations=[Aggregation("value", op, windows=[Window(w)])],
+                name=f"g{i}")
+        for i, (op, w) in enumerate(
+            [(Operation.SUM, 7), (Operation.MAX, 30), (Operation.COUNT, 1)])
+    ]
+    join = Join(left=DataFrameSource(lambda s: left3),
+                join_parts=[JoinPart(g) for g in gbs], name="j3")
+    out = compute_temporal_join(spark, join)
+
+    # plan: features merge back by row id; the cogroups read the slim probe
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "__row_id" in plan
+    import re
+    cogroups = re.findall(r"FlatMapCoGroupsInPandas[^\n]*?kernel\(([^)]*)\)", plan)
+    assert len(cogroups) == 3
+    for inputs in cogroups:  # kernel INPUTS: slim probe only, no features
+        assert "payload" not in inputs, inputs
+        assert not re.search(r"\bg\d_", inputs), inputs
+
+    # equivalence vs part-by-part chaining
+    chained = left3
+    for g in gbs:
+        chained = compute_temporal_join_part(spark, chained, JoinPart(g))
+    a = {(r["user_id"], r["ts"]): r for r in out.collect()}
+    b = {(r["user_id"], r["ts"]): r for r in chained.collect()}
+    assert set(a) == set(b)
+    fcols = [c for c in out.columns if c.startswith("g")]
+    assert len(fcols) == 3
+    for k in a:
+        assert a[k]["payload"] == b[k]["payload"]
+        for c in fcols:
+            av, bv = a[k][c], b[k][c]
+            if isinstance(av, float):
+                assert av == pytest.approx(bv), (k, c)
+            else:
+                assert av == bv, (k, c)
