@@ -60,7 +60,9 @@ PIXEL_FEATURE_SCHEMA = (
 )
 
 
-def extract_pixel_features(df: DataFrame) -> DataFrame:
+def extract_pixel_features(
+    df: DataFrame, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     """Decode + pixel-derived features in one Arrow pass.
 
     Input columns: image_id, bytes, w, h, fmt. Output one row per image:
@@ -68,7 +70,17 @@ def extract_pixel_features(df: DataFrame) -> DataFrame:
     per-channel means, contrast (grayscale std), edge energy (mean
     gradient magnitude), aspect ratio. Unknown codecs yield
     decode_ok=false rows instead of failing the job.
+
+    `passthrough` columns of the input are carried through the Arrow
+    batch unchanged (pandas column slice, no per-row work) and appended
+    to the output. This FUSES the decode stage with downstream
+    consumers: carrying (entity key, ts, payload) through decode lets
+    the pixel features ride an as-of join's probe side directly —
+    decode -> cogroup in two stages with no image_id merge join and no
+    shuffle of the binary column at all.
     """
+    pt_fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    pt_schema = "".join(f", `{c}` {pt_fields[c]}" for c in passthrough)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -100,10 +112,16 @@ def extract_pixel_features(df: DataFrame) -> DataFrame:
                 out["edge_energy"].append(float(np.hypot(gx, gy).mean()))
                 out["aspect"].append(float(w) / float(h))
                 out["decode_ok"].append(True)
-            yield pd.DataFrame(out)
+            res = pd.DataFrame(out)
+            for c in passthrough:
+                res[c] = pdf[c].reset_index(drop=True)
+            yield res
 
-    return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
-        batches, schema=PIXEL_FEATURE_SCHEMA
+    in_cols = list(dict.fromkeys(
+        ["image_id", "bytes", "w", "h", "fmt"] + list(passthrough)
+    ))
+    return df.select(*in_cols).mapInPandas(
+        batches, schema=PIXEL_FEATURE_SCHEMA + pt_schema
     )
 
 
@@ -144,8 +162,9 @@ def sample_frames(df: DataFrame, every_n: int) -> DataFrame:
 
 
 def with_image_features(images: DataFrame) -> DataFrame:
-    """The image table enriched with pixel features (broadcast-free join on
-    image_id: both sides are partitioned by the same key, and the feature
-    side is a projection of the image side, so AQE plans a cheap join)."""
-    feats = extract_pixel_features(images)
-    return images.join(feats, "image_id", "left")
+    """The image table enriched with pixel features — single scan-shaped
+    stage: every non-payload input column is carried through the decode
+    UDF as a passthrough, so there is NO image_id merge join and NO
+    shuffle (the r2 version joined two 480k-row frames instead)."""
+    extra = tuple(c for c in images.columns if c != "image_id")
+    return extract_pixel_features(images, passthrough=extra)

@@ -1,0 +1,141 @@
+"""Persistable mergeable sketch IRs (reference parity:
+SimpleAggregators.scala:400-491 CPC unique, :499-585 KLL percentile —
+bounded binary partials persisted to IR tables and merged across jobs).
+
+The numpy KLL is validated against exact quantiles (rank-error bound),
+its serde round-trips bit-exactly, and the Spark IR tables demonstrate
+the cross-JOB workflow: two jobs each build partials over half the date
+range, a third merges the unioned IR tables and matches a single-pass
+computation over the full range.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from chronon_spark.operators.sketches import (
+    KLL,
+    merge_quantile_irs,
+    merge_unique_irs,
+    write_quantile_ir,
+    write_unique_ir,
+)
+
+
+def exact_q(vals: np.ndarray, p: float) -> float:
+    """Engine-pinned convention: value at rank max(1, ceil(p*n))."""
+    s = np.sort(vals)
+    return float(s[max(1, int(np.ceil(p * len(s)))) - 1])
+
+
+class TestKLLUnit:
+    def test_exact_when_small(self):
+        sk = KLL(k=200)
+        vals = np.arange(100, dtype=np.float64)
+        sk.update_many(vals)
+        for p in (0.1, 0.5, 0.9, 0.99):
+            assert sk.quantile(p) == exact_q(vals, p)
+
+    def test_rank_error_bounded(self):
+        rng = np.random.default_rng(7)
+        vals = rng.lognormal(0, 2, size=200_000)
+        sk = KLL(k=200)
+        sk.update_many(vals)
+        s = np.sort(vals)
+        for p in (0.05, 0.25, 0.5, 0.75, 0.95):
+            est = sk.quantile(p)
+            # rank of the estimate must be within ~3/k of p
+            rank = np.searchsorted(s, est) / len(s)
+            assert abs(rank - p) < 3.0 / 200, (p, rank)
+
+    def test_serde_roundtrip_bit_exact(self):
+        rng = np.random.default_rng(11)
+        sk = KLL(k=64)
+        sk.update_many(rng.normal(size=5000))
+        blob = sk.to_bytes()
+        sk2 = KLL.from_bytes(blob)
+        assert sk2.n == sk.n
+        assert sk2.to_bytes() == blob
+        for p in (0.1, 0.5, 0.9):
+            assert sk2.quantile(p) == sk.quantile(p)
+
+    def test_merge_matches_union(self):
+        rng = np.random.default_rng(3)
+        a, b = rng.normal(size=50_000), rng.normal(3, 1, size=50_000)
+        ska, skb = KLL(k=200), KLL(k=200)
+        ska.update_many(a)
+        skb.update_many(b)
+        merged = ska.merge(skb)
+        assert merged.n == 100_000
+        s = np.sort(np.concatenate([a, b]))
+        for p in (0.25, 0.5, 0.75):
+            rank = np.searchsorted(s, merged.quantile(p)) / len(s)
+            assert abs(rank - p) < 4.0 / 200
+
+    def test_empty_and_single(self):
+        sk = KLL()
+        assert sk.quantile(0.5) is None
+        sk.update(42.0)
+        assert sk.quantile(0.5) == 42.0
+        rt = KLL.from_bytes(sk.to_bytes())
+        assert rt.quantile(0.99) == 42.0
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rng = np.random.default_rng(19)
+    n = 40_000
+    pdf = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 50, n),
+            "value": rng.lognormal(1, 1.5, n),
+            "ds": np.where(
+                rng.random(n) < 0.5, "2024-01-0" + pd.Series(rng.integers(1, 5, n)).astype(str),
+                "2024-01-0" + pd.Series(rng.integers(5, 9, n)).astype(str),
+            ),
+        }
+    )
+    return spark.createDataFrame(pdf), pdf
+
+
+class TestQuantileIRTable:
+    def test_cross_job_merge_matches_single_pass(self, spark, events):
+        df, pdf = events
+        # job 1 and job 2 backfill DISJOINT date ranges independently
+        job1 = write_quantile_ir(df.where(F.col("ds") < "2024-01-05"), ["user_id"], "value", k=256)
+        job2 = write_quantile_ir(df.where(F.col("ds") >= "2024-01-05"), ["user_id"], "value", k=256)
+        # a later job merges the persisted IR tables (round-trip through
+        # parquet-style binary payloads is exactly what union carries)
+        merged = merge_quantile_irs(job1.unionByName(job2), ["user_id"], [0.5, 0.95]).toPandas()
+        assert len(merged) == pdf["user_id"].nunique()
+        for _, row in merged.iterrows():
+            vals = pdf.loc[pdf.user_id == row.user_id, "value"].to_numpy()
+            for pct, col in ((0.5, "p50"), (0.95, "p95")):
+                s = np.sort(vals)
+                rank = np.searchsorted(s, row[col], side="right") / len(s)
+                assert abs(rank - pct) < 0.05, (row.user_id, pct, rank)
+
+    def test_ir_is_bounded(self, spark, events):
+        df, _ = events
+        ir = write_quantile_ir(df, ["user_id"], "value", k=64).toPandas()
+        # every payload bounded: ~k anchors per level chain, 8B each
+        assert ir["kll_ir"].map(len).max() < 64 * 8 * 6
+
+    def test_exact_in_small_regime(self, spark):
+        pdf = pd.DataFrame({"user_id": [1] * 20, "value": list(range(20)), "ds": ["2024-01-01"] * 20})
+        ir = write_quantile_ir(spark.createDataFrame(pdf), ["user_id"], "value", k=256)
+        out = merge_quantile_irs(ir, ["user_id"], [0.5]).toPandas()
+        assert out.loc[0, "p50"] == exact_q(np.arange(20), 0.5)
+
+
+class TestUniqueIRTable:
+    def test_cross_job_hll_union(self, spark, events):
+        df, pdf = events
+        job1 = write_unique_ir(df.where(F.col("ds") < "2024-01-05"), ["user_id"], "value")
+        job2 = write_unique_ir(df.where(F.col("ds") >= "2024-01-05"), ["user_id"], "value")
+        got = merge_unique_irs(job1.unionByName(job2), ["user_id"]).toPandas()
+        truth = pdf.groupby("user_id")["value"].nunique()
+        for _, row in got.iterrows():
+            t = truth[row.user_id]
+            assert abs(row.unique_estimate - t) / t < 0.1, (row.user_id, row.unique_estimate, t)

@@ -116,17 +116,18 @@ def main() -> None:
         ]
 
         def run():
-            feats = extract_pixel_features(images)
-            meta = images.select(
-                "image_id", "phash", "ts",
+            # FUSED pipeline (r3): decode carries (phash, ts) through the
+            # Arrow batch, so the pixel features ride the as-of probe side
+            # directly — decode -> cogroup, two stages total. The r2 shape
+            # (decode, as-of, then an image_id merge join of two 480k-row
+            # frames) paid two extra exchanges + a join stage of pure
+            # fixed-floor latency that dragged 4->16 efficiency to 0.78.
+            feats = extract_pixel_features(images, passthrough=("phash", "ts"))
+            right = images.select(
+                "phash", "ts",
                 Fn.length("caption").cast("bigint").alias("caption_len"),
             )
-            asof = temporal_features(
-                meta.select("image_id", "phash", "ts"),
-                meta.select("phash", "ts", "caption_len"),
-                ["phash"], ["phash"], parts,
-            )
-            out = feats.join(asof, "image_id")
+            out = temporal_features(feats, right, ["phash"], ["phash"], parts)
             return out.count()
     else:
         # snapshot GroupBy: daily partials + window frames over the same
