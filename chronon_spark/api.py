@@ -330,6 +330,49 @@ class Join:
 
 
 @dataclass
+class Model:
+    """A model applied to source rows in batch (reference:
+    thrift/api.thrift:541-566 `Model`).
+
+    ``input_mapping``: model-input-name -> Spark SQL expression over the
+    source's columns (api.thrift:548). ``output_mapping``: output-name ->
+    Spark SQL expression over the model's raw output columns
+    (api.thrift:551). ``value_schema``: raw output column -> Spark type
+    string. ``inference_fn``: a VECTORIZED batch callable
+    (pandas.DataFrame of model inputs) -> pandas.DataFrame matching
+    value_schema — runs inside one Arrow pass, never per row. Remote
+    backends (VertexAI/SageMaker, api.thrift:568-571) are declared via
+    ``backend`` and stubbed: no network in this environment; a real
+    deployment implements the same batched-callable contract around its
+    endpoint client.
+    """
+
+    name: str
+    value_schema: dict[str, str]
+    inference_fn: Optional[Callable[..., Any]] = None  # (pd.DataFrame) -> pd.DataFrame
+    input_mapping: Optional[dict[str, str]] = None
+    output_mapping: Optional[dict[str, str]] = None
+    backend: str = "local"
+
+
+@dataclass
+class ModelTransformSource:
+    """Fourth Source union arm (reference: thrift/api.thrift:192,
+    599-610 `ModelTransforms`): enrich the output of other sources with
+    one or more models' outputs, feeding downstream GroupBy/Join.
+
+    ``passthrough_fields``: source columns carried alongside the model
+    outputs (api.thrift:604). The source's ``query`` DSL applies AFTER
+    enrichment, so selects/time_column can reference model outputs.
+    """
+
+    sources: list[Any]
+    models: list["Model"]
+    passthrough_fields: Optional[list[str]] = None
+    query: Query = field(default_factory=Query)
+
+
+@dataclass
 class StagingQuery:
     """Free-form Spark SQL with date macros, fill-what's-missing.
 

@@ -26,6 +26,7 @@ from chronon_spark.api import (
     EntitySource,
     EventSource,
     JoinSource,
+    ModelTransformSource,
     Query,
 )
 from chronon_spark.partitions import DEFAULT_SPEC, PartitionRange, PartitionSpec
@@ -204,6 +205,19 @@ def scan_source(
         return scan_source(
             spark,
             DataFrameSource(lambda s, df=upstream: df, query=source.query),
+            rng,
+            spec,
+        )
+    if isinstance(source, ModelTransformSource):
+        # fourth Source union arm (thrift/api.thrift:192): inner sources
+        # unioned, enriched with model outputs in one Arrow pass, then
+        # this source's Query DSL applies over the ENRICHED columns
+        from chronon_spark.operators.model_transforms import scan_model_transforms
+
+        enriched = scan_model_transforms(spark, source, rng, spec)
+        return scan_source(
+            spark,
+            DataFrameSource(lambda s, df=enriched: df, query=source.query),
             rng,
             spec,
         )
