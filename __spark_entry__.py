@@ -1139,6 +1139,326 @@ def q_image_asof_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_model_transform_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ModelTransforms source (4th Source union arm, thrift/api.thrift:192,
+    599-610): events enriched with a batched local model (linear scorer —
+    deterministic integer-valued doubles so sums are order-independent),
+    consumed by a snapshot GroupBy downstream."""
+    _prep(spark)
+    from chronon_spark.api import Model, ModelTransformSource
+    from chronon_spark.operators.groupby import compute_snapshot_groupby
+    from chronon_spark.operators.model_transforms import linear_scorer
+
+    src = ModelTransformSource(
+        sources=[_events_source(
+            sf_dir,
+            {"user_id": "user_id", "cents": "CAST(round(value * 100, 0) AS BIGINT)"},
+        )],
+        models=[Model(
+            name="scorer",
+            value_schema={"score": "double"},
+            inference_fn=linear_scorer({"c": 3.0}, bias=7.0, out_col="score"),
+            input_mapping={"c": "cents"},
+        )],
+        passthrough_fields=["user_id"],
+        query=Query(selects={"user_id": "user_id", "score": "score"}),
+    )
+    gb = GroupBy(
+        sources=[src],
+        key_columns=["user_id"],
+        aggregations=[
+            Aggregation("score", Operation.SUM, windows=[Window(7)]),
+            Aggregation("score", Operation.COUNT, windows=[Window(7)]),
+        ],
+        name="mt",
+    )
+    out = compute_snapshot_groupby(spark, gb)
+    return out.select(
+        "user_id", "ds",
+        F.round(F.col("score_sum_7d"), 6).alias("score_sum_7d"),
+        F.col("score_count_7d").alias("score_count_7d"),
+    )
+
+
+def q_sketch_ir_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistable mergeable sketch IRs (reference KLL-in-IR-table
+    strategy, SimpleAggregators.scala:499-585): TWO independent jobs each
+    write bounded binary KLL partials per (user, day) over half the date
+    range; a third job merges the unioned IR tables. At this scale every
+    partial stays in the sketch's exact regime, so the merged quantiles
+    equal the engine-pinned exact convention rank = max(1, ceil(p*n)) —
+    a hard value-hash, not a tolerance check."""
+    _prep(spark)
+    from chronon_spark.operators.sketches import (
+        merge_quantile_irs,
+        write_quantile_ir,
+    )
+    from chronon_spark.sources.scan import scan_source
+
+    ev = scan_source(spark, _events_source(
+        sf_dir,
+        {"user_id": "user_id", "cents": "CAST(round(value * 100, 0) AS BIGINT)"},
+    ))
+    job1 = write_quantile_ir(
+        ev.where("ds <= '2024-01-15'"), ["user_id"], "cents", k=1024)
+    job2 = write_quantile_ir(
+        ev.where("ds > '2024-01-15'"), ["user_id"], "cents", k=1024)
+    merged = merge_quantile_irs(
+        job1.unionByName(job2), ["user_id"], [0.5, 0.9])
+    return merged.select(
+        "user_id",
+        F.round(F.col("p50") / 100.0, 6).alias("p50"),
+        F.round(F.col("p90") / 100.0, 6).alias("p90"),
+    )
+
+
+def q_groupby_multisource_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source GroupBy (reference: GroupBy.from sources union,
+    GroupBy.scala renderDataSourceQuery): the same events table split into
+    two disjoint EventSources (even/odd event ids) unioned by the engine —
+    must equal the single-source aggregation exactly."""
+    _prep(spark)
+    from chronon_spark.operators.groupby import compute_snapshot_groupby
+
+    def half(which: str) -> EventSource:
+        return EventSource(
+            f"{sf_dir}/events.parquet",
+            Query(
+                selects={"user_id": "user_id",
+                         "cents": "CAST(round(value * 100, 0) AS BIGINT)"},
+                wheres=[f"event_id % 2 = {which}"],
+                time_column=TS_EXPR,
+            ),
+        )
+
+    gb = GroupBy(
+        sources=[half("0"), half("1")],
+        key_columns=["user_id"],
+        aggregations=[
+            Aggregation("cents", Operation.SUM, windows=[Window(7)]),
+            Aggregation("cents", Operation.COUNT, windows=[None]),
+        ],
+        name="u",
+    )
+    out = compute_snapshot_groupby(spark, gb)
+    return out.select(
+        "user_id", "ds",
+        F.round(F.col("cents_sum_7d") / 100.0, 6).alias("sum_7d"),
+        F.col("cents_count").alias("count_life"),
+    )
+
+
+def q_joinsource_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JoinSource chaining (Case #2, thrift/api.thrift:168-183;
+    replaceJoinSource GroupBy.scala:412-477): an upstream temporal join
+    computes each event's 1d count; a downstream snapshot GroupBy
+    aggregates that derived feature per user per day."""
+    _prep(spark)
+    from chronon_spark.api import JoinSource
+    from chronon_spark.operators.groupby import compute_snapshot_groupby
+
+    inner_gb = GroupBy(
+        sources=[EventSource(
+            f"{sf_dir}/events.parquet",
+            Query(selects={"user_id": "user_id",
+                           "cents": "CAST(round(value * 100, 0) AS BIGINT)"},
+                  time_column=TS_EXPR),
+            topic="t",  # TEMPORAL accuracy: as-of each event's own ts
+        )],
+        key_columns=["user_id"],
+        aggregations=[Aggregation("cents", Operation.COUNT, windows=[Window(1)])],
+        name="cnt",
+    )
+    inner = Join(
+        left=_events_source(sf_dir, {"event_id": "event_id", "user_id": "user_id"}),
+        join_parts=[JoinPart(inner_gb)],
+        name="inner",
+    )
+    outer = GroupBy(
+        sources=[JoinSource(
+            join=inner,
+            query=Query(selects={"user_id": "user_id", "c1": "cnt_cents_count_1d"},
+                        time_column="ts"),
+        )],
+        key_columns=["user_id"],
+        aggregations=[
+            Aggregation("c1", Operation.SUM, windows=[Window(7)]),
+            Aggregation("c1", Operation.MAX, windows=[Window(7)]),
+        ],
+        name="chain",
+    )
+    out = compute_snapshot_groupby(spark, outer)
+    return out.select(
+        "user_id", "ds",
+        F.col("c1_sum_7d").alias("c1_sum_7d"),
+        F.col("c1_max_7d").alias("c1_max_7d"),
+    )
+
+
+def q_temporal_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key salting equivalence under the driver gate: the SAME as-of
+    join as temporal_join_asof with spark.chronon.join.salt=4 (right side
+    replicated 4x, left spread by ts-hash) — must hash-match the plain
+    SQL oracle exactly, proving salting never changes results."""
+    _prep(spark)
+    from chronon_spark.operators.temporal_join import compute_temporal_join
+
+    right = _events_source(
+        sf_dir,
+        {"user_id": "user_id", "cents": "CAST(round(value * 100, 0) AS BIGINT)"},
+    )
+    gb = GroupBy(
+        sources=[right],
+        key_columns=["user_id"],
+        aggregations=[
+            Aggregation("cents", Operation.COUNT, windows=[Window(1), None]),
+            Aggregation("cents", Operation.SUM, windows=[Window(7)]),
+        ],
+        name="f",
+    )
+    join = Join(
+        left=_events_source(sf_dir, {"event_id": "event_id", "user_id": "user_id"}),
+        join_parts=[JoinPart(gb)],
+        name="salted",
+    )
+    spark.conf.set("spark.chronon.join.salt", "4")
+    try:
+        out = compute_temporal_join(spark, join)
+    finally:
+        spark.conf.set("spark.chronon.join.salt", "1")
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("f_cents_count_1d").alias("count_1d"),
+        F.col("f_cents_count").alias("count_life"),
+        F.round(F.col("f_cents_sum_7d") / 100.0, 6).alias("sum_7d"),
+    )
+
+
+def q_mixed_accuracy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part accuracy dispatch in ONE join (reference: Join.scala
+    computeJoinOpt per-part topology): a TEMPORAL part (as-of 1d count)
+    and a SNAPSHOT part (end-of-yesterday 7d sum) against the same left."""
+    _prep(spark)
+    from chronon_spark.api import Accuracy
+    from chronon_spark.operators.snapshot_join import compute_join
+
+    right_sel = {"user_id": "user_id",
+                 "cents": "CAST(round(value * 100, 0) AS BIGINT)"}
+    temporal_gb = GroupBy(
+        sources=[EventSource(f"{sf_dir}/events.parquet",
+                             Query(selects=right_sel, time_column=TS_EXPR),
+                             topic="t")],
+        key_columns=["user_id"],
+        aggregations=[Aggregation("cents", Operation.COUNT, windows=[Window(1)])],
+        name="t",
+    )
+    snapshot_gb = GroupBy(
+        sources=[_events_source(sf_dir, right_sel)],
+        key_columns=["user_id"],
+        aggregations=[Aggregation("cents", Operation.SUM, windows=[Window(7)])],
+        accuracy=Accuracy.SNAPSHOT,
+        name="s",
+    )
+    join = Join(
+        left=_events_source(sf_dir, {"event_id": "event_id", "user_id": "user_id"}),
+        join_parts=[JoinPart(temporal_gb), JoinPart(snapshot_gb)],
+        name="mixed",
+    )
+    out = compute_join(spark, join)
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("t_cents_count_1d").alias("count_1d"),
+        F.round(F.col("s_cents_sum_7d") / 100.0, 6).alias("ysum_7d"),
+    )
+
+
+def q_cumulative_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative EventSource (thrift/api.thrift:125-128; scan semantics
+    GroupBy.getIntersectedRange, GroupBy.scala:631-645): the LATEST
+    partition carries full history, earlier partitions are subsets — the
+    engine must scan only the latest and still match a plain aggregation
+    over the full event table (double-count = scanning all partitions)."""
+    _prep(spark)
+    import os
+
+    from chronon_spark.operators.groupby import compute_snapshot_groupby
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/root/repo/.fixtures/cumulative_events_{tag}.parquet"
+    if not os.path.exists(path):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        day = F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd")
+        early = ev.where(day <= "2024-01-15").withColumn("ds", F.lit("2024-01-15"))
+        full = ev.withColumn("ds", F.lit("2024-01-30"))
+        early.unionByName(full).write.parquet(path)
+    src = EventSource(
+        path,
+        Query(selects={"user_id": "user_id",
+                       "cents": "CAST(round(value * 100, 0) AS BIGINT)"},
+              time_column=TS_EXPR),
+        is_cumulative=True,
+    )
+    gb = GroupBy(
+        sources=[src],
+        key_columns=["user_id"],
+        aggregations=[
+            Aggregation("cents", Operation.SUM, windows=[Window(7)]),
+            Aggregation("cents", Operation.COUNT, windows=[None]),
+        ],
+        name="cum",
+    )
+    out = compute_snapshot_groupby(spark, gb)
+    return out.select(
+        "user_id", "ds",
+        F.round(F.col("cents_sum_7d") / 100.0, 6).alias("sum_7d"),
+        F.col("cents_count").alias("count_life"),
+    )
+
+
+def q_join_noagg_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-aggregation join part (reference: NoAggTest — raw dimension
+    columns as-of END OF YESTERDAY with per-key carry-forward): three
+    deterministic balance snapshots per customer; each event resolves the
+    latest snapshot whose ds <= date(event)-1, NULL before the first."""
+    _prep(spark)
+    import os
+
+    from chronon_spark.api import EntitySource
+    from chronon_spark.operators.snapshot_join import compute_join
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/root/repo/.fixtures/snapshots_customer_{tag}.parquet"
+    if not os.path.exists(path):
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        snaps = None
+        for i, ds in enumerate(["2024-01-05", "2024-01-12", "2024-01-20"]):
+            s = cust.selectExpr(
+                "c_custkey AS cust_key",
+                f"CAST(round(c_acctbal * 100, 0) AS BIGINT) + {i} AS bal_cents",
+                f"'{ds}' AS ds",
+            )
+            snaps = s if snaps is None else snaps.unionByName(s)
+        snaps.write.parquet(path)
+    gb = GroupBy(
+        sources=[EntitySource(path, Query())],
+        key_columns=["cust_key"],
+        aggregations=None,
+        name="dim",
+    )
+    join = Join(
+        left=_events_source(
+            sf_dir, {"event_id": "event_id", "cust": "user_id % 1500 + 1"}
+        ),
+        join_parts=[JoinPart(gb, key_mapping={"cust": "cust_key"})],
+        name="noagg",
+    )
+    out = compute_join(spark, join)
+    return out.select(
+        "event_id", "cust", "ts",
+        F.col("dim_bal_cents").alias("bal_cents"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_query_dsl": q_scan_query_dsl,
@@ -1179,6 +1499,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_covered": q_bootstrap_covered,
         "groupby_frequent_k": q_groupby_frequent_k,
         "groupby_unique_topk_struct": q_groupby_unique_topk_struct,
+        "model_transform_score": q_model_transform_score,
+        "sketch_ir_quantiles": q_sketch_ir_quantiles,
+        "groupby_multisource_union": q_groupby_multisource_union,
+        "joinsource_chained": q_joinsource_chained,
+        "temporal_join_salted": q_temporal_join_salted,
+        "mixed_accuracy_join": q_mixed_accuracy_join,
+        "cumulative_source": q_cumulative_source,
+        "join_noagg_passthrough": q_join_noagg_passthrough,
     }
 
 
@@ -1886,6 +2214,125 @@ def oracle_sql() -> dict[str, str]:
               AND e.ts <= l.ts
               AND e.ts >= ((l.ts - {7 * DAY}) // {HOUR}) * {HOUR}
             GROUP BY l.event_id, l.user_id, l.ts
+        """,
+        "temporal_join_salted": f"""
+            WITH l AS (SELECT event_id, user_id, epoch_ms(ts) AS ts FROM events),
+            e AS (SELECT user_id, epoch_ms(ts) AS ts,
+                         CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
+            SELECT l.event_id, l.user_id, l.ts,
+                   COUNT(CASE WHEN e.ts >= ((l.ts - {DAY}) // {HOUR}) * {HOUR}
+                              THEN e.cents END) AS count_1d,
+                   COUNT(e.cents) AS count_life,
+                   ROUND(SUM(CASE WHEN e.ts >= ((l.ts - {7 * DAY}) // {HOUR}) * {HOUR}
+                             THEN e.cents END) / 100.0, 6) AS sum_7d
+            FROM l LEFT JOIN e ON l.user_id = e.user_id AND e.ts <= l.ts
+            GROUP BY l.event_id, l.user_id, l.ts
+        """,
+        "model_transform_score": f"""
+            WITH {_SNAP_DAYS},
+            sc AS (SELECT user_id, ts,
+                          3.0 * CAST(round(value * 100, 0) AS BIGINT) + 7.0 AS score
+                   FROM events)
+            SELECT d.user_id, d.ds,
+                   ROUND(SUM(CASE WHEN {_snap_window(7)} THEN e.score END), 6)
+                       AS score_sum_7d,
+                   COUNT(CASE WHEN {_snap_window(7)} THEN e.score END)
+                       AS score_count_7d
+            FROM days d JOIN sc e ON d.user_id = e.user_id
+            GROUP BY d.user_id, d.ds
+        """,
+        "sketch_ir_quantiles": """
+            WITH ec AS (SELECT user_id,
+                               CAST(round(value * 100, 0) AS BIGINT) AS cents
+                        FROM events),
+            r AS (SELECT user_id, cents,
+                         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY cents) AS rn,
+                         COUNT(*) OVER (PARTITION BY user_id) AS n
+                  FROM ec)
+            SELECT user_id,
+                   ROUND(MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.5 * n) AS BIGINT))
+                             THEN cents END) / 100.0, 6) AS p50,
+                   ROUND(MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.9 * n) AS BIGINT))
+                             THEN cents END) / 100.0, 6) AS p90
+            FROM r GROUP BY user_id
+        """,
+        "groupby_multisource_union": f"""
+            WITH {_SNAP_DAYS},
+            ec AS (SELECT user_id, ts, CAST(round(value * 100, 0) AS BIGINT) AS cents
+                   FROM events)
+            SELECT d.user_id, d.ds,
+                   ROUND(SUM(CASE WHEN {_snap_window(7)} THEN e.cents END) / 100.0, 6)
+                       AS sum_7d,
+                   COUNT(CASE WHEN epoch_ms(e.ts) < {_EOD} THEN e.cents END)
+                       AS count_life
+            FROM days d JOIN ec e ON d.user_id = e.user_id
+            GROUP BY d.user_id, d.ds
+        """,
+        "joinsource_chained": f"""
+            WITH l AS (SELECT event_id, user_id, epoch_ms(ts) AS ts FROM events),
+            e AS (SELECT user_id, epoch_ms(ts) AS ts FROM events),
+            inner_j AS (
+              SELECT l.event_id, l.user_id, l.ts,
+                     COUNT(CASE WHEN e.ts >= ((l.ts - {DAY}) // {HOUR}) * {HOUR}
+                           THEN 1 END) AS c1
+              FROM l LEFT JOIN e ON l.user_id = e.user_id AND e.ts <= l.ts
+              GROUP BY l.event_id, l.user_id, l.ts
+            ),
+            days AS (SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS ds
+                     FROM events)
+            SELECT d.user_id, d.ds,
+                   SUM(CASE WHEN i.ts >= {_EOD} - {7 * DAY} AND i.ts < {_EOD}
+                       THEN i.c1 END) AS c1_sum_7d,
+                   MAX(CASE WHEN i.ts >= {_EOD} - {7 * DAY} AND i.ts < {_EOD}
+                       THEN i.c1 END) AS c1_max_7d
+            FROM days d JOIN inner_j i ON d.user_id = i.user_id
+            GROUP BY d.user_id, d.ds
+        """,
+        "mixed_accuracy_join": f"""
+            WITH l AS (SELECT event_id, user_id, epoch_ms(ts) AS ts,
+                              CAST(epoch(CAST(strftime(ts, '%Y-%m-%d') AS DATE)) AS BIGINT) * 1000
+                                  AS day0
+                       FROM events),
+            e AS (SELECT user_id, epoch_ms(ts) AS ts,
+                         CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
+            SELECT l.event_id, l.user_id, l.ts,
+                   COUNT(CASE WHEN e.ts <= l.ts
+                              AND e.ts >= ((l.ts - {DAY}) // {HOUR}) * {HOUR}
+                         THEN e.cents END) AS count_1d,
+                   ROUND(SUM(CASE WHEN e.ts >= l.day0 - {7 * DAY} AND e.ts < l.day0
+                             THEN e.cents END) / 100.0, 6) AS ysum_7d
+            FROM l LEFT JOIN e ON l.user_id = e.user_id
+            GROUP BY l.event_id, l.user_id, l.ts, l.day0
+        """,
+        "cumulative_source": f"""
+            WITH {_SNAP_DAYS},
+            ec AS (SELECT user_id, ts, CAST(round(value * 100, 0) AS BIGINT) AS cents
+                   FROM events)
+            SELECT d.user_id, d.ds,
+                   ROUND(SUM(CASE WHEN {_snap_window(7)} THEN e.cents END) / 100.0, 6)
+                       AS sum_7d,
+                   COUNT(CASE WHEN epoch_ms(e.ts) < {_EOD} THEN e.cents END)
+                       AS count_life
+            FROM days d JOIN ec e ON d.user_id = e.user_id
+            GROUP BY d.user_id, d.ds
+        """,
+        "join_noagg_passthrough": """
+            WITH snaps AS (
+              SELECT c_custkey AS cust_key,
+                     CAST(round(c_acctbal * 100, 0) AS BIGINT) + s.i AS bal_cents,
+                     s.ds
+              FROM customer,
+                   (VALUES (0, '2024-01-05'), (1, '2024-01-12'), (2, '2024-01-20'))
+                       s(i, ds)
+            ),
+            l AS (SELECT event_id, user_id % 1500 + 1 AS cust, epoch_ms(ts) AS ts,
+                         strftime(CAST(ts AS DATE) - INTERVAL 1 DAY, '%Y-%m-%d') AS yds
+                  FROM events)
+            SELECT l.event_id, l.cust, l.ts,
+                   ARG_MAX(s.bal_cents, s.ds) AS bal_cents
+            FROM l LEFT JOIN snaps s
+              ON s.cust_key = l.cust AND s.ds <= l.yds
+            GROUP BY l.event_id, l.cust, l.ts
         """,
     }
 
