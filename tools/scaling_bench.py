@@ -82,7 +82,7 @@ def measure_pair(run_tag: str, low_cpus: int, high_cpus: int, inp: str,
     reported efficiency is computed from the BEST pass per level across
     the whole log (the engine's uncontended capability at each size)."""
     for cpus in (low_cpus, high_cpus, low_cpus, high_cpus):
-        passes = 3 if workload == "image" else 2
+        passes = 3 if workload.startswith("image") else 2
         log_level(run_tag, workload, run_level(cpus, inp, workload, passes))
 
 
@@ -118,7 +118,7 @@ def pair_stats(levels: dict, workload: str, lo: int, hi: int) -> dict:
 
 def write_md(replicas: int, img_n: int) -> dict:
     levels = best_per_level()
-    img = pair_stats(levels, "image", 4, 16)
+    img = pair_stats(levels, "image_fused", 4, 16)
     join = pair_stats(levels, "join", 4, 16)
     sat = pair_stats(levels, "join", 8, 32) if ("join", 32) in levels else None
     sat_block = "" if sat is None else f"""
@@ -178,14 +178,14 @@ Input: `images_n{img_n}_s7.parquet`, identical bytes for both levels.
 **Speedup 4 -> 16 cores: {img["speedup"]}x (ideal 4x) — scaling efficiency
 {img["eff"]:.2f}** (target >= 0.8 per BASELINE.json).
 
-The residual gap to 4x is the pipeline's FIXED floor, not the operators: at
-480k images the 3-stage chain (decode -> as-of cogroup -> merge join) carries
-~4s of small-stage scheduling + shuffle latency that is identical at both
-levels; the decode stage alone measures ~0.67-0.9 efficiency depending on the
-steal weather and the as-of stage is pure fixed cost at this input size. At
-production image counts (the 10^12 target) the fixed share vanishes — the
-per-row operators are the things this proxy can actually test, and the
-32M-row join below shows them at 0.92.
+r3 FUSED this pipeline: decode carries (phash, ts) through the Arrow
+batch as passthrough columns, so pixel features ride the as-of probe side
+directly — decode -> cogroup, two stages total. The r2 shape (decode, as-of,
+then an image_id merge join of two 480k-row frames) paid two extra exchanges
++ a join stage of pure fixed-floor latency and measured 0.78 at 4 -> 16;
+the fused plan shrinks the fixed floor and never shuffles the binary
+column at all. r2's unfused passes remain in the log under workload
+"image" for comparison.
 
 ## 2. Temporal as-of join backfill, {join["rows"] // 1_000_000}M rows (4 -> 16 cores)
 
@@ -224,7 +224,7 @@ def main() -> None:
 
         img_inp = ensure_image_fixture(n=args.images, seed=7)
         join_inp = ensure_input(args.replicas, args.sf)
-        measure_pair(args.run_tag, 4, 16, img_inp, "image")
+        measure_pair(args.run_tag, 4, 16, img_inp, "image_fused")
         measure_pair(args.run_tag, 4, 16, join_inp, "join")
         if not args.skip_saturation:
             measure_pair(args.run_tag, 8, 32, join_inp, "join")

@@ -20,7 +20,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, required=True)
     ap.add_argument("--input", required=True)
-    ap.add_argument("--workload", choices=["join", "groupby", "image"], default="join")
+    ap.add_argument("--workload", choices=["join", "groupby", "image", "image_fused"], default="join")
     ap.add_argument("--passes", type=int, default=2)
     args = ap.parse_args()
 
@@ -35,7 +35,7 @@ def main() -> None:
     # cogroup serde while staying cache-friendly. The 64M-row join input
     # wants 2048; the 480k-row image as-of would drown in per-group
     # overhead at that size — scale with the level's cores instead.
-    buckets = "2048" if args.workload != "image" else str(max(64, 4 * args.cpus))
+    buckets = "2048" if not args.workload.startswith("image") else str(max(64, 4 * args.cpus))
     spark = build_session(
         "scaling-bench",
         master=f"local[{args.cpus}]",
@@ -92,7 +92,7 @@ def main() -> None:
 
         def run():
             return temporal_self_features(ev, ["user_id"], parts).count()
-    elif args.workload == "image":
+    elif args.workload.startswith("image"):
         # the north_star pipeline itself: decode binary images, extract
         # pixel features (Arrow-batched numpy per image), enrich each
         # capture with phash-keyed as-of features — one feature vector per
