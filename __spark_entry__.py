@@ -410,6 +410,41 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, qs, k=10, planes=8, probes=3)
 
 
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: hyperplane-LSH bucket join (6 planes,
+    deterministic LCG hyperplanes) + exact-cosine verification at
+    threshold 0.25. DERIVED DETERMINISTIC ORACLE: DuckDB replicates the
+    sign-bit sketch bit-for-bit (list_dot_product against the same
+    hyperplane literals), so the oracle reproduces BOTH the pruning and
+    the verification — a hash match proves the whole candidate-gen +
+    verify pipeline. Vectors cast to double on both engines."""
+    _prep(spark)
+    from chronon_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return embedding_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.25, planes=6, dim=64
+    )
+
+
+def _hyperplane_bits_sql(dim: int, planes: int) -> str:
+    """DuckDB expression reproducing similarity.hyperplane_bits exactly:
+    sign bit of <v, H_p> per plane, packed into a BIGINT."""
+    from chronon_spark.operators.similarity import hyperplane_matrix
+
+    H = hyperplane_matrix(dim, planes)
+    terms = []
+    for p in range(planes):
+        lits = ", ".join(repr(x) for x in H[p])
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, [{lits}]) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
 def q_temporal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal HISTOGRAM: event_type -> count map over a 1d window as-of
     each event, exploded to rows for the oracle."""
@@ -1477,6 +1512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "embedding_topk": q_embedding_topk,
         "embedding_lsh_topk": q_embedding_lsh_topk,
+        "embedding_neardup": q_embedding_neardup,
         "image_pixel_features": q_image_pixel_features,
         "image_asof_features": q_image_asof_features,
         "snapshot_join_yesterday": q_snapshot_join_yesterday,
@@ -2064,6 +2100,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, ROUND(cos + 1e-9, 6) AS cosine, rank
             FROM ranked WHERE rank <= 10
+        """,
+        # derived deterministic oracle (round-3): DuckDB reproduces the
+        # 6-plane sign-bit sketch exactly (list_dot_product against the
+        # same LCG hyperplane literals the engine uses), so bucket pruning
+        # AND exact-cosine verification are both replicated — a value-hash
+        # match certifies the full near-dup pipeline, not just the verify.
+        "embedding_neardup": f"""
+            WITH e AS (
+              SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings
+            ),
+            sk AS (SELECT id, v, {_hyperplane_bits_sql(64, 6)} AS bits FROM e),
+            cand AS (
+              SELECT a.id AS id_a, b.id AS id_b,
+                     list_cosine_similarity(a.v, b.v) AS cos
+              FROM sk a JOIN sk b ON a.bits = b.bits AND a.id < b.id
+            )
+            SELECT id_a, id_b, ROUND(cos + 1e-9, 6) AS cosine
+            FROM cand WHERE ROUND(cos + 1e-9, 6) >= 0.25
         """,
         # image-fixture oracles read the deterministic parquet written by
         # ensure_image_fixture (oracle_sql() pre-generates it). Pixel decode
