@@ -429,6 +429,25 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10 (spherical-k-means coarse quantizer, bounded driver
+    training sample, scan-shaped Arrow cell assignment, broadcast probe
+    join). Run at nprobe = n_centroids, where IVF is EXACTLY brute force
+    — the DuckDB oracle is the exact cosine top-k, so a hash match
+    certifies the whole quantize/assign/probe/rescore pipeline. Partial
+    probe (the |corpus|*nprobe/n_centroids scale path) is recall-tested
+    in pytest."""
+    _prep(spark)
+    from chronon_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id").isin([3, 4, 5])).collect()
+    ]
+    return ivf_topk(emb, qs, k=10, n_centroids=16, nprobe=16)
+
+
 def _hyperplane_bits_sql(dim: int, planes: int) -> str:
     """DuckDB expression reproducing similarity.hyperplane_bits exactly:
     sign bit of <v, H_p> per plane, packed into a BIGINT."""
@@ -1513,6 +1532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
         "image_pixel_features": q_image_pixel_features,
         "image_asof_features": q_image_asof_features,
         "snapshot_join_yesterday": q_snapshot_join_yesterday,
@@ -2087,6 +2107,26 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(e.v, q.qv) AS cos
+              FROM q CROSS JOIN e
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, cos,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+              FROM scored
+            )
+            SELECT query_id, vec_id, ROUND(cos + 1e-9, 6) AS cosine, rank
+            FROM ranked WHERE rank <= 10
+        """,
+        # full-probe IVF == exact brute force, so the oracle is the plain
+        # cosine top-k — identical shape to embedding_topk but over query
+        # vectors 3/4/5 (and exercising the IVF pipeline on the engine side).
+        "embedding_ivf_topk": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (3, 4, 5)),
             scored AS (
               SELECT q.query_id, e.vec_id,
                      list_cosine_similarity(e.v, q.qv) AS cos

@@ -205,3 +205,52 @@ def test_embedding_neardup_bucket_cap(spark):
     got = pairs.collect()
     # the 30-row degenerate bucket (435 pairs) was dropped entirely
     assert not any(r["id_a"] < 100 and r["id_b"] < 100 for r in got)
+
+
+def test_ivf_topk_full_probe_equals_brute_force(spark):
+    """nprobe >= n_centroids probes every cell, so IVF must reproduce the
+    exact brute-force ranking bit-for-bit (the driver oracle's regime)."""
+    from chronon_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(17)
+    vecs = rng.normal(size=(250, 16)).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(250)], "vec_id long, embedding array<double>"
+    )
+    qs = [(0, vecs[0].tolist()), (3, vecs[3].tolist())]
+    bf = [tuple(r) for r in brute_force_topk(df, qs, k=8).orderBy("query_id", "rank").collect()]
+    fu = [tuple(r) for r in ivf_topk(df, qs, k=8, n_centroids=12, nprobe=12)
+          .orderBy("query_id", "rank").collect()]
+    assert bf == fu
+
+
+def test_ivf_topk_recall_on_clustered_data(spark):
+    """Partial probe (the scale path) keeps high recall on clustered
+    data: neighbors of a query concentrate in the query's nearest cells."""
+    from chronon_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(21)
+    centers = rng.normal(size=(10, 16)) * 3
+    vecs = np.vstack([
+        centers[i % 10] + rng.normal(size=16) * 0.3 for i in range(300)
+    ])
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(300)], "vec_id long, embedding array<double>"
+    )
+    qs = [(0, vecs[0].tolist()), (5, vecs[5].tolist())]
+    bf = {(r["query_id"], r["vec_id"]) for r in brute_force_topk(df, qs, k=10).collect()}
+    ann = {(r["query_id"], r["vec_id"])
+           for r in ivf_topk(df, qs, k=10, n_centroids=20, nprobe=4).collect()}
+    recall = len(bf & ann) / len(bf)
+    assert recall >= 0.8, f"recall {recall}"
+
+
+def test_kmeans_centroids_deterministic():
+    from chronon_spark.operators.similarity import kmeans_centroids
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(400, 8))
+    C1 = kmeans_centroids(X, 16, iters=10, seed=7)
+    C2 = kmeans_centroids(X, 16, iters=10, seed=7)
+    assert np.array_equal(C1, C2)
+    assert np.allclose(np.linalg.norm(C1, axis=1), 1.0)
