@@ -1193,6 +1193,66 @@ def q_image_asof_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VIDEO_N, VIDEO_SEED = 200, 77
+_VIDEO_FIXTURE_PATH = f"/root/repo/.fixtures/videos_n{VIDEO_N}_s{VIDEO_SEED}.parquet"
+AUDIO_N, AUDIO_SEED = 300, 55
+_AUDIO_FIXTURE_PATH = f"/root/repo/.fixtures/audio_n{AUDIO_N}_s{AUDIO_SEED}.parquet"
+
+
+def _video_fixture_path() -> str:
+    from chronon_spark.fixtures import ensure_video_fixture
+
+    return ensure_video_fixture(n=VIDEO_N, seed=VIDEO_SEED)
+
+
+def _audio_fixture_path() -> str:
+    from chronon_spark.fixtures import ensure_audio_fixture
+
+    return ensure_audio_fixture(n=AUDIO_N, seed=AUDIO_SEED)
+
+
+def q_video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video binary columns ('vraw' = concatenated rgb8 frames): fused
+    decode -> frame-sample -> per-video features in ONE Arrow pass
+    (frame-0 phash integrity, mean brightness, motion energy). The
+    oracle reads the fixture's generation-time sidecar columns, so a
+    hash match proves the engine reproduces them from the binary payload
+    alone via the Spark path. Frame EXPLOSION (sample_frames) and its
+    composition with the image feature suite are pytest-covered."""
+    _prep(spark)
+    from chronon_spark.operators.multimodal import extract_video_features
+
+    vids = spark.read.parquet(_video_fixture_path())
+    out = extract_video_features(vids, every_n=1)
+    return out.join(vids.select("video_id", "phash"), "video_id").select(
+        "video_id",
+        (F.col("phash0_check") == F.col("phash")).alias("phash_match"),
+        "n_frames_read",
+        F.round(F.col("brightness") + 1e-9, 6).alias("brightness"),
+        F.round(F.col("motion_energy") + 1e-9, 6).alias("motion_energy"),
+    )
+
+
+def q_audio_clip_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio binary columns ('pcm16' = int16 LE mono): RMS, zero-crossing
+    rate, spectral centroid (rfft), duration in one Arrow pass. Oracle =
+    the fixture's generation-time sidecars (same contract as the video
+    and image fixtures)."""
+    _prep(spark)
+    from chronon_spark.operators.multimodal import extract_audio_features
+
+    aud = spark.read.parquet(_audio_fixture_path())
+    out = extract_audio_features(aud)
+    return out.select(
+        "audio_id",
+        F.round(F.col("rms") + 1e-9, 6).alias("rms"),
+        F.round(F.col("zcr") + 1e-9, 6).alias("zcr"),
+        F.round(F.col("spectral_centroid_hz") + 1e-9, 6).alias("centroid_hz"),
+        F.round(F.col("duration_s") + 1e-9, 6).alias("duration_s"),
+        "decode_ok",
+    )
+
+
 def q_model_transform_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ModelTransforms source (4th Source union arm, thrift/api.thrift:192,
     599-610): events enriched with a batched local model (linear scorer —
@@ -1535,6 +1595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "image_pixel_features": q_image_pixel_features,
         "image_asof_features": q_image_asof_features,
+        "video_frame_features": q_video_frame_features,
+        "audio_clip_features": q_audio_clip_features,
         "snapshot_join_yesterday": q_snapshot_join_yesterday,
         "groupby_bucketed": q_groupby_bucketed,
         "groupby_autoexplode": q_groupby_autoexplode,
@@ -1584,6 +1646,8 @@ def _snap_window(n_days: int) -> str:
 
 def oracle_sql() -> dict[str, str]:
     _image_fixture_path()  # the image oracles read the fixture parquet
+    _video_fixture_path()  # ditto video
+    _audio_fixture_path()  # ditto audio
     return {
         "scan_query_dsl": """
             SELECT event_id, user_id, epoch_ms(ts) AS ts,
@@ -2174,6 +2238,28 @@ def oracle_sql() -> dict[str, str]:
                        AS caption_tokens,
                    fmt
             FROM '{_FIXTURE_PATH}'
+        """,
+        # video/audio fixture oracles: the sidecar feature columns were
+        # computed from the DECODED payload at generation time; the engine
+        # must reproduce them from the binary column alone, through the
+        # Spark/Arrow path. phash_match = TRUE is the frame-decode
+        # integrity check (same contract as image_pixel_features).
+        "video_frame_features": f"""
+            SELECT video_id,
+                   TRUE AS phash_match,
+                   n_frames AS n_frames_read,
+                   ROUND(brightness + 1e-9, 6) AS brightness,
+                   ROUND(motion + 1e-9, 6) AS motion_energy
+            FROM '{_VIDEO_FIXTURE_PATH}'
+        """,
+        "audio_clip_features": f"""
+            SELECT audio_id,
+                   ROUND(rms + 1e-9, 6) AS rms,
+                   ROUND(zcr + 1e-9, 6) AS zcr,
+                   ROUND(spectral_centroid_hz + 1e-9, 6) AS centroid_hz,
+                   ROUND(duration_s + 1e-9, 6) AS duration_s,
+                   TRUE AS decode_ok
+            FROM '{_AUDIO_FIXTURE_PATH}'
         """,
         "image_asof_features": f"""
             WITH img AS (

@@ -159,3 +159,192 @@ def ensure_image_fixture(
     pq.write_table(table, tmp)
     os.replace(tmp, path)
     return path
+
+
+# ---------------------------------------------------------------------------
+# Video fixture: engine-native 'vraw' codec = n_frames rgb8 frames
+# concatenated ((n, h, w, 3) uint8). Motion = horizontal roll per frame, so
+# per-video motion energy is non-trivial but brightness stays flat.
+# Sidecar columns (phash of frame 0, brightness, motion) are computed from
+# the DECODED bytes at generation time — the driver oracle reads them and
+# the engine must reproduce them from the binary payload alone.
+# ---------------------------------------------------------------------------
+
+def encode_video(frames: np.ndarray) -> bytes:
+    return np.ascontiguousarray(frames).tobytes()
+
+
+def decode_video(data: bytes, w: int, h: int, n_frames: int) -> np.ndarray:
+    """Decode 'vraw' to (n_frames, h, w, 3) uint8."""
+    return np.frombuffer(data, dtype=np.uint8).reshape(n_frames, h, w, 3)
+
+
+def video_motion_energy(frames: np.ndarray) -> float:
+    """Mean |frame[i+1] - frame[i]| over consecutive frames (0.0 if <2)."""
+    if len(frames) < 2:
+        return 0.0
+    d = np.abs(np.diff(frames.astype(np.float64), axis=0))
+    return float(d.mean())
+
+
+def gen_video_rows(n: int, seed: int = 77, span_days: int = 30):
+    sizes = [(16, 16), (24, 16), (16, 24)]
+    rows = []
+    for i in range(n):
+        rng = np.random.default_rng(seed * 1_000_003 + i)
+        w, h = sizes[int(rng.integers(0, len(sizes)))]
+        n_frames = int(rng.integers(4, 13))
+        base = gen_pixels(rng, w, h)
+        frames = np.stack(
+            [np.roll(base, shift=2 * f, axis=1) for f in range(n_frames)]
+        )
+        data = encode_video(frames)
+        ts = BASE_TS + int(rng.integers(0, span_days * DAY_MS))
+        dec = decode_video(data, w, h, n_frames)
+        rows.append({
+            "video_id": f"vid_{i:08d}",
+            "bytes": data,
+            "w": int(w),
+            "h": int(h),
+            "n_frames": n_frames,
+            "fps": 8,
+            "fmt": "vraw",
+            "caption": gen_caption(rng),
+            "phash": phash64(dec[0]),
+            "brightness": float(dec.astype(np.float64).mean()),
+            "motion": video_motion_energy(dec),
+            "ts": ts,
+        })
+    return rows
+
+
+def ensure_video_fixture(
+    n: int = 200, seed: int = 77, out_dir: str = "/root/repo/.fixtures"
+) -> str:
+    path = os.path.join(out_dir, f"videos_n{n}_s{seed}.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(out_dir, exist_ok=True)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = gen_video_rows(n, seed)
+    table = pa.table({
+        "video_id": [r["video_id"] for r in rows],
+        "bytes": pa.array([r["bytes"] for r in rows], type=pa.binary()),
+        "w": pa.array([r["w"] for r in rows], type=pa.int32()),
+        "h": pa.array([r["h"] for r in rows], type=pa.int32()),
+        "n_frames": pa.array([r["n_frames"] for r in rows], type=pa.int32()),
+        "fps": pa.array([r["fps"] for r in rows], type=pa.int32()),
+        "fmt": [r["fmt"] for r in rows],
+        "caption": [r["caption"] for r in rows],
+        "phash": pa.array([r["phash"] for r in rows], type=pa.int64()),
+        "brightness": pa.array([r["brightness"] for r in rows], type=pa.float64()),
+        "motion": pa.array([r["motion"] for r in rows], type=pa.float64()),
+        "ts": pa.array([r["ts"] for r in rows], type=pa.int64()),
+    })
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+# ---------------------------------------------------------------------------
+# Audio fixture: engine-native 'pcm16' codec = int16 little-endian mono.
+# Content: two deterministic sinusoids + seeded noise. Sidecar columns
+# (rms, zcr, spectral_centroid_hz) computed from the int16-DECODED signal.
+# ---------------------------------------------------------------------------
+
+def encode_pcm16(x: np.ndarray) -> bytes:
+    """x in [-1, 1] float -> int16 LE bytes."""
+    return (
+        np.clip(np.round(x * 32767.0), -32768, 32767)
+        .astype("<i2")
+        .tobytes()
+    )
+
+
+def decode_pcm16(data: bytes) -> np.ndarray:
+    """int16 LE bytes -> float64 in [-1, 1]."""
+    return np.frombuffer(data, dtype="<i2").astype(np.float64) / 32767.0
+
+
+def audio_features_np(x: np.ndarray, sr: int) -> dict:
+    """Reference feature formulas (shared by generator sidecars and the
+    engine kernel — the check is that the ENGINE reproduces them from the
+    binary payload via the Spark/Arrow path)."""
+    rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+    zcr = (
+        float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+        if len(x) > 1 else 0.0
+    )
+    mag = np.abs(np.fft.rfft(x))
+    freqs = np.fft.rfftfreq(len(x), d=1.0 / sr)
+    denom = float(mag.sum())
+    centroid = float((freqs * mag).sum() / denom) if denom > 0 else 0.0
+    return {
+        "rms": rms,
+        "zcr": zcr,
+        "spectral_centroid_hz": centroid,
+        "duration_s": len(x) / float(sr),
+    }
+
+
+def gen_audio_rows(n: int, seed: int = 55, span_days: int = 30):
+    rows = []
+    for i in range(n):
+        rng = np.random.default_rng(seed * 1_000_003 + i)
+        sr = int(rng.choice([8000, 16000]))
+        n_samples = int(rng.integers(2000, 8001))
+        t = np.arange(n_samples) / sr
+        f1, f2 = rng.uniform(80, 2000, 2)
+        a1, a2 = rng.uniform(0.2, 0.45, 2)
+        x = (
+            a1 * np.sin(2 * np.pi * f1 * t)
+            + a2 * np.sin(2 * np.pi * f2 * t)
+            + 0.05 * rng.standard_normal(n_samples)
+        )
+        data = encode_pcm16(x)
+        dec = decode_pcm16(data)
+        feats = audio_features_np(dec, sr)
+        ts = BASE_TS + int(rng.integers(0, span_days * DAY_MS))
+        rows.append({
+            "audio_id": f"aud_{i:08d}",
+            "bytes": data,
+            "sr": sr,
+            "n_samples": n_samples,
+            "fmt": "pcm16",
+            "ts": ts,
+            **feats,
+        })
+    return rows
+
+
+def ensure_audio_fixture(
+    n: int = 300, seed: int = 55, out_dir: str = "/root/repo/.fixtures"
+) -> str:
+    path = os.path.join(out_dir, f"audio_n{n}_s{seed}.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(out_dir, exist_ok=True)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = gen_audio_rows(n, seed)
+    table = pa.table({
+        "audio_id": [r["audio_id"] for r in rows],
+        "bytes": pa.array([r["bytes"] for r in rows], type=pa.binary()),
+        "sr": pa.array([r["sr"] for r in rows], type=pa.int32()),
+        "n_samples": pa.array([r["n_samples"] for r in rows], type=pa.int32()),
+        "fmt": [r["fmt"] for r in rows],
+        "rms": pa.array([r["rms"] for r in rows], type=pa.float64()),
+        "zcr": pa.array([r["zcr"] for r in rows], type=pa.float64()),
+        "spectral_centroid_hz": pa.array(
+            [r["spectral_centroid_hz"] for r in rows], type=pa.float64()),
+        "duration_s": pa.array([r["duration_s"] for r in rows], type=pa.float64()),
+        "ts": pa.array([r["ts"] for r in rows], type=pa.int64()),
+    })
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path

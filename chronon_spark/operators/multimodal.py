@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from chronon_spark.fixtures import decode_image as _decode_native
+from chronon_spark.fixtures import decode_video as _decode_video_native
 from chronon_spark.fixtures import phash64
 
 NATIVE_FORMATS = ("rgb8", "half")
@@ -152,12 +153,163 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     )
 
 
-def sample_frames(df: DataFrame, every_n: int) -> DataFrame:
-    """Video frame-sampling STUB: the container has no video codec. The
-    real implementation maps (video_bytes) -> rows of (frame_idx, frame
-    bytes) with this exact mapInPandas signature."""
+NATIVE_VIDEO_FORMATS = ("vraw",)
+NATIVE_AUDIO_FORMATS = ("pcm16",)
+
+
+def decode_video(data: bytes, w: int, h: int, n_frames: int, fmt: str) -> np.ndarray:
+    """Decode one video to (n_frames, h, w, 3) uint8."""
+    if fmt in NATIVE_VIDEO_FORMATS:
+        return _decode_video_native(data, w, h, n_frames)
+    # STUB: real codecs (h264/vp9/...) need ffmpeg/pyav — not present in
+    # this container. A real deployment implements this branch with
+    # av.open(io.BytesIO(data)); everything downstream is unchanged.
     raise NotImplementedError(
-        "video decode requires ffmpeg/pyav — not available in this environment"
+        f"video codec '{fmt}' requires an external library (ffmpeg/pyav) — "
+        f"not available in this environment"
+    )
+
+
+def sample_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
+    """Video frame sampling: one Arrow pass mapping each (video bytes)
+    row to ceil(n_frames / every_n) rows of (frame_idx, rgb8 frame
+    bytes) — frames 0, every_n, 2*every_n, ... The exploded output is a
+    plain image table, so the whole image operator suite (pixel
+    features, resize, dedup by phash) composes downstream.
+
+    Scan-shaped: no shuffle, bytes never leave Arrow, output rows are
+    sliced views of the decoded array. Unknown codecs yield a single
+    decode_ok=false row per video instead of failing the job.
+
+    Input columns: video_id, bytes, w, h, n_frames, fmt."""
+    schema = ("video_id string, frame_idx int, bytes binary, w int, h int, "
+              "fmt string, decode_ok boolean")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("video_id", "frame_idx", "bytes", "w",
+                                    "h", "fmt", "decode_ok")}
+            for vid, data, w, h, nf, fmt in zip(
+                pdf["video_id"], pdf["bytes"], pdf["w"], pdf["h"],
+                pdf["n_frames"], pdf["fmt"],
+            ):
+                try:
+                    frames = decode_video(data, int(w), int(h), int(nf), fmt)
+                except NotImplementedError:
+                    rows["video_id"].append(vid)
+                    rows["frame_idx"].append(None)
+                    rows["bytes"].append(None)
+                    rows["w"].append(int(w))
+                    rows["h"].append(int(h))
+                    rows["fmt"].append(fmt)
+                    rows["decode_ok"].append(False)
+                    continue
+                for f in range(0, int(nf), every_n):
+                    rows["video_id"].append(vid)
+                    rows["frame_idx"].append(f)
+                    rows["bytes"].append(frames[f].tobytes())
+                    rows["w"].append(int(w))
+                    rows["h"].append(int(h))
+                    rows["fmt"].append("rgb8")
+                    rows["decode_ok"].append(True)
+            yield pd.DataFrame(rows)
+
+    return df.select("video_id", "bytes", "w", "h", "n_frames", "fmt").mapInPandas(
+        batches, schema=schema
+    )
+
+
+VIDEO_FEATURE_SCHEMA = (
+    "video_id string, phash0_check long, n_frames_read int, "
+    "brightness double, motion_energy double, decode_ok boolean"
+)
+
+
+def extract_video_features(df: DataFrame, every_n: int = 1) -> DataFrame:
+    """FUSED per-video features: decode once, sample every_n frames, and
+    compute frame-0 phash (integrity check vs the stored column), mean
+    brightness, and motion energy (mean |frame diff| over the sampled
+    sequence) — all in ONE Arrow pass. The unfused shape (sample_frames
+    -> extract_pixel_features -> groupBy video) pays an explode + a
+    shuffle of frame bytes; this never materializes frame rows at all.
+
+    Same fusion lesson as the image pipeline (see BENCH/BASELINE.md):
+    multimodal chains should carry features through the decode pass, not
+    join stages after it."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("video_id", "phash0_check", "n_frames_read",
+                                   "brightness", "motion_energy", "decode_ok")}
+            for vid, data, w, h, nf, fmt in zip(
+                pdf["video_id"], pdf["bytes"], pdf["w"], pdf["h"],
+                pdf["n_frames"], pdf["fmt"],
+            ):
+                out["video_id"].append(vid)
+                try:
+                    frames = decode_video(data, int(w), int(h), int(nf), fmt)
+                except NotImplementedError:
+                    out["phash0_check"].append(None)
+                    out["n_frames_read"].append(None)
+                    out["brightness"].append(None)
+                    out["motion_energy"].append(None)
+                    out["decode_ok"].append(False)
+                    continue
+                sampled = frames[::every_n]
+                fl = sampled.astype(np.float64)
+                motion = float(np.abs(np.diff(fl, axis=0)).mean()) if len(fl) > 1 else 0.0
+                out["phash0_check"].append(phash64(frames[0]))
+                out["n_frames_read"].append(int(len(sampled)))
+                out["brightness"].append(float(fl.mean()))
+                out["motion_energy"].append(motion)
+                out["decode_ok"].append(True)
+            yield pd.DataFrame(out)
+
+    return df.select("video_id", "bytes", "w", "h", "n_frames", "fmt").mapInPandas(
+        batches, schema=VIDEO_FEATURE_SCHEMA
+    )
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "audio_id string, rms double, zcr double, spectral_centroid_hz double, "
+    "duration_s double, decode_ok boolean"
+)
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """Per-clip audio features in one Arrow pass: RMS level, zero-crossing
+    rate, spectral centroid (rfft), duration. Native codec: 'pcm16'
+    (int16 LE mono). Compressed codecs (mp3/flac/ogg) are STUBBED —
+    decode_ok=false — the container has no audio library; a real
+    deployment drops soundfile/librosa into the decode branch.
+
+    Input columns: audio_id, bytes, sr, fmt."""
+    from chronon_spark.fixtures import audio_features_np, decode_pcm16
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("audio_id", "rms", "zcr",
+                                   "spectral_centroid_hz", "duration_s",
+                                   "decode_ok")}
+            for aid, data, sr, fmt in zip(
+                pdf["audio_id"], pdf["bytes"], pdf["sr"], pdf["fmt"]
+            ):
+                out["audio_id"].append(aid)
+                if fmt not in NATIVE_AUDIO_FORMATS:
+                    for k in ("rms", "zcr", "spectral_centroid_hz", "duration_s"):
+                        out[k].append(None)
+                    out["decode_ok"].append(False)
+                    continue
+                feats = audio_features_np(decode_pcm16(data), int(sr))
+                out["rms"].append(feats["rms"])
+                out["zcr"].append(feats["zcr"])
+                out["spectral_centroid_hz"].append(feats["spectral_centroid_hz"])
+                out["duration_s"].append(feats["duration_s"])
+                out["decode_ok"].append(True)
+            yield pd.DataFrame(out)
+
+    return df.select("audio_id", "bytes", "sr", "fmt").mapInPandas(
+        batches, schema=AUDIO_FEATURE_SCHEMA
     )
 
 

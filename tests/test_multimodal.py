@@ -101,3 +101,169 @@ def test_with_image_features_join(spark):
     out = with_image_features(df)
     assert out.count() == 40
     assert out.where("phash_check = phash").count() == 40  # integrity
+
+
+# ---------------------------------------------------------------------------
+# Video ('vraw') + audio ('pcm16') — round-trip, sampling, fused features
+# ---------------------------------------------------------------------------
+
+def test_vraw_roundtrip_and_motion():
+    from chronon_spark.fixtures import (
+        decode_video, encode_video, video_motion_energy,
+    )
+
+    rng = np.random.default_rng(2)
+    base = gen_pixels(rng, 16, 16)
+    frames = np.stack([np.roll(base, 2 * f, axis=1) for f in range(5)])
+    data = encode_video(frames)
+    dec = decode_video(data, 16, 16, 5)
+    assert np.array_equal(dec, frames)
+    assert video_motion_energy(dec) > 0
+    assert video_motion_energy(dec[:1]) == 0.0
+
+
+def test_sample_frames_explodes_to_frame_rows(spark):
+    from chronon_spark.fixtures import decode_video, gen_video_rows
+    from chronon_spark.operators.multimodal import sample_frames
+
+    rows = gen_video_rows(12, seed=9)
+    df = spark.createDataFrame(
+        [(r["video_id"], r["bytes"], r["w"], r["h"], r["n_frames"], r["fmt"])
+         for r in rows],
+        "video_id string, bytes binary, w int, h int, n_frames int, fmt string",
+    )
+    out = sample_frames(df, every_n=2).collect()
+    by_vid = {}
+    for r in out:
+        by_vid.setdefault(r["video_id"], []).append(r)
+    for src in rows:
+        got = sorted(by_vid[src["video_id"]], key=lambda r: r["frame_idx"])
+        expect_idx = list(range(0, src["n_frames"], 2))
+        assert [r["frame_idx"] for r in got] == expect_idx
+        frames = decode_video(src["bytes"], src["w"], src["h"], src["n_frames"])
+        for r in got:
+            assert bytes(r["bytes"]) == frames[r["frame_idx"]].tobytes()
+            assert r["fmt"] == "rgb8" and r["decode_ok"]
+
+
+def test_sample_frames_composes_with_image_features(spark):
+    """Sampled frames are a plain image table — the image feature
+    extractor runs on them unchanged."""
+    from chronon_spark.fixtures import gen_video_rows
+    from chronon_spark.operators.multimodal import sample_frames
+    import pyspark.sql.functions as F
+
+    rows = gen_video_rows(5, seed=11)
+    df = spark.createDataFrame(
+        [(r["video_id"], r["bytes"], r["w"], r["h"], r["n_frames"], r["fmt"])
+         for r in rows],
+        "video_id string, bytes binary, w int, h int, n_frames int, fmt string",
+    )
+    frames = sample_frames(df, every_n=3).where("decode_ok").select(
+        F.concat_ws("#", "video_id", "frame_idx").alias("image_id"),
+        "bytes", "w", "h", "fmt",
+    )
+    feats = extract_pixel_features(frames).collect()
+    assert len(feats) == sum(len(range(0, r["n_frames"], 3)) for r in rows)
+    assert all(f["decode_ok"] for f in feats)
+
+
+def test_extract_video_features_matches_naive(spark):
+    from chronon_spark.fixtures import decode_video, gen_video_rows, phash64
+    from chronon_spark.operators.multimodal import extract_video_features
+
+    rows = gen_video_rows(10, seed=13)
+    df = spark.createDataFrame(
+        [(r["video_id"], r["bytes"], r["w"], r["h"], r["n_frames"], r["fmt"])
+         for r in rows],
+        "video_id string, bytes binary, w int, h int, n_frames int, fmt string",
+    )
+    got = {r["video_id"]: r for r in extract_video_features(df, every_n=2).collect()}
+    for src in rows:
+        frames = decode_video(src["bytes"], src["w"], src["h"], src["n_frames"])
+        sampled = frames[::2].astype(np.float64)
+        r = got[src["video_id"]]
+        assert r["phash0_check"] == phash64(frames[0])
+        assert r["n_frames_read"] == len(sampled)
+        assert r["brightness"] == pytest.approx(sampled.mean())
+        expect_motion = (
+            float(np.abs(np.diff(sampled, axis=0)).mean()) if len(sampled) > 1 else 0.0
+        )
+        assert r["motion_energy"] == pytest.approx(expect_motion)
+
+
+def test_video_fixture_sidecars_reproducible(spark):
+    """The fixture's sidecar columns ARE what the engine computes from
+    bytes alone — the driver-oracle contract."""
+    from chronon_spark.fixtures import ensure_video_fixture
+    from chronon_spark.operators.multimodal import extract_video_features
+
+    path = ensure_video_fixture(n=40, seed=91)
+    vids = spark.read.parquet(path)
+    feats = extract_video_features(vids, every_n=1)
+    joined = feats.join(vids.select("video_id", "phash", "brightness", "motion"),
+                        "video_id").collect()
+    assert len(joined) == 40
+    for r in joined:
+        assert r["phash0_check"] == r["phash"]
+        assert r["brightness"] == pytest.approx(r["brightness"], abs=1e-9)
+        assert r["motion_energy"] == pytest.approx(r["motion"], abs=1e-9)
+
+
+def test_external_video_codec_stub(spark):
+    from chronon_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [("v0", b"\x00\x01", 16, 16, 4, "h264")],
+        "video_id string, bytes binary, w int, h int, n_frames int, fmt string",
+    )
+    out = sample_frames(df).collect()
+    assert len(out) == 1 and out[0]["decode_ok"] is False
+
+
+def test_pcm16_roundtrip_and_features():
+    from chronon_spark.fixtures import (
+        audio_features_np, decode_pcm16, encode_pcm16,
+    )
+
+    t = np.arange(8000) / 8000.0
+    x = 0.4 * np.sin(2 * np.pi * 440 * t)
+    dec = decode_pcm16(encode_pcm16(x))
+    assert np.abs(dec - x).max() < 1e-4  # int16 quantization only
+    feats = audio_features_np(dec, 8000)
+    assert feats["rms"] == pytest.approx(0.4 / np.sqrt(2), rel=1e-3)
+    # a pure 440 Hz tone centroids near 440
+    assert 400 < feats["spectral_centroid_hz"] < 480
+    assert feats["duration_s"] == pytest.approx(1.0)
+
+
+def test_extract_audio_features_matches_sidecars(spark):
+    from chronon_spark.fixtures import ensure_audio_fixture
+    from chronon_spark.operators.multimodal import extract_audio_features
+
+    path = ensure_audio_fixture(n=50, seed=92)
+    aud = spark.read.parquet(path)
+    feats = extract_audio_features(aud)
+    joined = feats.join(
+        aud.select("audio_id",
+                   aud["rms"].alias("rms_exp"),
+                   aud["zcr"].alias("zcr_exp"),
+                   aud["spectral_centroid_hz"].alias("cen_exp")),
+        "audio_id").collect()
+    assert len(joined) == 50
+    for r in joined:
+        assert r["decode_ok"]
+        assert r["rms"] == pytest.approx(r["rms_exp"], abs=1e-12)
+        assert r["zcr"] == pytest.approx(r["zcr_exp"], abs=1e-12)
+        assert r["spectral_centroid_hz"] == pytest.approx(r["cen_exp"], abs=1e-9)
+
+
+def test_external_audio_codec_stub(spark):
+    from chronon_spark.operators.multimodal import extract_audio_features
+
+    df = spark.createDataFrame(
+        [("a0", b"\x00\x01", 44100, "mp3")],
+        "audio_id string, bytes binary, sr int, fmt string",
+    )
+    out = extract_audio_features(df).collect()
+    assert len(out) == 1 and out[0]["decode_ok"] is False and out[0]["rms"] is None
