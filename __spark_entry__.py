@@ -1193,6 +1193,71 @@ def q_image_asof_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful STREAMING GroupBy (applyInPandasWithState): the
+    events table replayed as a file-source stream (availableNow), per-key
+    lifetime IR state folded across micro-batches, final state compared
+    against plain lifetime SQL — count/sum/avg plus the event-time-ordered
+    LAST_K list that native streaming aggregates cannot express. Values
+    are integer cents so sums are order-exact across engines; (user_id,
+    ts) is unique in the testdata so LAST_K order is deterministic."""
+    _prep(spark)
+    from chronon_spark.streaming.stream_groupby import stream_stateful_groupby
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, item_id long, event_type string, "
+            "value double, ts timestamp_ntz, ds string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .selectExpr(
+            "user_id",
+            "cast(ts as timestamp) AS ts",
+            "CAST(round(value * 100, 0) AS DOUBLE) AS cents",
+        )
+    )
+    gb = GroupBy(
+        sources=[], key_columns=["user_id"],
+        aggregations=[
+            Aggregation("cents", Operation.COUNT),
+            Aggregation("cents", Operation.SUM),
+            Aggregation("cents", Operation.LAST),
+            Aggregation("cents", Operation.LAST_K, arg_map={"k": 5}),
+        ],
+        name="sstate",
+    )
+    out = stream_stateful_groupby(stream, gb)
+    qname = f"sstate_{abs(hash(sf_dir)) % 100_000}"
+    q = (
+        out.writeStream.format("memory").queryName(qname)
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    from pyspark.sql.window import Window as W
+
+    final = (
+        spark.sql(f"SELECT * FROM {qname}")
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(F.col("cents_count").desc())
+            ),
+        )
+        .where("_rn = 1")
+    )
+    return final.select(
+        "user_id",
+        F.col("cents_count").alias("n_events"),
+        F.col("cents_sum").cast("bigint").alias("cents_sum"),
+        F.col("cents_last").cast("bigint").alias("cents_last"),
+        F.concat_ws(
+            ",",
+            F.transform("cents_last5", lambda x: x.cast("bigint").cast("string")),
+        ).alias("last5"),
+    )
+
+
 VIDEO_N, VIDEO_SEED = 200, 77
 _VIDEO_FIXTURE_PATH = f"/root/repo/.fixtures/videos_n{VIDEO_N}_s{VIDEO_SEED}.parquet"
 AUDIO_N, AUDIO_SEED = 300, 55
@@ -1597,6 +1662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_asof_features": q_image_asof_features,
         "video_frame_features": q_video_frame_features,
         "audio_clip_features": q_audio_clip_features,
+        "stream_stateful_features": q_stream_stateful,
         "snapshot_join_yesterday": q_snapshot_join_yesterday,
         "groupby_bucketed": q_groupby_bucketed,
         "groupby_autoexplode": q_groupby_autoexplode,
@@ -2238,6 +2304,33 @@ def oracle_sql() -> dict[str, str]:
                        AS caption_tokens,
                    fmt
             FROM '{_FIXTURE_PATH}'
+        """,
+        # streaming stateful op: the final per-key state after replaying
+        # the whole events stream IS the lifetime aggregation — plain SQL.
+        "stream_stateful_features": """
+            WITH e AS (
+              SELECT user_id, ts,
+                     CAST(round(value * 100, 0) AS BIGINT) AS cents
+              FROM events
+            ),
+            agg AS (
+              SELECT user_id,
+                     COUNT(*) AS n_events,
+                     SUM(cents) AS cents_sum,
+                     ARG_MAX(cents, ts) AS cents_last
+              FROM e GROUP BY user_id
+            ),
+            lastk AS (
+              SELECT user_id,
+                     STRING_AGG(CAST(cents AS VARCHAR), ',' ORDER BY ts DESC) AS last5
+              FROM (
+                SELECT user_id, ts, cents,
+                       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+                FROM e
+              ) WHERE rn <= 5 GROUP BY user_id
+            )
+            SELECT a.user_id, a.n_events, a.cents_sum, a.cents_last, l.last5
+            FROM agg a JOIN lastk l ON a.user_id = l.user_id
         """,
         # video/audio fixture oracles: the sidecar feature columns were
         # computed from the DECODED payload at generation time; the engine

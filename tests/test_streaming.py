@@ -95,3 +95,84 @@ def test_stream_rejects_non_mergeable_ops(spark, stream_input):
     )
     with pytest.raises(NotImplementedError):
         stream_groupby(stream, gb)
+
+
+def test_stream_stateful_groupby_matches_batch(spark, tmp_path):
+    """applyInPandasWithState custom stateful op: state must fold
+    correctly ACROSS micro-batches (maxFilesPerTrigger=1 forces several),
+    including the event-time-ordered LAST_K list that native streaming
+    aggregates cannot express."""
+    from chronon_spark.streaming.stream_groupby import stream_stateful_groupby
+
+    rng = np.random.default_rng(47)
+    rows = [
+        (int(rng.integers(0, 4)), int(BASE + i * 60_000), float(round(rng.uniform(0, 10), 2)))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts_ms long, value double")
+    src_dir = str(tmp_path / "stateful_src")
+    df.repartition(4).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema("user_id int, ts_ms long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .selectExpr("user_id", "timestamp_millis(ts_ms) AS ts", "value")
+    )
+    gb = GroupBy(
+        sources=[], key_columns=["user_id"],
+        aggregations=[
+            Aggregation("value", Operation.COUNT),
+            Aggregation("value", Operation.AVERAGE),
+            Aggregation("value", Operation.MIN),
+            Aggregation("value", Operation.LAST),
+            Aggregation("value", Operation.LAST_K, arg_map={"k": 5}),
+        ],
+        name="stateful",
+    )
+    out = stream_stateful_groupby(stream, gb)
+    q = (
+        out.writeStream.format("memory").queryName("stateful_out")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    res = spark.sql("SELECT * FROM stateful_out").collect()
+    assert len(res) > 4, "expected updates from multiple micro-batches"
+    # final state per key = the row with the highest count (monotone)
+    final = {}
+    for r in res:
+        if r["user_id"] not in final or r["value_count"] > final[r["user_id"]]["value_count"]:
+            final[r["user_id"]] = r
+    import collections
+    by_key = collections.defaultdict(list)
+    for u, ts_ms, v in rows:
+        by_key[u].append((ts_ms, v))
+    assert set(final) == set(by_key)
+    for u, evs in by_key.items():
+        evs.sort()
+        vals = [v for _, v in evs]
+        r = final[u]
+        assert r["value_count"] == len(vals)
+        assert r["value_average"] == pytest.approx(sum(vals) / len(vals))
+        assert r["value_min"] == pytest.approx(min(vals))
+        assert r["value_last"] == pytest.approx(vals[-1])
+        assert list(r["value_last5"]) == pytest.approx(vals[-5:][::-1])
+
+
+def test_stream_stateful_rejects_windowed_parts(spark, tmp_path):
+    from chronon_spark.streaming.stream_groupby import stream_stateful_groupby
+
+    df = spark.createDataFrame([(1, BASE, 1.0)], "user_id int, ts_ms long, value double")
+    src_dir = str(tmp_path / "w_src")
+    df.write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema("user_id int, ts_ms long, value double")
+        .parquet(src_dir)
+        .selectExpr("user_id", "timestamp_millis(ts_ms) AS ts", "value")
+    )
+    gb = GroupBy(
+        sources=[], key_columns=["user_id"],
+        aggregations=[Aggregation("value", Operation.SUM, windows=[Window(1, TimeUnit.HOURS)])],
+        name="w",
+    )
+    with pytest.raises(NotImplementedError):
+        stream_stateful_groupby(stream, gb)
