@@ -80,6 +80,38 @@ def q_scan_query_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("event_id", "user_id", "ts", "value_cents")
 
 
+def q_scan_udf_setups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query.setups executed before the scan (reference: Query.setups,
+    api.thrift — arbitrary SQL run ahead of table reads, typically
+    CREATE TEMPORARY FUNCTION). Here a SQL scalar UDF defined in setups
+    is consumed by the selects; the oracle inlines the same formula, so
+    the value-hash proves setups actually ran and bound the function."""
+    _prep(spark)
+    from chronon_spark.sources.scan import scan_df
+
+    df = scan_df(
+        spark,
+        f"{sf_dir}/events.parquet",
+        Query(
+            setups=[
+                "CREATE OR REPLACE TEMPORARY FUNCTION usd_amount(cents BIGINT) "
+                "RETURNS DOUBLE RETURN cents / 100.0",
+                "CREATE OR REPLACE TEMPORARY FUNCTION value_tier(v DOUBLE) "
+                "RETURNS STRING RETURN CASE WHEN v >= 7.5 THEN 'high' "
+                "WHEN v >= 2.5 THEN 'mid' ELSE 'low' END",
+            ],
+            selects={
+                "event_id": "event_id",
+                "usd": "usd_amount(CAST(round(value * 100, 0) AS BIGINT))",
+                "tier": "value_tier(value)",
+            },
+            wheres=["event_type = 'purchase'"],
+            time_column=TS_EXPR,
+        ),
+    )
+    return df.select("event_id", F.round(F.col("usd") + 1e-9, 6).alias("usd"), "tier")
+
+
 def q_groupby_snapshot_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot GroupBy: 7d sliding + lifetime windows, daily end-of-day
     (reference semantics: GroupByTest.scala:56-64).
@@ -1641,6 +1673,7 @@ def q_join_noagg_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_query_dsl": q_scan_query_dsl,
+        "scan_udf_setups": q_scan_udf_setups,
         "groupby_snapshot_windows": q_groupby_snapshot_windows,
         "groupby_snapshot_moments": q_groupby_snapshot_moments,
         "groupby_snapshot_distinct_firstlast": q_groupby_snapshot_distinct_firstlast,
@@ -1720,6 +1753,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(value * 100, 0) AS BIGINT) AS value_cents
             FROM events
             WHERE event_type IN ('click', 'purchase') AND value > 1.0
+        """,
+        # the SQL UDFs from Query.setups, inlined
+        "scan_udf_setups": """
+            SELECT event_id,
+                   ROUND(CAST(round(value * 100, 0) AS BIGINT) / 100.0 + 1e-9, 6) AS usd,
+                   CASE WHEN value >= 7.5 THEN 'high'
+                        WHEN value >= 2.5 THEN 'mid' ELSE 'low' END AS tier
+            FROM events
+            WHERE event_type = 'purchase'
         """,
         "temporal_groupby_self": f"""
             WITH e AS (SELECT user_id, epoch_ms(ts) AS ts,
