@@ -1545,6 +1545,101 @@ def q_temporal_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _asof_join_variant(spark: SparkSession, sf_dir: str, left_query: Query,
+                       name: str, skew_keys=None) -> DataFrame:
+    """Shared body for the join-path-behavior variants: same GroupBy as
+    temporal_join_salted, parameterized left scan / skew config."""
+    from chronon_spark.operators.temporal_join import compute_temporal_join
+
+    right = _events_source(
+        sf_dir,
+        {"user_id": "user_id", "cents": "CAST(round(value * 100, 0) AS BIGINT)"},
+    )
+    gb = GroupBy(
+        sources=[right],
+        key_columns=["user_id"],
+        aggregations=[
+            Aggregation("cents", Operation.COUNT, windows=[Window(1), None]),
+            Aggregation("cents", Operation.SUM, windows=[Window(7)]),
+        ],
+        name="f",
+    )
+    join = Join(
+        left=EventSource(f"{sf_dir}/events.parquet", left_query),
+        join_parts=[JoinPart(gb)],
+        name=name,
+        skew_keys=skew_keys,
+    )
+    out = compute_temporal_join(spark, join)
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("f_cents_count_1d").alias("count_1d"),
+        F.col("f_cents_count").alias("count_life"),
+        F.round(F.col("f_cents_sum_7d") / 100.0, 6).alias("sum_7d"),
+    )
+
+
+def q_temporal_join_smallmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-mode path under the driver gate: the left is restricted to
+    user_id < 30 (< 5k rows at gate scale), so _small_mode_filter pushes
+    literal `user_id IN (...)` predicates into the right parquet scan
+    (reference: JoinUtils.runSmallMode). Must hash-match the plain as-of
+    SQL on the same subset — the pushdown itself is plan-asserted in
+    test_small_mode_pushes_key_filter."""
+    _prep(spark)
+    return _asof_join_variant(
+        spark, sf_dir,
+        Query(selects={"event_id": "event_id", "user_id": "user_id"},
+              wheres=["user_id < 30"], time_column=TS_EXPR),
+        "smallmode",
+    )
+
+
+def q_temporal_join_midsize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-size path (the reference's bloom-filter analog) under the
+    driver gate: small mode disabled and the right-scan size gate zeroed
+    so the broadcast left-semi key filter engages on the full left. Must
+    hash-match the plain as-of SQL — zero false positives by
+    construction."""
+    _prep(spark)
+    confs = {
+        "spark.chronon.backfill.small_mode.cutoff": "0",
+        "spark.chronon.backfill.bloom.min_right_bytes": "0",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        return _asof_join_variant(
+            spark, sf_dir,
+            Query(selects={"event_id": "event_id", "user_id": "user_id"},
+                  time_column=TS_EXPR),
+            "midsize",
+        )
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def q_temporal_join_skewfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """skewKeys exclusion under the driver gate (reference:
+    JoinUtils.skewFilter filters BOTH sides): hot keys 0/1/2 are dropped
+    from the left AND from the right scan; the oracle applies the same
+    NOT IN. Right-side exclusion is additionally plan-asserted in
+    test_skew_keys_filter_right_side."""
+    _prep(spark)
+    return _asof_join_variant(
+        spark, sf_dir,
+        Query(selects={"event_id": "event_id", "user_id": "user_id"},
+              time_column=TS_EXPR),
+        "skewed",
+        skew_keys={"user_id": [0, 1, 2]},
+    )
+
+
 def q_mixed_accuracy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-part accuracy dispatch in ONE join (reference: Join.scala
     computeJoinOpt per-part topology): a TEMPORAL part (as-of 1d count)
@@ -1721,6 +1816,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_multisource_union": q_groupby_multisource_union,
         "joinsource_chained": q_joinsource_chained,
         "temporal_join_salted": q_temporal_join_salted,
+        "temporal_join_smallmode": q_temporal_join_smallmode,
+        "temporal_join_midsize": q_temporal_join_midsize,
+        "temporal_join_skewfilter": q_temporal_join_skewfilter,
         "mixed_accuracy_join": q_mixed_accuracy_join,
         "cumulative_source": q_cumulative_source,
         "join_noagg_passthrough": q_join_noagg_passthrough,
@@ -2533,6 +2631,45 @@ def oracle_sql() -> dict[str, str]:
         """,
         "temporal_join_salted": f"""
             WITH l AS (SELECT event_id, user_id, epoch_ms(ts) AS ts FROM events),
+            e AS (SELECT user_id, epoch_ms(ts) AS ts,
+                         CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
+            SELECT l.event_id, l.user_id, l.ts,
+                   COUNT(CASE WHEN e.ts >= ((l.ts - {DAY}) // {HOUR}) * {HOUR}
+                              THEN e.cents END) AS count_1d,
+                   COUNT(e.cents) AS count_life,
+                   ROUND(SUM(CASE WHEN e.ts >= ((l.ts - {7 * DAY}) // {HOUR}) * {HOUR}
+                             THEN e.cents END) / 100.0, 6) AS sum_7d
+            FROM l LEFT JOIN e ON l.user_id = e.user_id AND e.ts <= l.ts
+            GROUP BY l.event_id, l.user_id, l.ts
+        """,
+        "temporal_join_smallmode": f"""
+            WITH l AS (SELECT event_id, user_id, epoch_ms(ts) AS ts FROM events WHERE user_id < 30),
+            e AS (SELECT user_id, epoch_ms(ts) AS ts,
+                         CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
+            SELECT l.event_id, l.user_id, l.ts,
+                   COUNT(CASE WHEN e.ts >= ((l.ts - {DAY}) // {HOUR}) * {HOUR}
+                              THEN e.cents END) AS count_1d,
+                   COUNT(e.cents) AS count_life,
+                   ROUND(SUM(CASE WHEN e.ts >= ((l.ts - {7 * DAY}) // {HOUR}) * {HOUR}
+                             THEN e.cents END) / 100.0, 6) AS sum_7d
+            FROM l LEFT JOIN e ON l.user_id = e.user_id AND e.ts <= l.ts
+            GROUP BY l.event_id, l.user_id, l.ts
+        """,
+        "temporal_join_midsize": f"""
+            WITH l AS (SELECT event_id, user_id, epoch_ms(ts) AS ts FROM events),
+            e AS (SELECT user_id, epoch_ms(ts) AS ts,
+                         CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
+            SELECT l.event_id, l.user_id, l.ts,
+                   COUNT(CASE WHEN e.ts >= ((l.ts - {DAY}) // {HOUR}) * {HOUR}
+                              THEN e.cents END) AS count_1d,
+                   COUNT(e.cents) AS count_life,
+                   ROUND(SUM(CASE WHEN e.ts >= ((l.ts - {7 * DAY}) // {HOUR}) * {HOUR}
+                             THEN e.cents END) / 100.0, 6) AS sum_7d
+            FROM l LEFT JOIN e ON l.user_id = e.user_id AND e.ts <= l.ts
+            GROUP BY l.event_id, l.user_id, l.ts
+        """,
+        "temporal_join_skewfilter": f"""
+            WITH l AS (SELECT event_id, user_id, epoch_ms(ts) AS ts FROM events WHERE user_id NOT IN (0, 1, 2)),
             e AS (SELECT user_id, epoch_ms(ts) AS ts,
                          CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
             SELECT l.event_id, l.user_id, l.ts,
