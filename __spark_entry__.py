@@ -1579,6 +1579,49 @@ def _asof_join_variant(spark: SparkSession, sf_dir: str, left_query: Query,
     )
 
 
+def q_join_derivations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join.derivations projection semantics under the driver gate
+    (reference: Extensions.scala DerivationOps.derivationProjection:
+    1246-1272): a renamed feature consumes its source (lifetime count
+    disappears), "*" expands the remaining base columns, and a derived
+    expression computes over output columns. The oracle replicates the
+    resulting projection exactly."""
+    _prep(spark)
+    from chronon_spark.operators.temporal_join import compute_temporal_join
+
+    right = _events_source(
+        sf_dir,
+        {"user_id": "user_id", "cents": "CAST(round(value * 100, 0) AS BIGINT)"},
+    )
+    gb = GroupBy(
+        sources=[right],
+        key_columns=["user_id"],
+        aggregations=[
+            Aggregation("cents", Operation.COUNT, windows=[Window(1), None]),
+            Aggregation("cents", Operation.SUM, windows=[Window(7)]),
+        ],
+        name="f",
+    )
+    join = Join(
+        left=_events_source(sf_dir, {"event_id": "event_id", "user_id": "user_id"}),
+        join_parts=[JoinPart(gb)],
+        name="derived",
+        derivations={
+            "*": "*",
+            "lifetime_count": "f_cents_count",  # rename consumes the source
+            "usd_7d": "ROUND(f_cents_sum_7d / CAST(100 AS DOUBLE), 6)",
+            "spend_rate_1d": "CASE WHEN f_cents_count_1d > 0 THEN "
+                             "ROUND(f_cents_sum_7d / (CAST(100 AS DOUBLE) * f_cents_count_1d) + 1e-9, 4) END",
+        },
+    )
+    out = compute_temporal_join(spark, join)
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("f_cents_count_1d").alias("count_1d"),
+        "lifetime_count", "usd_7d", "spend_rate_1d",
+    )
+
+
 def q_temporal_join_smallmode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-mode path under the driver gate: the left is restricted to
     user_id < 30 (< 5k rows at gate scale), so _small_mode_filter pushes
@@ -1816,6 +1859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_multisource_union": q_groupby_multisource_union,
         "joinsource_chained": q_joinsource_chained,
         "temporal_join_salted": q_temporal_join_salted,
+        "join_derivations": q_join_derivations,
         "temporal_join_smallmode": q_temporal_join_smallmode,
         "temporal_join_midsize": q_temporal_join_midsize,
         "temporal_join_skewfilter": q_temporal_join_skewfilter,
@@ -2641,6 +2685,27 @@ def oracle_sql() -> dict[str, str]:
                              THEN e.cents END) / 100.0, 6) AS sum_7d
             FROM l LEFT JOIN e ON l.user_id = e.user_id AND e.ts <= l.ts
             GROUP BY l.event_id, l.user_id, l.ts
+        """,
+        "join_derivations": f"""
+            WITH l AS (SELECT event_id, user_id, epoch_ms(ts) AS ts FROM events),
+            e AS (SELECT user_id, epoch_ms(ts) AS ts,
+                         CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+            base AS (
+              SELECT l.event_id, l.user_id, l.ts,
+                     COUNT(CASE WHEN e.ts >= ((l.ts - {DAY}) // {HOUR}) * {HOUR}
+                                THEN e.cents END) AS count_1d,
+                     COUNT(e.cents) AS lifetime_count,
+                     SUM(CASE WHEN e.ts >= ((l.ts - {7 * DAY}) // {HOUR}) * {HOUR}
+                              THEN e.cents END) AS sum_7d_cents
+              FROM l LEFT JOIN e ON l.user_id = e.user_id AND e.ts <= l.ts
+              GROUP BY l.event_id, l.user_id, l.ts
+            )
+            SELECT event_id, user_id, ts, count_1d, lifetime_count,
+                   ROUND(sum_7d_cents / 100.0, 6) AS usd_7d,
+                   CASE WHEN count_1d > 0 THEN
+                        ROUND(sum_7d_cents / (100.0 * count_1d) + 1e-9, 4) END
+                       AS spend_rate_1d
+            FROM base
         """,
         "temporal_join_smallmode": f"""
             WITH l AS (SELECT event_id, user_id, epoch_ms(ts) AS ts FROM events WHERE user_id < 30),
