@@ -225,7 +225,9 @@ VIDEO_FEATURE_SCHEMA = (
 )
 
 
-def extract_video_features(df: DataFrame, every_n: int = 1) -> DataFrame:
+def extract_video_features(
+    df: DataFrame, every_n: int = 1, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     """FUSED per-video features: decode once, sample every_n frames, and
     compute frame-0 phash (integrity check vs the stored column), mean
     brightness, and motion energy (mean |frame diff| over the sampled
@@ -235,7 +237,11 @@ def extract_video_features(df: DataFrame, every_n: int = 1) -> DataFrame:
 
     Same fusion lesson as the image pipeline (see BENCH/BASELINE.md):
     multimodal chains should carry features through the decode pass, not
-    join stages after it."""
+    join stages after it. `passthrough` columns ride the Arrow batch
+    unchanged (pandas column slice) so per-video features can feed an
+    as-of probe directly, with no video_id merge join."""
+    pt_fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    pt_schema = "".join(f", `{c}` {pt_fields[c]}" for c in passthrough)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -263,10 +269,16 @@ def extract_video_features(df: DataFrame, every_n: int = 1) -> DataFrame:
                 out["brightness"].append(float(fl.mean()))
                 out["motion_energy"].append(motion)
                 out["decode_ok"].append(True)
-            yield pd.DataFrame(out)
+            res = pd.DataFrame(out)
+            for c in passthrough:
+                res[c] = pdf[c].reset_index(drop=True)
+            yield res
 
-    return df.select("video_id", "bytes", "w", "h", "n_frames", "fmt").mapInPandas(
-        batches, schema=VIDEO_FEATURE_SCHEMA
+    in_cols = list(dict.fromkeys(
+        ["video_id", "bytes", "w", "h", "n_frames", "fmt"] + list(passthrough)
+    ))
+    return df.select(*in_cols).mapInPandas(
+        batches, schema=VIDEO_FEATURE_SCHEMA + pt_schema
     )
 
 

@@ -267,3 +267,22 @@ def test_external_audio_codec_stub(spark):
     )
     out = extract_audio_features(df).collect()
     assert len(out) == 1 and out[0]["decode_ok"] is False and out[0]["rms"] is None
+
+
+def test_extract_video_features_passthrough(spark):
+    from chronon_spark.fixtures import gen_video_rows
+    from chronon_spark.operators.multimodal import extract_video_features
+
+    rows = gen_video_rows(6, seed=15)
+    df = spark.createDataFrame(
+        [(r["video_id"], r["bytes"], r["w"], r["h"], r["n_frames"], r["fmt"],
+          r["phash"], r["ts"]) for r in rows],
+        "video_id string, bytes binary, w int, h int, n_frames int, fmt string, "
+        "phash long, ts long",
+    )
+    out = {r["video_id"]: r for r in
+           extract_video_features(df, every_n=2, passthrough=("phash", "ts")).collect()}
+    for src in rows:
+        r = out[src["video_id"]]
+        assert r["phash"] == src["phash"] and r["ts"] == src["ts"]
+        assert r["phash0_check"] == src["phash"]

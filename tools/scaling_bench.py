@@ -82,12 +82,18 @@ def measure_pair(run_tag: str, low_cpus: int, high_cpus: int, inp: str,
     reported efficiency is computed from the BEST pass per level across
     the whole log (the engine's uncontended capability at each size)."""
     for cpus in (low_cpus, high_cpus, low_cpus, high_cpus):
-        passes = 3 if workload.startswith("image") else 2
+        passes = 3 if ("image" in workload or "video" in workload) else 2
         log_level(run_tag, workload, run_level(cpus, inp, workload, passes))
 
 
 def best_per_level() -> dict:
-    """(workload, cpus) -> {best wall, rows, n_passes, steal}."""
+    """(workload, cpus) -> {best wall, rows, n_passes, steal}.
+
+    When a workload was re-measured at a LARGER input size (e.g. the video
+    pipeline's 240k shakedown showed the wall inside the fixed-floor
+    regime, so it was re-run at 960k), only the largest-rows entries count
+    — mixing walls from different inputs would fake the ratio. The smaller
+    runs stay in the log for the record."""
     out: dict = {}
     with open(LOG) as f:
         for line in f:
@@ -95,6 +101,11 @@ def best_per_level() -> dict:
             k = (r["workload"], r["cpus"])
             cur = out.setdefault(k, {"wall": float("inf"), "rows": r["rows"],
                                      "n_passes": 0, "steal": 0})
+            if r["rows"] > cur["rows"]:
+                out[k] = cur = {"wall": float("inf"), "rows": r["rows"],
+                                "n_passes": 0, "steal": 0}
+            elif r["rows"] < cur["rows"]:
+                continue
             cur["wall"] = min(cur["wall"], min(r["passes"]))
             cur["n_passes"] += len(r["passes"])
             cur["steal"] += r["steal_jiffies"]
@@ -121,6 +132,26 @@ def write_md(replicas: int, img_n: int) -> dict:
     img = pair_stats(levels, "image_fused", 4, 16)
     join = pair_stats(levels, "join", 4, 16)
     sat = pair_stats(levels, "join", 8, 32) if ("join", 32) in levels else None
+    vid = (pair_stats(levels, "video_fused", 4, 16)
+           if ("video_fused", 16) in levels else None)
+    vid_block = "" if vid is None else f"""
+## 3. Video feature backfill, {vid["rows"]:,} clips (4 -> 16 cores)
+
+The video analog of the fused pipeline: decode {vid["rows"]:,} 'vraw' binary
+videos (~12 rgb8 frames each), sample every 2nd frame, per-video features
+(frame-0 phash, brightness, motion energy) in one Arrow pass carrying
+(phash, ts) through as passthrough, then phash-keyed as-of caption features —
+decode -> cogroup, two stages, binary column never shuffled.
+
+| parallelism | best wall (s) | passes | video feature vectors/sec |
+|---|---|---|---|
+| local[4] | {vid["low_wall"]} | {vid["low_n"]} | {vid["low_rps"]:,} |
+| local[16] | {vid["high_wall"]} | {vid["high_n"]} | {vid["high_rps"]:,} |
+
+**Speedup 4 -> 16 cores: {vid["speedup"]}x (ideal 4x) — scaling efficiency
+{vid["eff"]:.2f}.** (Beyond-target evidence: the north rule binds the image
+workload; this shows the fused multimodal shape generalizes.)
+"""
     sat_block = "" if sat is None else f"""
 ### Saturation datapoint: the same join at 8 -> 32 cores
 
@@ -201,11 +232,12 @@ Input: sf0.1 events x{replicas} (`scaling_events_x{replicas}.parquet`).
 
 **Speedup 4 -> 16 cores: {join["speedup"]}x (ideal 4x) — scaling efficiency
 {join["eff"]:.2f}** (target >= 0.8).
-{sat_block}
+{vid_block}{sat_block}
 Reproduce: `python tools/scaling_bench.py` (appends fresh alternated passes to
 the log and regenerates this file); `--regen-only` rebuilds from the log.
 """)
     return {"image_4_16_eff": img["eff"], "join_4_16_eff": join["eff"],
+            "video_4_16_eff": None if vid is None else vid["eff"],
             "join_8_32_eff": None if sat is None else sat["eff"]}
 
 
@@ -214,20 +246,26 @@ def main() -> None:
     ap.add_argument("--replicas", type=int, default=320)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--images", type=int, default=480_000)
+    ap.add_argument("--videos", type=int, default=240_000)
     ap.add_argument("--skip-saturation", action="store_true")
     ap.add_argument("--regen-only", action="store_true")
+    ap.add_argument("--video-only", action="store_true")
     ap.add_argument("--run-tag", default="bench")
     args = ap.parse_args()
 
     if not args.regen_only:
-        from chronon_spark.fixtures import ensure_image_fixture
+        from chronon_spark.fixtures import ensure_image_fixture, ensure_video_fixture
 
-        img_inp = ensure_image_fixture(n=args.images, seed=7)
-        join_inp = ensure_input(args.replicas, args.sf)
-        measure_pair(args.run_tag, 4, 16, img_inp, "image_fused")
-        measure_pair(args.run_tag, 4, 16, join_inp, "join")
-        if not args.skip_saturation:
-            measure_pair(args.run_tag, 8, 32, join_inp, "join")
+        if args.video_only:
+            vid_inp = ensure_video_fixture(n=args.videos, seed=7)
+            measure_pair(args.run_tag, 4, 16, vid_inp, "video_fused")
+        else:
+            img_inp = ensure_image_fixture(n=args.images, seed=7)
+            join_inp = ensure_input(args.replicas, args.sf)
+            measure_pair(args.run_tag, 4, 16, img_inp, "image_fused")
+            measure_pair(args.run_tag, 4, 16, join_inp, "join")
+            if not args.skip_saturation:
+                measure_pair(args.run_tag, 8, 32, join_inp, "join")
 
     out = write_md(args.replicas, args.images)
     print(json.dumps(out))

@@ -20,7 +20,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, required=True)
     ap.add_argument("--input", required=True)
-    ap.add_argument("--workload", choices=["join", "groupby", "image", "image_fused"], default="join")
+    ap.add_argument("--workload",
+                    choices=["join", "groupby", "image", "image_fused", "video_fused"],
+                    default="join")
     ap.add_argument("--passes", type=int, default=2)
     args = ap.parse_args()
 
@@ -35,7 +37,8 @@ def main() -> None:
     # cogroup serde while staying cache-friendly. The 64M-row join input
     # wants 2048; the 480k-row image as-of would drown in per-group
     # overhead at that size — scale with the level's cores instead.
-    buckets = "2048" if not args.workload.startswith("image") else str(max(64, 4 * args.cpus))
+    buckets = ("2048" if args.workload in ("join", "groupby")
+               else str(max(64, 4 * args.cpus)))
     spark = build_session(
         "scaling-bench",
         master=f"local[{args.cpus}]",
@@ -124,6 +127,37 @@ def main() -> None:
             # fixed-floor latency that dragged 4->16 efficiency to 0.78.
             feats = extract_pixel_features(images, passthrough=("phash", "ts"))
             right = images.select(
+                "phash", "ts",
+                Fn.length("caption").cast("bigint").alias("caption_len"),
+            )
+            out = temporal_features(feats, right, ["phash"], ["phash"], parts)
+            return out.count()
+    elif args.workload == "video_fused":
+        # the video analog of the fused image pipeline: decode 'vraw'
+        # binary videos, sample every 2nd frame, per-video features
+        # (frame-0 phash, brightness, motion energy) in one Arrow pass
+        # that carries (phash, ts) through as passthrough, then enrich
+        # each video with phash-keyed as-of caption features — one
+        # feature vector per (video, ts), decode -> cogroup, two stages.
+        from pyspark.sql import functions as Fn
+
+        from chronon_spark.operators.multimodal import extract_video_features
+        from chronon_spark.operators.temporal_join import temporal_features
+        from chronon_spark.api import AggregationPart
+
+        videos = spark.read.parquet(args.input).repartition(8 * args.cpus).cache()
+        videos.count()
+        parts = [
+            AggregationPart("caption_len", Operation.COUNT, window=Window(1)),
+            AggregationPart("caption_len", Operation.COUNT, window=None),
+            AggregationPart("caption_len", Operation.MAX, window=None),
+        ]
+
+        def run():
+            feats = extract_video_features(
+                videos, every_n=2, passthrough=("phash", "ts")
+            )
+            right = videos.select(
                 "phash", "ts",
                 Fn.length("caption").cast("bigint").alias("caption_len"),
             )
