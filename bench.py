@@ -33,7 +33,49 @@ BENCH_QUERIES = [
     "staging_query",
     "temporal_groupby_self",   # r2: one-scan self-cogroup fast path
     "temporal_entity_mutations",  # r2: mutation replay
+    "image_asof_fused",        # r3: north-star image+caption backfill
 ]
+
+# North-star workload (BASELINE.json metric: feature vectors/sec on the
+# image+caption backfill): decode binary images with pixel features fused
+# into one Arrow pass that carries (phash, ts) through, then phash-keyed
+# as-of caption features — decode -> cogroup, two stages. Implemented
+# here rather than in __spark_entry__.queries() so the correctness gate
+# stays sf-scaled while the bench pins a fixed 48k-image input (the
+# 480k-image 4->16-core run lives in BENCH/BASELINE.md).
+NORTH_IMAGES = 48_000
+
+
+def run_image_asof_fused(spark):
+    from pyspark.sql import functions as F
+
+    from chronon_spark.api import AggregationPart, Operation, Window
+    from chronon_spark.fixtures import ensure_image_fixture
+    from chronon_spark.operators.multimodal import extract_pixel_features
+    from chronon_spark.operators.temporal_join import temporal_features
+
+    path = ensure_image_fixture(n=NORTH_IMAGES, seed=7)
+    # The fixture is written in bounded row groups (fixtures.FIXTURE_ROW_GROUP),
+    # so the scan itself splits across cores — no repartition of the binary
+    # rows. NEVER round-robin repartition() a binary-payload table: Spark
+    # sorts each partition by the FULL serialized row before a round-robin
+    # exchange (retry determinism), which is pathological on multi-KB rows.
+    # If a reshuffle is ever needed, hash-partition on the entity key.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+    images = spark.read.parquet(path)
+    parts = [
+        AggregationPart("caption_len", Operation.COUNT, window=Window(1)),
+        AggregationPart("caption_len", Operation.COUNT, window=None),
+        AggregationPart("caption_len", Operation.MAX, window=None),
+    ]
+    feats = extract_pixel_features(images, passthrough=("phash", "ts"))
+    right = images.select(
+        "phash", "ts", F.length("caption").cast("bigint").alias("caption_len")
+    )
+    return temporal_features(feats, right, ["phash"], ["phash"], parts)
+
+
+LOCAL_WORKLOADS = {"image_asof_fused": run_image_asof_fused}
 
 
 def materialize(df) -> int:
@@ -54,15 +96,21 @@ def run_bench(sf_dir: str, cpus: str, names: list[str], runs: int = 1) -> dict:
     )
     qs = entry.queries()
     # warm the JVM + python workers once with a tiny query
-    qs[names[0]](spark, "/root/testdata/sf0.001").count()
+    warm = next((n for n in names if n not in LOCAL_WORKLOADS), "temporal_join_asof")
+    qs[warm](spark, "/root/testdata/sf0.001").count()
 
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in names:
+        run_q = (
+            (lambda s, _sf, f=LOCAL_WORKLOADS[name]: f(s))
+            if name in LOCAL_WORKLOADS
+            else qs[name]
+        )
         best = None
         for _ in range(runs):
             t0 = time.perf_counter()
-            n = qs[name](spark, sf_dir).count()
+            n = run_q(spark, sf_dir).count()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
@@ -80,6 +128,7 @@ def run_bench(sf_dir: str, cpus: str, names: list[str], runs: int = 1) -> dict:
         "rows": rows,
         "rows_per_sec": rps,
         "headline_rows_per_sec": rps.get("temporal_join_asof"),
+        "north_image_rows_per_sec": rps.get("image_asof_fused"),
         "sf": sf_dir,
         "cpus": cpus,
     }

@@ -122,6 +122,17 @@ def gen_image_rows(n: int, seed: int = 42, span_days: int = 30):
     return rows
 
 
+# Binary-payload fixtures MUST be written in bounded row groups: parquet
+# splits scans at row-group boundaries, so a single-row-group multi-GB file
+# is one unsplittable task — the scan (and any shuffle write fused into it)
+# runs serial no matter the core count. 1024 rows x ~6KB payload ≈ 6MB per
+# group: with spark.sql.files.maxPartitionBytes=8m the scan fans out to
+# ≥32 tasks from 48k rows up, WITHOUT any repartition of the binary rows
+# (round-robin repartition sorts each partition by the full serialized row
+# first — pathological on multi-KB payloads).
+FIXTURE_ROW_GROUP = 1024
+
+
 def image_schema() -> str:
     return ("image_id string, bytes binary, w int, h int, fmt string, "
             "caption string, phash long, ts long")
@@ -156,7 +167,7 @@ def ensure_image_fixture(
         "ds": ds,
     })
     tmp = path + ".tmp"
-    pq.write_table(table, tmp)
+    pq.write_table(table, tmp, row_group_size=FIXTURE_ROW_GROUP)
     os.replace(tmp, path)
     return path
 
@@ -244,7 +255,7 @@ def ensure_video_fixture(
         "ts": pa.array([r["ts"] for r in rows], type=pa.int64()),
     })
     tmp = path + ".tmp"
-    pq.write_table(table, tmp)
+    pq.write_table(table, tmp, row_group_size=FIXTURE_ROW_GROUP)
     os.replace(tmp, path)
     return path
 
@@ -345,6 +356,6 @@ def ensure_audio_fixture(
         "ts": pa.array([r["ts"] for r in rows], type=pa.int64()),
     })
     tmp = path + ".tmp"
-    pq.write_table(table, tmp)
+    pq.write_table(table, tmp, row_group_size=FIXTURE_ROW_GROUP)
     os.replace(tmp, path)
     return path

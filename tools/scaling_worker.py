@@ -107,10 +107,13 @@ def main() -> None:
         from chronon_spark.operators.temporal_join import temporal_features
         from chronon_spark.api import AggregationPart
 
-        # the fixture is a single parquet file; spread decode across the
-        # level's cores (binary rows are ~6KB, maxPartitionBytes would
-        # otherwise give one scan task)
-        images = spark.read.parquet(args.input).repartition(8 * args.cpus).cache()
+        # the fixture is written in ~6MB row groups (fixtures.FIXTURE_ROW_GROUP);
+        # with maxPartitionBytes=8m the scan itself fans out across the level's
+        # cores. NO repartition of the binary rows: round-robin repartition
+        # sorts each partition by the full serialized row before the exchange
+        # (retry determinism) — pathological on multi-KB payloads.
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+        images = spark.read.parquet(args.input).cache()
         images.count()
         parts = [
             AggregationPart("caption_len", Operation.COUNT, window=Window(1)),
@@ -145,7 +148,8 @@ def main() -> None:
         from chronon_spark.operators.temporal_join import temporal_features
         from chronon_spark.api import AggregationPart
 
-        videos = spark.read.parquet(args.input).repartition(8 * args.cpus).cache()
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+        videos = spark.read.parquet(args.input).cache()
         videos.count()
         parts = [
             AggregationPart("caption_len", Operation.COUNT, window=Window(1)),
