@@ -1808,6 +1808,44 @@ def q_join_noagg_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StatsCompute analog (stats/StatsCompute.scala:37-120,
+    StatsGenerator.scala:35-141): per-(ds, column) null count/rate,
+    unique count, and — numeric columns only — zero count, min/max/avg,
+    population variance and an exact percentile profile, as one native
+    groupBy + stack unpivot. Sketch metrics exact-pinned for the oracle."""
+    _prep(spark)
+    from chronon_spark.operators.stats import feature_stats
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ds", F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd"))
+        .withColumn("ts", F.expr(TS_EXPR))
+    )
+    out = feature_stats(
+        ev, keys=["event_id", "user_id"], partition_col="ds",
+        percentiles=(0.05, 0.25, 0.5, 0.75, 0.95),
+    )
+    out = out.withColumn("total", F.col("total").cast("long"))
+    out = out.withColumn("null_count", F.col("null_count").cast("long"))
+    out = out.withColumn("unique_count", F.col("unique_count").cast("long"))
+    out = out.withColumn("zero_count", F.col("zero_count").cast("long"))
+    return _r6(out, ["null_rate", "min_value", "max_value", "avg_value",
+                     "variance", "p05", "p25", "p50", "p75", "p95"])
+
+
+def q_analyze_skew_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analyzer.skewKeys analog (Analyzer.scala:68-113): top-5 most
+    frequent stringified values per key column, exact counts, NULLs
+    bucketed under the literal 'NULL', ties broken by key_value ASC.
+    One stack melt -> one shuffle for all columns."""
+    _prep(spark)
+    from chronon_spark.operators.stats import skew_keys
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return skew_keys(ev, ["user_id", "event_type"], k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_query_dsl": q_scan_query_dsl,
@@ -1866,6 +1904,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixed_accuracy_join": q_mixed_accuracy_join,
         "cumulative_source": q_cumulative_source,
         "join_noagg_passthrough": q_join_noagg_passthrough,
+        "feature_stats": q_feature_stats,
+        "analyze_skew_keys": q_analyze_skew_keys,
     }
 
 
@@ -2851,6 +2891,75 @@ def oracle_sql() -> dict[str, str]:
             FROM l LEFT JOIN snaps s
               ON s.cust_key = l.cust AND s.ds <= l.yds
             GROUP BY l.event_id, l.cust, l.ts
+        """,
+        "feature_stats": """
+            WITH e AS (
+              SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS ds,
+                     event_type, value, props
+              FROM events
+            ),
+            t AS (SELECT ds, CAST(COUNT(*) AS BIGINT) AS total FROM e GROUP BY ds),
+            num AS (
+              SELECT ds, 'value' AS "column",
+                     CAST(COUNT(*) - COUNT(value) AS BIGINT) AS null_count,
+                     CAST(COUNT(DISTINCT value) AS BIGINT) AS unique_count,
+                     CAST(COALESCE(SUM(CASE WHEN value = 0 THEN 1 END), 0) AS BIGINT)
+                         AS zero_count,
+                     ROUND(MIN(value), 6) AS min_value,
+                     ROUND(MAX(value), 6) AS max_value,
+                     ROUND(AVG(value), 6) AS avg_value,
+                     ROUND(var_pop(value), 6) AS variance,
+                     ROUND(quantile_cont(value, 0.05), 6) AS p05,
+                     ROUND(quantile_cont(value, 0.25), 6) AS p25,
+                     ROUND(quantile_cont(value, 0.50), 6) AS p50,
+                     ROUND(quantile_cont(value, 0.75), 6) AS p75,
+                     ROUND(quantile_cont(value, 0.95), 6) AS p95
+              FROM e GROUP BY ds
+            ),
+            cats AS (
+              SELECT ds, c.name AS "column",
+                     CAST(COUNT(*) - COUNT(CASE WHEN c.name = 'event_type'
+                                                THEN event_type ELSE props END)
+                          AS BIGINT) AS null_count,
+                     CAST(COUNT(DISTINCT CASE WHEN c.name = 'event_type'
+                                              THEN event_type ELSE props END)
+                          AS BIGINT) AS unique_count,
+                     CAST(NULL AS BIGINT) AS zero_count,
+                     CAST(NULL AS DOUBLE) AS min_value,
+                     CAST(NULL AS DOUBLE) AS max_value,
+                     CAST(NULL AS DOUBLE) AS avg_value,
+                     CAST(NULL AS DOUBLE) AS variance,
+                     CAST(NULL AS DOUBLE) AS p05, CAST(NULL AS DOUBLE) AS p25,
+                     CAST(NULL AS DOUBLE) AS p50, CAST(NULL AS DOUBLE) AS p75,
+                     CAST(NULL AS DOUBLE) AS p95
+              FROM e, (VALUES ('event_type'), ('props')) c(name)
+              GROUP BY ds, c.name
+            ),
+            u AS (SELECT * FROM num UNION ALL SELECT * FROM cats)
+            SELECT u.ds, u."column", t.total, u.null_count,
+                   ROUND(CAST(u.null_count AS DOUBLE) / t.total, 6) AS null_rate,
+                   u.unique_count, u.zero_count, u.min_value, u.max_value,
+                   u.avg_value, u.variance, u.p05, u.p25, u.p50, u.p75, u.p95
+            FROM u JOIN t USING (ds)
+        """,
+        "analyze_skew_keys": """
+            WITH m AS (
+              SELECT 'user_id' AS col_name,
+                     COALESCE(CAST(user_id AS VARCHAR), 'NULL') AS key_value
+              FROM events
+              UNION ALL
+              SELECT 'event_type', COALESCE(event_type, 'NULL') FROM events
+            ),
+            c AS (
+              SELECT col_name, key_value, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM m GROUP BY col_name, key_value
+            ),
+            r AS (
+              SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY col_name ORDER BY cnt DESC, key_value ASC) AS rk
+              FROM c
+            )
+            SELECT col_name, key_value, cnt FROM r WHERE rk <= 5
         """,
     }
 
