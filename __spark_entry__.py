@@ -1808,6 +1808,33 @@ def q_join_noagg_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_compare_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CompareJob analog (stats/CompareBaseJob.scala:109-190,
+    CompareMetrics.scala:38-133): full-outer comparison of two derived
+    event frames (right: rows dropped, values perturbed/nulled) ->
+    per-column both/left/right-null, mismatch, SMAPE and exact diff
+    percentiles. Exercises all three null quadrants + numeric metrics."""
+    _prep(spark)
+    from chronon_spark.operators.compare import compare_tables
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", F.expr(TS_EXPR))
+        .select("event_id", "ts", "value", "event_type")
+    )
+    left = ev.where("event_id % 17 != 0")
+    right = ev.where("event_id % 13 != 0").select(
+        "event_id", "ts",
+        F.when(F.col("event_id") % 11 == 0, None)
+        .otherwise(
+            F.col("value") + F.when(F.col("event_id") % 7 == 0, 1.0).otherwise(0.0)
+        ).alias("value"),
+        "event_type",
+    )
+    _, metrics = compare_tables(left, right, keys=["event_id", "ts"])
+    return _r6(metrics, ["smape", "diff_p05", "diff_p50", "diff_p95"])
+
+
 def q_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """StatsCompute analog (stats/StatsCompute.scala:37-120,
     StatsGenerator.scala:35-141): per-(ds, column) null count/rate,
@@ -1906,6 +1933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_noagg_passthrough": q_join_noagg_passthrough,
         "feature_stats": q_feature_stats,
         "analyze_skew_keys": q_analyze_skew_keys,
+        "compare_tables": q_compare_tables,
     }
 
 
@@ -2891,6 +2919,68 @@ def oracle_sql() -> dict[str, str]:
             FROM l LEFT JOIN snaps s
               ON s.cust_key = l.cust AND s.ds <= l.yds
             GROUP BY l.event_id, l.cust, l.ts
+        """,
+        "compare_tables": """
+            WITH e AS (
+              SELECT event_id, epoch_ms(ts) AS ts, value, event_type FROM events
+            ),
+            l AS (SELECT * FROM e WHERE event_id % 17 != 0),
+            r AS (
+              SELECT event_id, ts,
+                     CASE WHEN event_id % 11 = 0 THEN NULL
+                          ELSE value + CASE WHEN event_id % 7 = 0
+                                            THEN 1.0 ELSE 0.0 END
+                     END AS value,
+                     event_type
+              FROM e WHERE event_id % 13 != 0
+            ),
+            j AS (
+              SELECT l.value AS vl, r.value AS vr,
+                     l.event_type AS tl, r.event_type AS tr,
+                     l.event_id IS NOT NULL OR l.ts IS NOT NULL AS has_l,
+                     r.event_id IS NOT NULL OR r.ts IS NOT NULL AS has_r
+              FROM l FULL JOIN r USING (event_id, ts)
+            ),
+            m AS (
+              SELECT 'value' AS "column",
+                     CAST(COUNT(*) AS BIGINT) AS total,
+                     CAST(SUM(CASE WHEN vl IS NULL AND vr IS NULL
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS both_null,
+                     CAST(SUM(CASE WHEN vl IS NULL AND vr IS NOT NULL
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS left_null,
+                     CAST(SUM(CASE WHEN vl IS NOT NULL AND vr IS NULL
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS right_null,
+                     CAST(SUM(CASE WHEN vl IS NOT NULL AND vr IS NOT NULL
+                                        AND vl != vr
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS mismatch,
+                     -- Spark/reference: WHEN(denom != 0, ...).OTHERWISE(0)
+                     -- routes NULL pairs to 0.0, so they dilute the mean
+                     ROUND(AVG(CASE
+                         WHEN vl IS NULL OR vr IS NULL THEN 0.0
+                         WHEN ABS(vl) + ABS(vr) = 0 THEN 0.0
+                         ELSE ABS(vl - vr) * 2 / (ABS(vl) + ABS(vr))
+                       END), 6) AS smape,
+                     ROUND(quantile_cont(vl - vr, 0.05), 6) AS diff_p05,
+                     ROUND(quantile_cont(vl - vr, 0.50), 6) AS diff_p50,
+                     ROUND(quantile_cont(vl - vr, 0.95), 6) AS diff_p95
+              FROM j
+              UNION ALL
+              SELECT 'event_type',
+                     CAST(COUNT(*) AS BIGINT),
+                     CAST(SUM(CASE WHEN tl IS NULL AND tr IS NULL
+                                   THEN 1 ELSE 0 END) AS BIGINT),
+                     CAST(SUM(CASE WHEN tl IS NULL AND tr IS NOT NULL
+                                   THEN 1 ELSE 0 END) AS BIGINT),
+                     CAST(SUM(CASE WHEN tl IS NOT NULL AND tr IS NULL
+                                   THEN 1 ELSE 0 END) AS BIGINT),
+                     CAST(SUM(CASE WHEN tl IS NOT NULL AND tr IS NOT NULL
+                                        AND tl != tr
+                                   THEN 1 ELSE 0 END) AS BIGINT),
+                     CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                     CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+              FROM j
+            )
+            SELECT * FROM m
         """,
         "feature_stats": """
             WITH e AS (
