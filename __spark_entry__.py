@@ -1808,6 +1808,49 @@ def q_join_noagg_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_analyze_join_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analyzer.analyzeJoin metadata (Analyzer.scala:160-330): feature
+    name / type / op / window / input / group-by rows for a two-part
+    join, derived plan-only from the confs + parquet schema. The oracle
+    is the hand-written expected listing — pinning the reference's
+    output-naming (k-embedding, window suffixes, prefixes) and type
+    derivation rules."""
+    _prep(spark)
+    from chronon_spark.operators.analyzer import aggregation_metadata_df
+
+    gb_a = GroupBy(
+        sources=[_events_source(sf_dir, {"user_id": "user_id", "value": "value"})],
+        key_columns=["user_id"],
+        aggregations=[
+            Aggregation("value", Operation.SUM, windows=[Window(7)]),
+            Aggregation("value", Operation.COUNT, windows=[None]),
+            Aggregation("value", Operation.LAST_K, arg_map={"k": 5},
+                        windows=[Window(7)]),
+        ],
+        name="user_feats",
+    )
+    gb_b = GroupBy(
+        sources=[_events_source(
+            sf_dir, {"event_type": "event_type", "value": "value"})],
+        key_columns=["event_type"],
+        aggregations=[
+            Aggregation("value", Operation.AVERAGE, windows=[Window(30)]),
+            Aggregation("value", Operation.MAX, windows=[None]),
+        ],
+        name="type_feats",
+    )
+    join = Join(
+        left=_events_source(
+            sf_dir,
+            {"event_id": "event_id", "user_id": "user_id",
+             "event_type": "event_type"},
+        ),
+        join_parts=[JoinPart(gb_a), JoinPart(gb_b, prefix="x")],
+        name="analyzed",
+    )
+    return aggregation_metadata_df(spark, join)
+
+
 def q_drift_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drift summary (online/.../stats/DriftMetrics.scala histogram
     distances + Summarizer-style Spark tiles): JSD/PSI/Hellinger between
@@ -1960,6 +2003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "analyze_skew_keys": q_analyze_skew_keys,
         "compare_tables": q_compare_tables,
         "drift_metrics": q_drift_metrics,
+        "analyze_join_schema": q_analyze_join_schema,
     }
 
 
@@ -2945,6 +2989,20 @@ def oracle_sql() -> dict[str, str]:
             FROM l LEFT JOIN snaps s
               ON s.cust_key = l.cust AND s.ds <= l.yds
             GROUP BY l.event_id, l.cust, l.ts
+        """,
+        "analyze_join_schema": """
+            SELECT * FROM (VALUES
+              ('user_feats_value_sum_7d', 'double', 'sum', '7d',
+               'value', 'user_feats'),
+              ('user_feats_value_count', 'bigint', 'count', 'unbounded',
+               'value', 'user_feats'),
+              ('user_feats_value_last5_7d', 'array<double>', 'last_k', '7d',
+               'value', 'user_feats'),
+              ('x_type_feats_value_average_30d', 'double', 'average', '30d',
+               'value', 'type_feats'),
+              ('x_type_feats_value_max', 'double', 'max', 'unbounded',
+               'value', 'type_feats')
+            ) t(name, column_type, operation, "window", input_column, group_by)
         """,
         "drift_metrics": """
             WITH e AS (
