@@ -1808,6 +1808,24 @@ def q_join_noagg_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: the ngram-Jaccard pair set (same
+    parameters as dedup_ngram_jaccard) -> min-label connected components
+    -> canonical member per cluster. Oracle recomputes the closure with
+    a recursive CTE over the identically-derived edge set."""
+    _prep(spark)
+    from chronon_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        resolve_duplicate_clusters,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=8, threshold=0.3,
+                                max_df=50)
+    out = resolve_duplicate_clusters(docs, pairs, "doc_id")
+    return out.select("doc_id", "cluster_id", "is_canonical")
+
+
 def q_analyze_join_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analyzer.analyzeJoin metadata (Analyzer.scala:160-330): feature
     name / type / op / window / input / group-by rows for a two-part
@@ -2004,6 +2022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compare_tables": q_compare_tables,
         "drift_metrics": q_drift_metrics,
         "analyze_join_schema": q_analyze_join_schema,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -2989,6 +3008,52 @@ def oracle_sql() -> dict[str, str]:
             FROM l LEFT JOIN snaps s
               ON s.cust_key = l.cust AND s.ds <= l.yds
             GROUP BY l.event_id, l.cust, l.ts
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE docs AS (
+              SELECT doc_id AS id,
+                list_distinct(list_transform(
+                  CASE WHEN length(text) >= 8
+                       THEN [substr(text, i, 8) FOR i IN range(1, length(text) - 6)]
+                       ELSE [text] END,
+                  s -> list_reduce(
+                         list_prepend(CAST(0 AS BIGINT),
+                           list_transform(string_split_regex(s, ''),
+                                          ch -> CAST(ascii(ch) AS BIGINT))),
+                         (acc, x) -> (acc * 131 + x) % 1000000007))) AS sh
+              FROM documents
+            ),
+            inv0 AS (SELECT id, len(sh) AS sz, UNNEST(sh) AS s FROM docs),
+            hot AS (SELECT s FROM inv0 GROUP BY s HAVING COUNT(*) > 50),
+            inv AS (SELECT * FROM inv0 WHERE s NOT IN (SELECT s FROM hot)),
+            co AS (
+              SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+                     COUNT(*) AS inter
+              FROM inv a JOIN inv b ON a.s = b.s AND a.id < b.id
+              GROUP BY 1, 2, 3, 4
+            ),
+            pairs AS (
+              SELECT id_a, id_b FROM co
+              WHERE inter / CAST(sz_a + sz_b - inter AS DOUBLE) >= 0.3
+            ),
+            edges AS (
+              SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ),
+            walk(s, d) AS (
+              SELECT s, d FROM edges
+              UNION
+              SELECT w.s, e.d FROM walk w JOIN edges e ON w.d = e.s
+            ),
+            comp AS (
+              SELECT s AS id, LEAST(s, MIN(d)) AS cluster_id
+              FROM walk GROUP BY s
+            )
+            SELECT dd.doc_id,
+                   COALESCE(comp.cluster_id, dd.doc_id) AS cluster_id,
+                   COALESCE(comp.cluster_id, dd.doc_id) = dd.doc_id
+                       AS is_canonical
+            FROM documents dd LEFT JOIN comp ON comp.id = dd.doc_id
         """,
         "analyze_join_schema": """
             SELECT * FROM (VALUES

@@ -404,3 +404,91 @@ def embedding_neardup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster resolution: near-dup PAIRS -> connected components ->
+# one canonical document per cluster. This is the step every training-data
+# dedup pipeline runs after pair generation (the reference stops at
+# dropDuplicates; pair->cluster->canonical is the engine extension the
+# MinHash/SimHash/embedding pair producers above feed).
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(id, cluster_id) for every id appearing in `pairs`, where
+    cluster_id = MIN id of the connected component.
+
+    Min-label propagation: each round every node takes the min of its own
+    label and its neighbors' labels; converged when a round changes
+    nothing. Rounds needed = graph diameter (near-dup clusters are
+    shallow: a few rounds), each round ONE join + ONE groupBy on the
+    label frame — the standard Spark treatment when cluster sizes are
+    bounded; for adversarial long-chain graphs swap in large-star/
+    small-star (same API). `localCheckpoint` truncates the iterative
+    lineage so the plan doesn't grow with rounds.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        msgs = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(msgs, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
+                ).alias("cluster_id"),
+                (F.coalesce("nbr_min", "cluster_id") < F.col("cluster_id"))
+                .alias("__changed"),
+            )
+            .localCheckpoint()  # bounded driver action: truncates lineage
+        )
+        changed = new_labels.where("__changed").limit(1).count()
+        labels = new_labels.drop("__changed")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def resolve_duplicate_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Attach (cluster_id, is_canonical) to every row of `df`.
+
+    Rows in no pair are their own singleton cluster. The canonical member
+    is the MIN id of the cluster (deterministic; swap the keep-rule by
+    post-filtering). `SELECT * WHERE is_canonical` IS the deduped corpus.
+    """
+    comp = connected_components(pairs, id_a, id_b)
+    out = (
+        df.join(comp.withColumnRenamed("id", id_col), id_col, "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+        .withColumn("is_canonical", F.col("cluster_id") == F.col(id_col))
+    )
+    return out

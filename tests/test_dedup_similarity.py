@@ -254,3 +254,34 @@ def test_kmeans_centroids_deterministic():
     C2 = kmeans_centroids(X, 16, iters=10, seed=7)
     assert np.array_equal(C1, C2)
     assert np.allclose(np.linalg.norm(C1, axis=1), 1.0)
+
+
+def test_connected_components_chain(spark):
+    from chronon_spark.operators.dedup import connected_components
+
+    # path graph 1-2-3-4-5-6: min label must propagate the full diameter
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)] + [(10, 11)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10}
+
+
+def test_resolve_duplicate_clusters(spark):
+    from chronon_spark.operators.dedup import resolve_duplicate_clusters
+
+    df = spark.createDataFrame(
+        [(i, f"doc{i}") for i in [1, 2, 3, 7, 8, 9]], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    out = resolve_duplicate_clusters(df, pairs, "doc_id").collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["cluster_id"] == 1 and by_id[1]["is_canonical"]
+    assert by_id[3]["cluster_id"] == 1 and not by_id[3]["is_canonical"]
+    assert by_id[8]["cluster_id"] == 7 and not by_id[8]["is_canonical"]
+    # 9 appears in no pair: singleton, canonical
+    assert by_id[9]["cluster_id"] == 9 and by_id[9]["is_canonical"]
+    keep = [r["doc_id"] for r in out if r["is_canonical"]]
+    assert sorted(keep) == [1, 7, 9]
