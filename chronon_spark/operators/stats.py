@@ -16,7 +16,12 @@ Reference parity:
     countDistinct) — the engine-wide oracle strategy used for
     APPROX_UNIQUE_COUNT; at 100 TB flip ``exact=False`` to switch those
     two columns to ``approx_percentile`` / ``approx_count_distinct``
-    (one pass, mergeable partials, no sort).
+    (one pass, mergeable partials, no sort).  Note the exact mode's cost
+    shape: one countDistinct PER column compiles to an Expand-based
+    multi-distinct plan (input amplified ~(columns+1)x before the
+    shuffle) and exact percentile is a sort-based aggregate — both fine
+    for the oracle gate, both replaced by single-pass mergeable partials
+    under ``exact=False``, which is the setting to run at scale.
   * ``skew_keys`` — the analog of `spark/.../Analyzer.scala:68-113
     skewKeys`: per key column, the top-k most frequent stringified key
     values (NULL keys count under the literal 'NULL', as the reference's
