@@ -1225,6 +1225,21 @@ def q_image_asof_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs by perceptual-hash hamming (<= 2): the
+    image-payload analog of simhash dedup. The engine recomputes the
+    64-bit phash FROM DECODED PIXELS (Arrow decode pass), then pigeonhole
+    banding (3 chunks, recall 1) + bit_count verify. The oracle uses the
+    STORED phash column with brute-force all-pairs hamming — valid
+    because image_pixel_features pins phash_check == phash, so a decode
+    or hash regression breaks this hash too."""
+    _prep(spark)
+    from chronon_spark.operators.dedup import image_phash_neardup_pairs
+
+    images = spark.read.parquet(_image_fixture_path())
+    return image_phash_neardup_pairs(images, max_hamming=2)
+
+
 def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful STREAMING GroupBy (applyInPandasWithState): the
     events table replayed as a file-source stream (availableNow), per-key
@@ -1982,6 +1997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "image_pixel_features": q_image_pixel_features,
         "image_asof_features": q_image_asof_features,
+        "image_phash_neardup": q_image_phash_neardup,
         "video_frame_features": q_video_frame_features,
         "audio_clip_features": q_audio_clip_features,
         "stream_stateful_features": q_stream_stateful,
@@ -2645,6 +2661,17 @@ def oracle_sql() -> dict[str, str]:
                        AS caption_tokens,
                    fmt
             FROM '{_FIXTURE_PATH}'
+        """,
+        # image near-dup: pigeonhole banding has recall exactly 1 (and the
+        # engine verifies with exact bit_count), so the pair set equals
+        # brute-force all-pairs hamming over the stored phash — which the
+        # image_pixel_features oracle pins equal to the decoded-pixel hash.
+        "image_phash_neardup": rf"""
+            SELECT a.image_id AS id_a, b.image_id AS id_b,
+                   bit_count(xor(a.phash, b.phash)) AS hamming
+            FROM '{_FIXTURE_PATH}' a JOIN '{_FIXTURE_PATH}' b
+              ON a.image_id < b.image_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 2
         """,
         # streaming stateful op: the final per-key state after replaying
         # the whole events stream IS the lifetime aggregation — plain SQL.

@@ -313,28 +313,52 @@ def with_simhash(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
     return df.withColumn("simhash", _simhash(F.col(text_col)))
 
 
-def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+def hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
+    max_bucket: Optional[int] = None,
 ) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) <= max_hamming, found by
-    pigeonhole banding: split 64 bits into (max_hamming+1) chunks — any
-    pair within distance must agree on >= 1 chunk."""
+    """Pairs of rows whose 64-bit `hash_col` values are within
+    `max_hamming`, found by pigeonhole banding: split 64 bits into
+    (max_hamming+1) chunks — any pair within distance must agree exactly
+    on >= 1 chunk, so banding has recall 1 while the candidate join is
+    sum over buckets of |bucket|^2, not |rows|^2.
+
+    `max_bucket` (optional) drops band buckets larger than the cap before
+    the self-join — the guard for degenerate hash populations (e.g. a
+    constant-content cluster) whose bucket self-join would go quadratic.
+    With a cap the recall-1 guarantee becomes conditional, same trade as
+    minhash's bucket cap; leave it None when an exact pair set is needed
+    (the driver oracle does)."""
     chunks = max_hamming + 1
     width = 64 // chunks
-    sh = with_simhash(df.select(F.col(id_col).alias("id"), text_col), text_col)
-    banded = sh.select(
-        "id", "simhash",
+
+    def _chunk_key(c: int) -> Column:
+        shifted = F.shiftrightunsigned(F.col("__h"), c * width)
+        if width >= 64:  # single chunk = whole word, mask would overflow long
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
+    src = df.select(F.col(id_col).alias("id"), F.col(hash_col).alias("__h"))
+    banded = src.select(
+        "id", "__h",
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(c).alias("chunk"),
-                    F.shiftrightunsigned(F.col("simhash"), c * width)
-                    .bitwiseAND(F.lit((1 << width) - 1)).alias("key"),
-                )
+                F.struct(F.lit(c).alias("chunk"), _chunk_key(c).alias("key"))
                 for c in range(chunks)
             ])
         ).alias("bk"),
-    ).select("id", "simhash", "bk.chunk", "bk.key")
+    ).select("id", "__h", "bk.chunk", "bk.key")
+    if max_bucket is not None:
+        counts = banded.groupBy("chunk", "key").agg(
+            F.count(F.lit(1)).alias("__bn")
+        )
+        banded = (
+            banded.join(F.broadcast(counts.where(F.col("__bn") > max_bucket)),
+                        ["chunk", "key"], "left_anti")
+        )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -345,7 +369,7 @@ def simhash_pairs(
         )
         .select(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("h_a"), F.col("b.simhash").alias("h_b"),
+            F.col("a.__h").alias("h_a"), F.col("b.__h").alias("h_b"),
         )
         .distinct()
     )
@@ -355,6 +379,41 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming (pigeonhole
+    banding via hamming_pairs, recall exactly 1)."""
+    sh = with_simhash(df.select(F.col(id_col).alias("id"), text_col), text_col)
+    return hamming_pairs(sh, "id", "simhash", max_hamming)
+
+
+def image_phash_neardup_pairs(
+    images: DataFrame, max_hamming: int = 2,
+    max_bucket: Optional[int] = None,
+) -> DataFrame:
+    """Image near-duplicate pairs by perceptual-hash hamming distance —
+    the image-payload analog of simhash dedup (re-captures, re-encodes
+    and lossy-codec copies land within a few phash bits).
+
+    The hash is recomputed FROM DECODED PIXELS (multimodal
+    with_image_features, Arrow-batched decode), not read from the stored
+    `phash` column — so the pair set exercises the full decode -> hash ->
+    band -> join path; the stored column only serves the oracle, which is
+    valid because image_pixel_features pins phash_check == phash.
+
+    Perceptual hashes of structured content are heavily correlated (low-
+    frequency images share block patterns), so band buckets skew much
+    harder than simhash's — at corpus scale pass `max_bucket` to cap the
+    degenerate buckets, accepting conditional recall."""
+    from chronon_spark.operators.multimodal import with_image_features
+
+    feats = with_image_features(images).select(
+        "image_id", F.col("phash_check").alias("__phash")
+    )
+    return hamming_pairs(feats, "image_id", "__phash", max_hamming, max_bucket)
 
 
 # ---------------------------------------------------------------------------

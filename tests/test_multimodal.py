@@ -286,3 +286,49 @@ def test_extract_video_features_passthrough(spark):
         r = out[src["video_id"]]
         assert r["phash"] == src["phash"] and r["ts"] == src["ts"]
         assert r["phash0_check"] == src["phash"]
+
+
+def test_image_phash_neardup_matches_bruteforce(spark):
+    """Banded hamming pairs over DECODED-pixel hashes == numpy all-pairs
+    over the stored phash (the fixture generator wrote phash from the
+    same decode), at several radii incl. one where banding uses 21-bit
+    chunks over heavily-correlated hashes."""
+    from chronon_spark.fixtures import gen_image_rows
+    from chronon_spark.operators.dedup import image_phash_neardup_pairs
+
+    rows = gen_image_rows(80, seed=9)
+    df = spark.createDataFrame(
+        [(r["image_id"], r["bytes"], r["w"], r["h"], r["fmt"], r["caption"],
+          r["phash"], r["ts"]) for r in rows],
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long, ts long",
+    )
+    ph = {r["image_id"]: r["phash"] for r in rows}
+    ids = sorted(ph)
+    for max_h in (0, 2, 3):
+        expect = {
+            (a, b, bin((ph[a] ^ ph[b]) & (2**64 - 1)).count("1"))
+            for i, a in enumerate(ids) for b in ids[i + 1:]
+            if bin((ph[a] ^ ph[b]) & (2**64 - 1)).count("1") <= max_h
+        }
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in image_phash_neardup_pairs(df, max_hamming=max_h).collect()
+        }
+        assert got == expect, f"radius {max_h}"
+    assert expect, "fixture must contain near-dup pairs at radius 3"
+
+
+def test_hamming_pairs_bucket_cap_drops_hot_buckets(spark):
+    """max_bucket prunes band buckets above the cap BEFORE the self-join:
+    a constant-hash cluster (every band bucket size n) yields no pairs
+    under a small cap, while distinct near hashes survive."""
+    from chronon_spark.operators.dedup import hamming_pairs
+
+    rows = [(f"c{i}", 0) for i in range(20)] + [("x1", 1 << 40), ("x2", (1 << 40) | 1)]
+    df = spark.createDataFrame(rows, "id string, h long")
+    capped = hamming_pairs(df, "id", "h", max_hamming=1, max_bucket=10).collect()
+    assert {(r["id_a"], r["id_b"]) for r in capped} == {("x1", "x2")}
+    uncapped = hamming_pairs(df, "id", "h", max_hamming=1).collect()
+    # 190 within-cluster pairs + x1-x2 + 20 cluster-x1 pairs (hamming 1)
+    assert len(uncapped) == 20 * 19 // 2 + 1 + 20
