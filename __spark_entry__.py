@@ -1240,6 +1240,24 @@ def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_phash_neardup_pairs(images, max_hamming=2)
 
 
+def q_image_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation pipeline: decode-gated quality filters
+    (resolution >= 48x48, caption >= 8 tokens) then phash near-dup
+    clustering (hamming <= 2) over the survivors — `is_canonical` marks
+    the curated corpus. The oracle replays the gates on stored metadata
+    and the clustering as a recursive-CTE transitive closure over
+    brute-force all-pairs hamming of the stored phash (pinned equal to
+    the decoded hash by image_pixel_features)."""
+    _prep(spark)
+    from chronon_spark.operators.multimodal import curate_images
+
+    images = spark.read.parquet(_image_fixture_path())
+    out = curate_images(
+        images, min_w=48, min_h=48, min_caption_tokens=8, max_hamming=2
+    )
+    return out.select("image_id", "cluster_id", "is_canonical", "w", "h")
+
+
 def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful STREAMING GroupBy (applyInPandasWithState): the
     events table replayed as a file-source stream (availableNow), per-key
@@ -1998,6 +2016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_pixel_features": q_image_pixel_features,
         "image_asof_features": q_image_asof_features,
         "image_phash_neardup": q_image_phash_neardup,
+        "image_curation": q_image_curation,
         "video_frame_features": q_video_frame_features,
         "audio_clip_features": q_audio_clip_features,
         "stream_stateful_features": q_stream_stateful,
@@ -2672,6 +2691,43 @@ def oracle_sql() -> dict[str, str]:
             FROM '{_FIXTURE_PATH}' a JOIN '{_FIXTURE_PATH}' b
               ON a.image_id < b.image_id
             WHERE bit_count(xor(a.phash, b.phash)) <= 2
+        """,
+        # curation pipeline oracle: quality gates over stored metadata,
+        # then recursive-CTE transitive closure over brute-force hamming
+        # pairs of the stored phash (== decoded hash per the pixel oracle).
+        "image_curation": rf"""
+            WITH RECURSIVE kept AS (
+              SELECT image_id, phash, w, h
+              FROM '{_FIXTURE_PATH}'
+              WHERE w >= 48 AND h >= 48
+                AND (CASE WHEN length(trim(caption)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(caption), '\s+'))
+                     END) >= 8
+            ),
+            pairs AS (
+              SELECT a.image_id AS id_a, b.image_id AS id_b
+              FROM kept a JOIN kept b ON a.image_id < b.image_id
+              WHERE bit_count(xor(a.phash, b.phash)) <= 2
+            ),
+            edges AS (
+              SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ),
+            walk(s, d) AS (
+              SELECT s, d FROM edges
+              UNION
+              SELECT w.s, e.d FROM walk w JOIN edges e ON w.d = e.s
+            ),
+            comp AS (
+              SELECT s AS id, LEAST(s, MIN(d)) AS cluster_id
+              FROM walk GROUP BY s
+            )
+            SELECT k.image_id,
+                   COALESCE(comp.cluster_id, k.image_id) AS cluster_id,
+                   COALESCE(comp.cluster_id, k.image_id) = k.image_id
+                       AS is_canonical,
+                   k.w, k.h
+            FROM kept k LEFT JOIN comp ON comp.id = k.image_id
         """,
         # streaming stateful op: the final per-key state after replaying
         # the whole events stream IS the lifetime aggregation — plain SQL.

@@ -332,3 +332,52 @@ def with_image_features(images: DataFrame) -> DataFrame:
     shuffle (the r2 version joined two 480k-row frames instead)."""
     extra = tuple(c for c in images.columns if c != "image_id")
     return extract_pixel_features(images, passthrough=extra)
+
+
+def curate_images(
+    images: DataFrame,
+    min_w: int = 0,
+    min_h: int = 0,
+    min_caption_tokens: int = 0,
+    max_hamming: int = 2,
+    max_bucket: "int | None" = None,
+) -> DataFrame:
+    """End-to-end image-corpus curation — the composition a training-data
+    pipeline runs before sampling: decode (integrity-gated), quality
+    filters, then perceptual near-dup clustering among the survivors.
+
+      1. one Arrow decode pass (extract_pixel_features) with quality
+         metadata carried through — rows that fail to decode are dropped;
+      2. quality gates: resolution >= (min_w, min_h) and caption token
+         count >= min_caption_tokens (both native Catalyst predicates);
+      3. phash hamming <= max_hamming pairs over the DECODED-pixel hash
+         (pigeonhole banding, dedup.hamming_pairs) -> min-label connected
+         components -> cluster_id + is_canonical per surviving row.
+         `WHERE is_canonical` IS the curated corpus.
+
+    Scale shape: the only payload-bearing stage is the decode scan; the
+    dedup graph runs on (image_id, phash) pairs. Pass max_bucket at
+    corpus scale (perceptual hashes of structured content correlate
+    heavily — see image_phash_neardup_pairs)."""
+    from chronon_spark.operators.dedup import (
+        hamming_pairs,
+        resolve_duplicate_clusters,
+    )
+    from chronon_spark.operators.text import token_count
+
+    feats = extract_pixel_features(images, passthrough=("w", "h", "caption"))
+    kept = feats.where(
+        F.col("decode_ok")
+        & (F.col("w") >= min_w)
+        & (F.col("h") >= min_h)
+        & (token_count(F.col("caption")) >= min_caption_tokens)
+    ).select(
+        "image_id",
+        F.col("phash_check").alias("phash_decoded"),
+        "w", "h", "caption",
+        "brightness", "contrast",
+    )
+    pairs = hamming_pairs(
+        kept, "image_id", "phash_decoded", max_hamming, max_bucket
+    )
+    return resolve_duplicate_clusters(kept, pairs, "image_id")

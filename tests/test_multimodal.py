@@ -332,3 +332,36 @@ def test_hamming_pairs_bucket_cap_drops_hot_buckets(spark):
     uncapped = hamming_pairs(df, "id", "h", max_hamming=1).collect()
     # 190 within-cluster pairs + x1-x2 + 20 cluster-x1 pairs (hamming 1)
     assert len(uncapped) == 20 * 19 // 2 + 1 + 20
+
+
+def test_curate_images_gates_and_clusters(spark):
+    """Quality gates drop low-res / short-caption / undecodable rows;
+    survivors cluster on decoded-phash hamming with min-id canonicals."""
+    from chronon_spark.fixtures import encode_image, gen_pixels, phash64
+    import numpy as np
+    from chronon_spark.operators.multimodal import curate_images
+
+    rng = np.random.default_rng(3)
+    pix = gen_pixels(rng, 64, 48)
+    near = pix.copy()
+    near[0, 0] = 255 - near[0, 0]  # tiny perturbation, phash-equal or near
+    rows = [
+        ("a", encode_image(pix, "rgb8"), 64, 48, "rgb8", "one two three four"),
+        ("b", encode_image(near, "rgb8"), 64, 48, "rgb8", "one two three four"),
+        ("lowres", encode_image(gen_pixels(rng, 16, 16), "rgb8"), 16, 16,
+         "rgb8", "one two three four"),
+        ("shortcap", encode_image(gen_pixels(rng, 64, 48), "rgb8"), 64, 48,
+         "rgb8", "hi"),
+        ("broken", b"\x00\x01", 64, 48, "jpeg", "one two three four"),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, caption string"
+    )
+    out = {r["image_id"]: r for r in curate_images(
+        df, min_w=32, min_h=32, min_caption_tokens=4, max_hamming=4
+    ).collect()}
+    assert set(out) == {"a", "b"}
+    ham = bin(phash64(pix) ^ phash64(near)).count("1")
+    assert ham <= 4, "perturbation must stay within the test radius"
+    assert out["a"]["cluster_id"] == "a" and out["a"]["is_canonical"]
+    assert out["b"]["cluster_id"] == "a" and not out["b"]["is_canonical"]
