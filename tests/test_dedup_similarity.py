@@ -285,3 +285,53 @@ def test_resolve_duplicate_clusters(spark):
     assert by_id[9]["cluster_id"] == 9 and by_id[9]["is_canonical"]
     keep = [r["doc_id"] for r in out if r["is_canonical"]]
     assert sorted(keep) == [1, 7, 9]
+
+
+def test_hamming_pairs_property_vs_bruteforce(spark):
+    """Property test (hypothesis): for arbitrary 64-bit hash populations —
+    including adversarial near-collision clusters — banded hamming_pairs
+    equals numpy brute force at every radius 0..3 (recall AND precision 1)."""
+    from hypothesis import given, settings, strategies as st
+
+    from chronon_spark.operators.dedup import hamming_pairs
+
+    i64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+    # mix free-range hashes with perturbations of a shared base so small
+    # hamming distances actually occur
+    @st.composite
+    def hash_pop(draw):
+        base = draw(i64)
+        n = draw(st.integers(min_value=2, max_value=24))
+        out = []
+        for i in range(n):
+            if draw(st.booleans()):
+                bits = draw(st.sets(st.integers(0, 63), max_size=3))
+                u = base & (2**64 - 1)
+                for b in bits:
+                    u ^= 1 << b
+                out.append(u - (1 << 64) if u >= (1 << 63) else u)
+            else:
+                out.append(draw(i64))
+        return out
+
+    @settings(max_examples=8, deadline=None)
+    @given(pop=hash_pop(), max_h=st.integers(min_value=0, max_value=3))
+    def run(pop, max_h):
+        df = spark.createDataFrame(
+            [(f"id{i:03d}", h) for i, h in enumerate(pop)], "id string, h long"
+        )
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in hamming_pairs(df, "id", "h", max_h).collect()
+        }
+        ids = [f"id{i:03d}" for i in range(len(pop))]
+        expect = set()
+        for i in range(len(pop)):
+            for j in range(i + 1, len(pop)):
+                d = bin((pop[i] ^ pop[j]) & (2**64 - 1)).count("1")
+                if d <= max_h:
+                    a, b = sorted((ids[i], ids[j]))
+                    expect.add((a, b, d))
+        assert got == expect
+
+    run()
