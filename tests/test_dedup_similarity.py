@@ -335,3 +335,39 @@ def test_hamming_pairs_property_vs_bruteforce(spark):
         assert got == expect
 
     run()
+
+
+def test_hamming_clusters_equiv_pairs_path(spark):
+    """hamming_clusters (distinct-value banding + value-graph CC, no
+    row-level pairs) must equal resolve_duplicate_clusters over
+    hamming_pairs on populations with heavy exact-duplication."""
+    import numpy as np
+
+    from chronon_spark.operators.dedup import (
+        hamming_clusters,
+        hamming_pairs,
+        resolve_duplicate_clusters,
+    )
+
+    rng = np.random.default_rng(17)
+    base = [int(rng.integers(-2**63, 2**63 - 1)) for _ in range(10)]
+    rows = []
+    i = 0
+    for b in base:
+        for _ in range(int(rng.integers(1, 6))):  # exact duplicates
+            rows.append((f"r{i:03d}", b)); i += 1
+        if rng.random() < 0.7:  # a 1-bit neighbor
+            u = (b & (2**64 - 1)) ^ (1 << int(rng.integers(0, 64)))
+            rows.append((f"r{i:03d}", u - (1 << 64) if u >= (1 << 63) else u)); i += 1
+    df = spark.createDataFrame(rows, "id string, h long")
+    got = {
+        (r["id"], r["cluster_id"], r["is_canonical"])
+        for r in hamming_clusters(df, "id", "h", max_hamming=2).collect()
+    }
+    pairs = hamming_pairs(df, "id", "h", max_hamming=2)
+    expect = {
+        (r["id"], r["cluster_id"], r["is_canonical"])
+        for r in resolve_duplicate_clusters(df, pairs, "id")
+        .select("id", "cluster_id", "is_canonical").collect()
+    }
+    assert got == expect and len(got) == len(rows)
