@@ -89,12 +89,15 @@ def gen_caption(rng: np.random.Generator) -> str:
     return f"{s} {v} {p}"
 
 
-def gen_image_rows(n: int, seed: int = 42, span_days: int = 30):
-    """Yield fixture rows. ~15% of images are re-captured duplicates of an
-    earlier image (same pixels/phash, later ts) — the dedup scenario."""
+def gen_image_rows(n: int, seed: int = 42, span_days: int = 30, offset: int = 0):
+    """Rows [offset, offset+n). ~15% of images are re-captured duplicates
+    of an earlier image (same pixels/phash, later ts) — the dedup
+    scenario. Each row's RNG is seeded by its ABSOLUTE index (and a
+    re-capture regenerates its source from the source's absolute index),
+    so chunked/parallel generation produces byte-identical rows."""
     sizes = [(32, 32), (64, 48), (48, 64), (80, 60)]
     rows = []
-    for i in range(n):
+    for i in range(offset, offset + n):
         rng = np.random.default_rng(seed * 1_000_003 + i)
         if i > 10 and rng.random() < 0.15:
             src = int(rng.integers(0, i))
@@ -138,24 +141,14 @@ def image_schema() -> str:
             "caption string, phash long, ts long")
 
 
-def ensure_image_fixture(
-    n: int = 500, seed: int = 42, out_dir: str = "/root/repo/.fixtures"
-) -> str:
-    """Write the fixture parquet (hive ds-partitioned single file) once;
-    return the parquet path. Idempotent on (n, seed)."""
-    path = os.path.join(out_dir, f"images_n{n}_s{seed}.parquet")
-    if os.path.exists(path):
-        return path
-    os.makedirs(out_dir, exist_ok=True)
+def _image_rows_table(rows):
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
-    rows = gen_image_rows(n, seed)
     ds = [
         __import__("datetime").datetime.utcfromtimestamp(r["ts"] / 1000).strftime("%Y-%m-%d")
         for r in rows
     ]
-    table = pa.table({
+    return pa.table({
         "image_id": [r["image_id"] for r in rows],
         "bytes": pa.array([r["bytes"] for r in rows], type=pa.binary()),
         "w": pa.array([r["w"] for r in rows], type=pa.int32()),
@@ -166,8 +159,53 @@ def ensure_image_fixture(
         "ts": pa.array([r["ts"] for r in rows], type=pa.int64()),
         "ds": ds,
     })
+
+
+def _image_chunk_writer(task):
+    """(dir_path, seed, chunk_idx, lo, count) -> writes one part file."""
+    import pyarrow.parquet as pq
+
+    dir_path, seed, chunk_idx, lo, count = task
+    part = os.path.join(dir_path, f"part-{chunk_idx:05d}.parquet")
+    rows = gen_image_rows(count, seed, offset=lo)
+    pq.write_table(_image_rows_table(rows), part, row_group_size=FIXTURE_ROW_GROUP)
+    return part
+
+
+def ensure_image_fixture(
+    n: int = 500, seed: int = 42, out_dir: str = "/root/repo/.fixtures",
+    n_jobs: int | None = None,
+) -> str:
+    """Write the fixture parquet once; return the path. Idempotent on
+    (n, seed). Large n (>= 100k) is generated in parallel as a DIRECTORY
+    of part parquets on fixed 30k-row chunk boundaries — per-row RNG is
+    seeded by absolute row index, so the bytes are identical regardless
+    of worker count or chunking."""
+    path = os.path.join(out_dir, f"images_n{n}_s{seed}.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(out_dir, exist_ok=True)
+    import pyarrow.parquet as pq
+
+    if n >= 100_000:
+        chunk = 30_000
+        tmp_dir = path + ".tmp"
+        os.makedirs(tmp_dir, exist_ok=True)
+        tasks = [
+            (tmp_dir, seed, ci, lo, min(chunk, n - lo))
+            for ci, lo in enumerate(range(0, n, chunk))
+        ]
+        import multiprocessing as mp
+
+        jobs = n_jobs or min(16, mp.cpu_count())
+        with mp.get_context("spawn").Pool(jobs) as pool:
+            pool.map(_image_chunk_writer, tasks)
+        os.replace(tmp_dir, path)
+        return path
+
+    rows = gen_image_rows(n, seed)
     tmp = path + ".tmp"
-    pq.write_table(table, tmp, row_group_size=FIXTURE_ROW_GROUP)
+    pq.write_table(_image_rows_table(rows), tmp, row_group_size=FIXTURE_ROW_GROUP)
     os.replace(tmp, path)
     return path
 

@@ -376,6 +376,14 @@ def curate_images(
         "w", "h", "caption",
         "brightness", "contrast",
     )
+    # Materialize the gated metadata ONCE: downstream the clustering
+    # (distinct -> banding -> iterative components) and the final join
+    # each reference `kept` from independent subtrees — without this the
+    # EXPENSIVE decode pass re-executes 4-5x (measured 5x wall at 480k
+    # images). The checkpointed frame is payload-free (~100 B/row), so
+    # this is the cheap side of the trade at any corpus size; a real
+    # cluster run would persist it DISK-backed instead.
+    kept = kept.localCheckpoint()
     clusters = hamming_clusters(
         kept, "image_id", "phash_decoded", max_hamming, max_bucket
     )

@@ -161,6 +161,30 @@ writer) the floor amortizes and the pipeline scales like its decode
 pass. The 240k passes remain in the log under the same workload name;
 `best_per_level` counts only the largest-input entries per level.
 """
+    cur = (pair_stats(levels, "curate", 4, 16)
+           if ("curate", 16) in levels else None)
+    cur_block = "" if cur is None else f"""
+## 4. Image-corpus curation, {cur["rows"]:,} images (4 -> 16 cores)
+
+The dedup/curation path at scale: decode all {cur["rows"]:,} images
+(Arrow pass), quality-gate (resolution + caption tokens, ~19% survive),
+then phash near-dup clustering at hamming <= 2 — DISTINCT-value pigeonhole
+banding (~28k distinct hashes from ~90k gated rows; 14M candidate value
+pairs vs 203M at row level) + large-star/small-star connected components
+(diameter-independent rounds). Throughput in INPUT images/sec: the
+payload work scales with the corpus, the graph work with distinct hashes.
+
+| parallelism | best wall (s) | passes | input images/sec |
+|---|---|---|---|
+| local[4] | {cur["low_wall"]} | {cur["low_n"]} | {cur["low_rps"]:,} |
+| local[16] | {cur["high_wall"]} | {cur["high_n"]} | {cur["high_rps"]:,} |
+
+**Speedup 4 -> 16 cores: {cur["speedup"]}x (ideal 4x) — scaling efficiency
+{cur["eff"]:.2f}.** (Beyond-target evidence: the north rule binds the
+as-of backfill; this shows the dedup/graph path scales too. The
+iterative component stage is a fixed number of SMALL Spark rounds —
+sequential latency that amortizes as the corpus grows.)
+"""
     sat_block = "" if sat is None else f"""
 ### Saturation datapoint: the same join at 8 -> 32 cores
 
@@ -241,12 +265,13 @@ Input: sf0.1 events x{replicas} (`scaling_events_x{replicas}.parquet`).
 
 **Speedup 4 -> 16 cores: {join["speedup"]}x (ideal 4x) — scaling efficiency
 {join["eff"]:.2f}** (target >= 0.8).
-{vid_block}{sat_block}
+{vid_block}{cur_block}{sat_block}
 Reproduce: `python tools/scaling_bench.py` (appends fresh alternated passes to
 the log and regenerates this file); `--regen-only` rebuilds from the log.
 """)
     return {"image_4_16_eff": img["eff"], "join_4_16_eff": join["eff"],
             "video_4_16_eff": None if vid is None else vid["eff"],
+            "curate_4_16_eff": None if cur is None else cur["eff"],
             "join_8_32_eff": None if sat is None else sat["eff"]}
 
 
@@ -259,6 +284,7 @@ def main() -> None:
     ap.add_argument("--skip-saturation", action="store_true")
     ap.add_argument("--regen-only", action="store_true")
     ap.add_argument("--video-only", action="store_true")
+    ap.add_argument("--curate-only", action="store_true")
     ap.add_argument("--run-tag", default="bench")
     args = ap.parse_args()
 
@@ -268,6 +294,9 @@ def main() -> None:
         if args.video_only:
             vid_inp = ensure_video_fixture(n=args.videos, seed=7)
             measure_pair(args.run_tag, 4, 16, vid_inp, "video_fused")
+        elif args.curate_only:
+            img_inp = ensure_image_fixture(n=args.images, seed=7)
+            measure_pair(args.run_tag, 4, 16, img_inp, "curate")
         else:
             img_inp = ensure_image_fixture(n=args.images, seed=7)
             join_inp = ensure_input(args.replicas, args.sf)

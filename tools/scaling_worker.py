@@ -21,7 +21,8 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, required=True)
     ap.add_argument("--input", required=True)
     ap.add_argument("--workload",
-                    choices=["join", "groupby", "image", "image_fused", "video_fused"],
+                    choices=["join", "groupby", "image", "image_fused",
+                             "video_fused", "curate"],
                     default="join")
     ap.add_argument("--passes", type=int, default=2)
     args = ap.parse_args()
@@ -135,6 +136,27 @@ def main() -> None:
             )
             out = temporal_features(feats, right, ["phash"], ["phash"], parts)
             return out.count()
+    elif args.workload == "curate":
+        # corpus curation at scale: decode EVERY image (the dominant,
+        # embarrassingly-parallel stage), quality-gate, then phash
+        # near-dup clustering — DISTINCT-value banding + large-star/
+        # small-star components, so the graph work rides ~28k distinct
+        # hashes while the payload work rides all 480k rows. Throughput
+        # is INPUT images/sec (the work scales with the corpus; the
+        # canonical survivor set is the small output).
+        from chronon_spark.operators.multimodal import curate_images
+
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+        images = spark.read.parquet(args.input).cache()
+        input_rows = images.count()
+
+        def run():
+            out = curate_images(
+                images, min_w=48, min_h=48, min_caption_tokens=8,
+                max_hamming=2,
+            )
+            out.where("is_canonical").count()
+            return input_rows
     elif args.workload == "video_fused":
         # the video analog of the fused image pipeline: decode 'vraw'
         # binary videos, sample every 2nd frame, per-video features
