@@ -474,26 +474,78 @@ def embedding_neardup_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _local_components(edges_pdf, id_a: str, id_b: str):
+    """Driver-side connected components over a small edge list: numpy
+    min-label propagation + pointer jumping (vectorized; converges in
+    O(log n) rounds, ~ms at the gated sizes). Returns a pandas frame
+    (id, cluster_id) with cluster_id = MIN id of the component —
+    identical contract to the distributed star rounds. np.unique sorts,
+    so factor-index order == id order and index-space minima ARE
+    id-space minima (byte order matches Spark's for the ASCII/int ids
+    this engine produces)."""
+    a = edges_pdf[id_a].to_numpy()
+    b = edges_pdf[id_b].to_numpy()
+    uniq, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ea, eb = inv[: len(a)], inv[len(a):]
+    labels = np.arange(len(uniq))
+    while True:
+        m = np.minimum(labels[ea], labels[eb])
+        before = labels.copy()
+        np.minimum.at(labels, ea, m)
+        np.minimum.at(labels, eb, m)
+        while True:  # pointer jumping: contract label chains
+            nl = labels[labels]
+            if np.array_equal(nl, labels):
+                break
+            labels = nl
+        if np.array_equal(before, labels):
+            break
+    return pd.DataFrame({"id": uniq, "cluster_id": uniq[labels]})
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 25,
+    local_threshold: int = 2_000_000,
 ) -> DataFrame:
     """(id, cluster_id) for every id appearing in `pairs`, where
     cluster_id = MIN id of the connected component.
 
-    Alternating large-star / small-star (Kiveris et al., "Connected
-    Components in MapReduce and Beyond"): each round rewires edges toward
-    local minima, converging to per-component star graphs rooted at the
-    component MIN in O(log^2 n) rounds — independent of graph DIAMETER.
-    The earlier min-label propagation needed diameter rounds: on the 48k
-    image fixture's phash graph (a 2.5k-node chained component from
-    correlated perceptual hashes) that was 20 sequential Spark rounds;
-    two-phase star converges in 6. Each half-round is one groupBy + one
-    join on the (shrinking) edge frame; `localCheckpoint` truncates the
-    iterative lineage.
+    Size-gated two-tier design: a `LIMIT local_threshold+1` probe pulls
+    the edge list; if it fits (the common case whenever pairs come from
+    the DISTINCT-value contraction in hamming_clusters — the value graph
+    is orders of magnitude smaller than the corpus), components are
+    solved on the driver in one vectorized numpy pass and returned as a
+    broadcast-sized labels frame — zero iterative Spark rounds. The limit
+    probe early-stops, so the "too big" branch pays one bounded scan.
+
+    Above the gate: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") — each round rewires
+    edges toward local minima, converging to per-component star graphs
+    rooted at the component MIN in O(log^2 n) rounds, independent of
+    graph DIAMETER (min-label propagation needs diameter rounds: 20 on
+    the 48k image fixture's chained phash component vs 6 here). Each
+    half-round is one groupBy + one join on the (shrinking) edge frame;
+    lazy `localCheckpoint` truncates lineage and materializes fused with
+    the single-job symmetric-difference convergence probe.
     """
+    if local_threshold and local_threshold > 0:
+        probe = (
+            pairs.select(id_a, id_b).limit(local_threshold + 1).toPandas()
+        )
+        if len(probe) <= local_threshold:
+            spark = pairs.sparkSession
+            id_type = dict(pairs.dtypes)[id_a]
+            schema = f"id {id_type}, cluster_id {id_type}"
+            if len(probe) == 0:
+                return spark.createDataFrame([], schema)
+            out = _local_components(probe, id_a, id_b)
+            return spark.createDataFrame(out).select(
+                F.col("id").cast(id_type).alias("id"),
+                F.col("cluster_id").cast(id_type).alias("cluster_id"),
+            )
 
     def canon(df: DataFrame) -> DataFrame:
         return df.select(
@@ -537,12 +589,15 @@ def connected_components(
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     ).localCheckpoint()
     for _ in range(max_iterations):
-        new_edges = small_star(large_star(edges)).localCheckpoint()
-        # converged when the edge set is a fixed point (bounded driver
-        # action: limit-1 counts on symmetric difference)
+        new_edges = small_star(large_star(edges)).localCheckpoint(eager=False)
+        # converged when the edge set is a fixed point. ONE bounded job
+        # per round: the limit-1 symmetric-difference probe materializes
+        # the lazy checkpoint as a side effect (2 actions/round -> 1).
         changed = (
-            new_edges.exceptAll(edges).limit(1).count()
-            or edges.exceptAll(new_edges).limit(1).count()
+            new_edges.exceptAll(edges)
+            .unionByName(edges.exceptAll(new_edges))
+            .limit(1)
+            .count()
         )
         edges = new_edges
         if changed == 0:

@@ -256,15 +256,45 @@ def test_kmeans_centroids_deterministic():
     assert np.allclose(np.linalg.norm(C1, axis=1), 1.0)
 
 
-def test_connected_components_chain(spark):
+@pytest.mark.parametrize("local_threshold", [2_000_000, 0])
+def test_connected_components_chain(spark, local_threshold):
+    """Both tiers: the driver union-find gate (default) and the
+    distributed large-star/small-star rounds (gate disabled)."""
     from chronon_spark.operators.dedup import connected_components
 
     # path graph 1-2-3-4-5-6: min label must propagate the full diameter
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 6)] + [(10, 11)], "id_a long, id_b long"
     )
-    got = {r["id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(
+            pairs, local_threshold=local_threshold
+        ).collect()
+    }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_tiers_agree(spark):
+    """Random graph: the local numpy tier and the distributed star tier
+    produce identical labels (incl. string ids)."""
+    from chronon_spark.operators.dedup import connected_components
+
+    rng = np.random.default_rng(11)
+    edges = [
+        (f"d{int(a):03d}", f"d{int(b):03d}")
+        for a, b in rng.integers(0, 120, size=(300, 2))
+        if a != b
+    ]
+    pairs = spark.createDataFrame(edges, "id_a string, id_b string")
+    local = {
+        r["id"]: r["cluster_id"] for r in connected_components(pairs).collect()
+    }
+    dist = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(pairs, local_threshold=0).collect()
+    }
+    assert local == dist
 
 
 def test_resolve_duplicate_clusters(spark):
