@@ -383,7 +383,15 @@ def curate_images(
     # images). The checkpointed frame is payload-free (~100 B/row), so
     # this is the cheap side of the trade at any corpus size; a real
     # cluster run would persist it DISK-backed instead.
-    kept = kept.localCheckpoint()
+    #
+    # Repartition BEFORE checkpointing: the gated frame otherwise inherits
+    # the decode scan's byte-sized splits (one per ~8MB of BINARY input —
+    # hundreds of ~300-row partitions at 480k images), and every
+    # downstream graph/join stage pays that task-scheduling floor 3x over.
+    # The shuffle itself moves only the ~100 B/row metadata; the decode
+    # stage keeps its full input-split parallelism on the map side.
+    sc = images.sparkSession.sparkContext
+    kept = kept.repartition(max(sc.defaultParallelism, 8)).localCheckpoint()
     clusters = hamming_clusters(
         kept, "image_id", "phash_decoded", max_hamming, max_bucket
     )
