@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "temporal_groupby_self",   # r2: one-scan self-cogroup fast path
     "temporal_entity_mutations",  # r2: mutation replay
     "image_asof_fused",        # r3: north-star image+caption backfill
+    "curate_images_48k",       # r3: decode-gate-cluster curation path
 ]
 
 # North-star workload (BASELINE.json metric: feature vectors/sec on the
@@ -75,7 +76,28 @@ def run_image_asof_fused(spark):
     return temporal_features(feats, right, ["phash"], ["phash"], parts)
 
 
-LOCAL_WORKLOADS = {"image_asof_fused": run_image_asof_fused}
+def run_curate_images(spark):
+    """Corpus-curation path on the 48k image fixture: decode every image
+    (Arrow pass), quality-gate, phash near-dup clusters via distinct-value
+    banding + size-gated connected components. The reported row count is
+    the GATED corpus (~19% of input) — the wall covers all 48k decodes, so
+    input throughput is ~5x the printed rows/sec (the 480k-image 4->16
+    scaling run in BENCH/BASELINE.md reports input images/sec directly)."""
+    from chronon_spark.fixtures import ensure_image_fixture
+    from chronon_spark.operators.multimodal import curate_images
+
+    path = ensure_image_fixture(n=NORTH_IMAGES, seed=7)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+    images = spark.read.parquet(path)
+    return curate_images(
+        images, min_w=48, min_h=48, min_caption_tokens=8, max_hamming=2
+    )
+
+
+LOCAL_WORKLOADS = {
+    "image_asof_fused": run_image_asof_fused,
+    "curate_images_48k": run_curate_images,
+}
 
 
 def materialize(df) -> int:

@@ -169,10 +169,11 @@ pass. The 240k passes remain in the log under the same workload name;
 The dedup/curation path at scale: decode all {cur["rows"]:,} images
 (Arrow pass), quality-gate (resolution + caption tokens, ~19% survive),
 then phash near-dup clustering at hamming <= 2 — DISTINCT-value pigeonhole
-banding (~28k distinct hashes from ~90k gated rows; 14M candidate value
-pairs vs 203M at row level) + large-star/small-star connected components
-(diameter-independent rounds). Throughput in INPUT images/sec: the
-payload work scales with the corpus, the graph work with distinct hashes.
+banding (distinct hashes are ~6% of the corpus; candidate VALUE pairs run
+~15x fewer than row-level banding) + size-gated connected components
+(driver union-find below the edge gate, large-star/small-star rounds
+above it). Throughput in INPUT images/sec: the payload work scales with
+the corpus, the graph work with distinct hashes.
 
 | parallelism | best wall (s) | passes | input images/sec |
 |---|---|---|---|
@@ -181,9 +182,20 @@ payload work scales with the corpus, the graph work with distinct hashes.
 
 **Speedup 4 -> 16 cores: {cur["speedup"]}x (ideal 4x) — scaling efficiency
 {cur["eff"]:.2f}.** (Beyond-target evidence: the north rule binds the
-as-of backfill; this shows the dedup/graph path scales too. The
-iterative component stage is a fixed number of SMALL Spark rounds —
-sequential latency that amortizes as the corpus grows.)
+as-of backfill; this shows the dedup/graph path scales too.)
+
+Measurement history, all passes in the log: the first 480k-image run
+landed at 0.57. A phase probe (`tools/curate_probe.py`) attributed the
+non-scaling wall to (a) the gated-metadata checkpoint inheriting the
+decode scan's ~8MB byte splits — hundreds of ~300-row partitions that
+every downstream graph/join stage re-paid as task-scheduling floor — and
+(b) the banding candidate join shuffling all raw candidates through
+distinct() before the cheap bit_count verify. Repartitioning the ~100
+B/row gated frame before the checkpoint and verifying before the dedup
+shuffle cut the floor to ~4s (0.78 at 480k); re-measured at 2x the
+corpus — where decode, the stage that actually scales with data, is the
+wall — the pipeline shows the efficiency above. `best_per_level` counts
+only the largest-input entries per level; the smaller runs stay logged.
 """
     sat_block = "" if sat is None else f"""
 ### Saturation datapoint: the same join at 8 -> 32 cores
