@@ -936,6 +936,63 @@ def q_backfill_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental backfill over snapshot ranges (north rule): backfill a
+    7d-sum GroupBy from a warehouse upstream, REWRITE one upstream
+    partition (a new commit in the snapshot log), then refresh — the
+    engine must detect the changed partition from the log and recompute
+    exactly the 7 downstream days it can influence. The oracle recomputes
+    the final state from the mutated upstream."""
+    _prep(spark)
+    import tempfile
+
+    from chronon_spark.plans.backfill import groupby_backfill, incremental_refresh
+    from chronon_spark.sources.catalog import ParquetWarehouse
+
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    wh = ParquetWarehouse(spark, tempfile.mkdtemp(prefix="chronon_inc_"))
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.expr(TS_EXPR).alias("ts"),
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd").alias("ds"),
+    )
+    wh.insert_overwrite(raw, "up_events")  # snapshot 1
+
+    def job():
+        gb = GroupBy(
+            sources=[EventSource(wh.path("up_events"), Query(
+                selects={"user_id": "user_id", "cents": "cents"},
+                time_column="ts"))],
+            key_columns=["user_id"],
+            aggregations=[Aggregation("cents", Operation.SUM, windows=[Window(7)])],
+            name="inc",
+        )
+        return groupby_backfill(spark, wh, gb, "inc_out", step_days=30)
+
+    incremental_refresh(job(), "up_events", "2024-01-03", "2024-01-10",
+                        affected_days=7)
+
+    # snapshot 2: rewrite day 05 — keep only even users, triple their cents
+    mutated = raw.where(
+        (F.col("ds") == "2024-01-05") & (F.col("user_id") % 2 == 0)
+    ).withColumn("cents", F.col("cents") * 3)
+    wh.insert_overwrite(mutated, "up_events")
+
+    rep = incremental_refresh(job(), "up_events", "2024-01-03", "2024-01-10",
+                              affected_days=7)
+    assert rep.changed_upstream == ["2024-01-05"], rep.changed_upstream
+    refreshed = sorted(d for r in rep.refreshed for d in r.partitions())
+    assert refreshed == [f"2024-01-{d:02d}" for d in range(5, 11)], refreshed
+    assert rep.backfill.steps == [], "refresh must not re-open holes"
+
+    out = wh.read("inc_out")
+    return out.groupBy("ds").agg(
+        F.count("*").alias("n_keys"),
+        F.round(F.sum("cents_sum_7d") / 100.0, 6).alias("total_sum_7d"),
+    )
+
+
 def q_groupby_approx_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPROX_UNIQUE_COUNT via HLL-sketch daily partials unioned across the
     window frame. At per-key event-type cardinality the HLL sparse mode is
@@ -2036,6 +2093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_snapshot_topk": q_groupby_snapshot_topk,
         "groupby_mapcol": q_groupby_mapcol,
         "backfill_resume": q_backfill_resume,
+        "incremental_refresh": q_incremental_refresh,
         "groupby_approx_unique": q_groupby_approx_unique,
         "bootstrap_covered": q_bootstrap_covered,
         "groupby_frequent_k": q_groupby_frequent_k,
@@ -2187,6 +2245,29 @@ def oracle_sql() -> dict[str, str]:
             per AS (
               SELECT d.user_id, d.ds,
                      SUM(CASE WHEN {_snap_window(7)} THEN e.cents END) AS s
+              FROM days d JOIN ec e ON d.user_id = e.user_id
+              GROUP BY d.user_id, d.ds
+            )
+            SELECT ds, COUNT(*) AS n_keys, ROUND(SUM(s) / 100.0, 6) AS total_sum_7d
+            FROM per GROUP BY ds
+        """,
+        "incremental_refresh": f"""
+            WITH ec0 AS (SELECT user_id, epoch_ms(ts) AS ets,
+                                strftime(ts, '%Y-%m-%d') AS ds,
+                                CAST(round(value * 100, 0) AS BIGINT) AS cents
+                         FROM events),
+            ec AS (
+              SELECT user_id, ets, ds, cents FROM ec0 WHERE ds <> '2024-01-05'
+              UNION ALL
+              SELECT user_id, ets, ds, cents * 3 FROM ec0
+              WHERE ds = '2024-01-05' AND user_id % 2 = 0
+            ),
+            days AS (SELECT DISTINCT user_id, ds FROM ec
+                     WHERE ds BETWEEN '2024-01-03' AND '2024-01-10'),
+            per AS (
+              SELECT d.user_id, d.ds,
+                     SUM(CASE WHEN e.ets >= {_EOD} - {7 * DAY}
+                              AND e.ets < {_EOD} THEN e.cents END) AS s
               FROM days d JOIN ec e ON d.user_id = e.user_id
               GROUP BY d.user_id, d.ds
             )

@@ -34,6 +34,7 @@ from chronon_spark.partitions import (
     DEFAULT_SPEC,
     PartitionRange,
     PartitionSpec,
+    chunk,
     unfilled_ranges,
 )
 from chronon_spark.sources.catalog import ParquetWarehouse
@@ -294,6 +295,142 @@ def join_backfill(
         compute=lambda rng: compute_temporal_join(spark, join, rng, spec),
         config=join, job_name=f"join/{join.name}",
         step_days=step_days, spec=spec,
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental refresh over snapshot ranges (north rule: "incremental
+# backfill over Iceberg snapshot ranges")
+# ---------------------------------------------------------------------------
+def groupby_affected_days(group_by: GroupBy) -> Optional[int]:
+    """How many output days one changed upstream day can influence: the max
+    window length in days (snapshot day d reads upstream (d-w, d]).
+    None = unbounded (a lifetime aggregation makes every LATER output
+    partition stale)."""
+    days = 1
+    for part in group_by.aggregation_parts():
+        w = part.window
+        if w is None:
+            return None
+        days = max(days, -(-w.millis // 86_400_000))
+    return days
+
+
+@dataclass
+class RefreshReport:
+    upstream_table: str
+    from_snapshot: int
+    to_snapshot: int
+    changed_upstream: list[str]
+    refreshed: list[PartitionRange]
+    backfill: Optional[BackfillReport] = None
+
+
+class WatermarkStore:
+    """Consumed-snapshot watermarks: <root>/_watermarks/<consumer>__<upstream>.json.
+    The downstream job's cursor into the upstream snapshot log."""
+
+    def __init__(self, warehouse: ParquetWarehouse):
+        self.wh = warehouse
+
+    def _path(self, consumer: str, upstream: str) -> str:
+        import os
+
+        d = self.wh.path("_watermarks")
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, f"{consumer}__{upstream}.json")
+
+    def get(self, consumer: str, upstream: str) -> Optional[dict]:
+        import os
+
+        p = self._path(consumer, upstream)
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return json.load(fh)
+
+    def set(self, consumer: str, upstream: str, snapshot_id: int, sem_hash: str) -> None:
+        import os
+
+        p = self._path(consumer, upstream)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"snapshot_id": snapshot_id, "semantic_hash": sem_hash}, fh)
+        os.rename(tmp, p)
+
+
+def incremental_refresh(
+    job: BackfillJob,
+    upstream_table: str,
+    start: str,
+    end: str,
+    affected_days: Optional[int] = 1,
+) -> RefreshReport:
+    """Run `job` over [start, end], additionally RECOMPUTING output
+    partitions invalidated by upstream commits since the last consumed
+    snapshot (plain `run` only fills holes — it cannot see that an already
+    -green partition's inputs were rewritten).
+
+    The upstream snapshot log answers "which ds values changed in
+    (last_consumed, latest]"; each changed upstream day d invalidates
+    output days [d, d + affected_days - 1] (affected_days=None = every
+    later day — unbounded windows). Invalidated partitions are recomputed
+    and manifest-recorded with status 'refreshed'; holes backfill as
+    usual; the watermark then advances to `latest`. Iceberg analog:
+    incremental processing off the snapshot log (Flink/Spark structured
+    streaming over Iceberg uses the same start/end-snapshot-id scan).
+    """
+    wh = job.wh
+    wm = WatermarkStore(wh)
+    latest = wh.latest_snapshot_id(upstream_table)
+    prior = wm.get(job.output_table, upstream_table)
+    refreshed: list[PartitionRange] = []
+    changed: list[str] = []
+    from_snap = 0
+    # a watermark from a different job definition is meaningless — the
+    # semantic-hash machinery already archives/recomputes in that case
+    if prior is not None and prior.get("semantic_hash") == job.sem_hash:
+        from_snap = prior["snapshot_id"]
+        changed = wh.changed_partitions(upstream_table, from_snap, latest)
+        stale: set[str] = set()
+        existing = set(wh.partitions(job.output_table))
+        for ds in changed:
+            if affected_days is None:
+                lo, hi = max(ds, start), end
+            else:
+                lo = max(ds, start)
+                hi = min(job.spec.shift(ds, affected_days - 1), end)
+            d = lo
+            while d <= hi:
+                if d in existing:
+                    stale.add(d)
+                d = job.spec.after(d)
+        for rng in chunk(sorted(stale), job.spec):
+            for step in rng.steps(job.step_days):
+                t0 = time.perf_counter()
+                df = job.compute(step)
+                out = df.cache()
+                per_ds = {
+                    r["ds"]: r["n"]
+                    for r in out.groupBy(job.spec.column)
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .withColumnRenamed(job.spec.column, "ds")
+                    .collect()
+                }
+                wh.insert_overwrite(out, job.output_table)
+                out.unpersist()
+                job._record(per_ds, step, time.perf_counter() - t0,
+                            status="refreshed")
+                refreshed.append(step)
+    report = job.run(start, end)
+    wm.set(job.output_table, upstream_table, latest, job.sem_hash)
+    return RefreshReport(
+        upstream_table=upstream_table,
+        from_snapshot=from_snap,
+        to_snapshot=latest,
+        changed_upstream=changed,
+        refreshed=refreshed,
+        backfill=report,
     )
 
 

@@ -1,4 +1,5 @@
-"""Format-aware catalog: partition listing + idempotent partitioned writes.
+"""Format-aware catalog: partition listing + idempotent partitioned writes
++ an Iceberg-style snapshot log for incremental consumption.
 
 The reference supports Hive / Iceberg / Delta catalogs (reference:
 spark/.../catalog/Format.scala, Iceberg.scala:21-85, DeltaLake.scala,
@@ -14,13 +15,26 @@ exposes the exact same three primitives the engine needs:
   * read(table[, range])       -> DataFrame               (pruned scan)
   * insert_overwrite(df,table) -> per-partition overwrite (idempotent sink)
 
-A real-Iceberg catalog is gated behind an import-try; on a cluster with
-the Iceberg runtime jar, `Catalog.for_session` picks it automatically and
-the rest of the engine is unchanged.
+plus the Iceberg snapshot-metadata surface the north rule's incremental
+backfill consumes (each commit = one snapshot recording added/removed
+data files — Iceberg's snapshot log, kept as JSON under the table dir):
+
+  * snapshots(table)                      -> commit metadata list
+  * read_at(table, snapshot_id)          -> time travel (VERSION AS OF)
+  * read_incremental(table, from, to)    -> incremental append scan
+  * changed_partitions(table, from, to)  -> which ds values a snapshot
+    range touched — the planning primitive for incremental refresh
+
+On this warehouse the file inventory comes from a directory walk (the
+sandbox analog of reading Iceberg manifests); a real Iceberg catalog
+answers the same four calls from metadata alone and `Catalog.for_session`
+picks it automatically when the runtime jar is present — the rest of the
+engine is unchanged.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import re
 from typing import Optional
@@ -28,6 +42,8 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 
 from chronon_spark.partitions import DEFAULT_SPEC, PartitionRange, PartitionSpec
+
+SNAPSHOT_DIR = "_chronon_snapshots"  # leading _ -> invisible to parquet discovery
 
 
 class ParquetWarehouse:
@@ -49,6 +65,9 @@ class ParquetWarehouse:
         `SELECT partition FROM db.tbl.partitions` on Iceberg)."""
         if not self.exists(table):
             return []
+        files = self._live_files(table)
+        if files is not None:  # log-resolved (dead files don't count)
+            return sorted({p for f in files if (p := self._partition_of(f))})
         pat = re.compile(rf"^{re.escape(self.spec.column)}=(.+)$")
         out = []
         for entry in os.listdir(self.path(table)):
@@ -64,10 +83,22 @@ class ParquetWarehouse:
         # partitions with NULLs for the new columns, the parquet analog of
         # the reference's ALTER TABLE ADD COLUMNS
         # (TableUtils.expandTable:542-603).
+        # Tables with a snapshot log resolve their LIVE file set through it
+        # (data files are immutable; replaced files stay on disk for time
+        # travel until expire_snapshots) — the Iceberg read path.
         self.spark.conf.set(
             "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
         )
-        df = self.spark.read.option("mergeSchema", "true").parquet(self.path(table))
+        files = self._live_files(table)
+        if files is None:
+            df = self.spark.read.option("mergeSchema", "true").parquet(self.path(table))
+        elif not files:
+            df = (
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(self.path(table)).limit(0)
+            )
+        else:
+            df = self._read_files(table, files)
         if rng is not None:
             for clause in rng.where_clauses(self.spec.column):
                 df = df.where(clause)
@@ -94,20 +125,250 @@ class ParquetWarehouse:
         """Dynamic partition overwrite — idempotent per-partition sink.
 
         reference: TableUtils.insertPartitions (catalog/TableUtils.scala:219-290)
-        with spark.sql.sources.partitionOverwriteMode=dynamic.
+        with partitionOverwriteMode=dynamic semantics, implemented the
+        Iceberg way: the commit stages new immutable data files, MOVES them
+        into the table, and logically replaces the touched partitions'
+        previous files in the snapshot log (they stay on disk for time
+        travel until `expire_snapshots`). Readers resolve liveness through
+        the log, so a half-finished stage is invisible — same isolation
+        guarantee as an Iceberg commit.
         """
-        (
-            df.write.mode("overwrite")
-            .partitionBy(self.spec.column)
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(self.path(table))
-        )
+        import shutil
+
+        self._ensure_adopted(table)
+        live_before = self._live_files(table) or []
+        stage = os.path.join(self.path(table), "_stage")
+        shutil.rmtree(stage, ignore_errors=True)
+        df.write.mode("overwrite").partitionBy(self.spec.column).parquet(stage)
+        added: list[str] = []
+        for dirpath, dirnames, files in os.walk(stage):
+            dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
+            for f in files:
+                if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                    rel = os.path.relpath(os.path.join(dirpath, f), stage)
+                    dst = os.path.join(self.path(table), rel)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    os.replace(os.path.join(dirpath, f), dst)
+                    added.append(rel)
+        shutil.rmtree(stage, ignore_errors=True)
+        touched = {p for f in added if (p := self._partition_of(f))}
+        removed = [f for f in live_before if self._partition_of(f) in touched]
+        self._commit_snapshot(table, "overwrite", sorted(added), sorted(removed))
 
     def drop(self, table: str) -> None:
         import shutil
 
         if self.exists(table):
             shutil.rmtree(self.path(table))
+
+    # -- snapshot log (Iceberg semantics on a parquet dir) ------------------
+    def _data_files(self, table: str) -> set[str]:
+        """Current data-file inventory, as table-relative paths. The
+        directory walk is the sandbox stand-in for reading Iceberg
+        manifests; Spark's own writes make file names unique per commit
+        (part-<task>-<uuid>), so set difference identifies a commit's
+        added/removed files exactly."""
+        root = self.path(table)
+        if not os.path.isdir(root):
+            return set()
+        out: set[str] = set()
+        for dirpath, dirnames, files in os.walk(root):
+            dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
+            for f in files:
+                if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                    out.add(os.path.relpath(os.path.join(dirpath, f), root))
+        return out
+
+    def _partition_of(self, relpath: str) -> Optional[str]:
+        m = re.search(rf"(?:^|/){re.escape(self.spec.column)}=([^/]+)/", relpath)
+        return m.group(1) if m else None
+
+    def _snapshot_dir(self, table: str) -> str:
+        return os.path.join(self.path(table), SNAPSHOT_DIR)
+
+    def _live_files(self, table: str) -> Optional[list[str]]:
+        """Files live at the latest snapshot; None when the table has no
+        log (externally-written parquet — plain directory semantics).
+
+        Existence-filtered: operators deleting a partition directory by
+        hand to force recompute is a supported Hive-era workflow, so for
+        CURRENT-state reads and planning the directory stays the source of
+        truth for existence (time travel via read_at stays strict — it
+        fails loudly if history was physically deleted)."""
+        snaps = self.snapshots(table)
+        if not snaps:
+            return None
+        live: set[str] = set()
+        for s in snaps:
+            live.update(s["added_files"])
+            live.difference_update(s["removed_files"])
+        root = self.path(table)
+        return sorted(f for f in live if os.path.exists(os.path.join(root, f)))
+
+    def _ensure_adopted(self, table: str) -> None:
+        """Adopt a pre-existing logless table: its current files become
+        snapshot 1 (operation 'adopt'), so subsequent commits can replace
+        them logically."""
+        if self.snapshots(table):
+            return
+        existing = sorted(self._data_files(table))
+        if existing:
+            self._commit_snapshot(table, "adopt", existing, [])
+
+    def snapshots(self, table: str) -> list[dict]:
+        """Commit log, oldest first (Iceberg: `SELECT * FROM tbl.snapshots`)."""
+        sdir = self._snapshot_dir(table)
+        if not os.path.isdir(sdir):
+            return []
+        out = []
+        for f in sorted(os.listdir(sdir)):
+            if f.startswith("v") and f.endswith(".json"):
+                with open(os.path.join(sdir, f)) as fh:
+                    out.append(json.load(fh))
+        return out
+
+    def latest_snapshot_id(self, table: str) -> int:
+        """0 when the table has no commits yet."""
+        snaps = self.snapshots(table)
+        return snaps[-1]["snapshot_id"] if snaps else 0
+
+    def _commit_snapshot(
+        self, table: str, operation: str, added: list[str], removed: list[str]
+    ) -> dict:
+        parts = {p for f in added + removed if (p := self._partition_of(f))}
+        sid = self.latest_snapshot_id(table) + 1
+        snap = {
+            "snapshot_id": sid,
+            "parent_id": sid - 1 if sid > 1 else None,
+            "operation": operation,
+            "added_files": added,
+            "removed_files": removed,
+            "partitions": sorted(parts),
+        }
+        sdir = self._snapshot_dir(table)
+        os.makedirs(sdir, exist_ok=True)
+        final = os.path.join(sdir, f"v{sid:08d}.json")
+        tmp = final + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(snap, fh)
+        os.rename(tmp, final)  # atomic commit
+        return snap
+
+    def expire_snapshots(self, table: str) -> int:
+        """Garbage-collect: physically delete files no longer live and
+        collapse the log to one snapshot (Iceberg expire_snapshots — time
+        travel before the expiry point is gone, current reads unchanged).
+        Returns the number of files deleted."""
+        snaps = self.snapshots(table)
+        if not snaps:
+            return 0
+        live = set(self._live_files(table) or [])
+        dead = sorted(self._data_files(table) - live)
+        root = self.path(table)
+        for f in dead:
+            try:
+                os.remove(os.path.join(root, f))
+            except FileNotFoundError:
+                pass
+        sdir = self._snapshot_dir(table)
+        sid = self.latest_snapshot_id(table)
+        for f in os.listdir(sdir):
+            if f.startswith("v") and f.endswith(".json"):
+                os.remove(os.path.join(sdir, f))
+        self._commit_snapshot_with_id(table, sid, "expire", sorted(live))
+        return len(dead)
+
+    def _commit_snapshot_with_id(
+        self, table: str, sid: int, operation: str, added: list[str]
+    ) -> None:
+        snap = {
+            "snapshot_id": sid,
+            "parent_id": None,
+            "operation": operation,
+            "added_files": added,
+            "removed_files": [],
+            "partitions": sorted(
+                {p for f in added if (p := self._partition_of(f))}
+            ),
+        }
+        sdir = self._snapshot_dir(table)
+        os.makedirs(sdir, exist_ok=True)
+        with open(os.path.join(sdir, f"v{sid:08d}.json"), "w") as fh:
+            json.dump(snap, fh)
+
+    def _read_files(self, table: str, files: list[str]) -> DataFrame:
+        if not files:
+            return self.read(table).limit(0)
+        base = self.path(table)
+        self.spark.conf.set(
+            "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
+        )
+        return (
+            self.spark.read.option("mergeSchema", "true")
+            .option("basePath", base)
+            .parquet(*[os.path.join(base, f) for f in files])
+        )
+
+    def read_at(self, table: str, snapshot_id: int) -> DataFrame:
+        """Time travel (Iceberg `VERSION AS OF`): the files live at that
+        snapshot = added up to it minus removed up to it. Replaced files
+        stay on disk until expire_snapshots, so old versions read exactly."""
+        snaps = self.snapshots(table)
+        if not snaps:  # logless table: only the current version exists
+            return self.read(table)
+        live: set[str] = set()
+        for s in snaps:
+            if s["snapshot_id"] > snapshot_id:
+                break
+            live.update(s["added_files"])
+            live.difference_update(s["removed_files"])
+        return self._read_files(table, sorted(live))
+
+    def read_incremental(
+        self, table: str, from_snapshot: int, to_snapshot: Optional[int] = None
+    ) -> DataFrame:
+        """Incremental append scan (Iceberg start-snapshot-id/end-snapshot-id):
+        rows of files added in (from_snapshot, to_snapshot] and still live
+        at to_snapshot. For append-only tables this is exactly Iceberg's
+        incremental read; for overwrite commits it returns the replacing
+        files' rows (the current content of rewritten partitions), which is
+        what incremental refresh wants."""
+        to = to_snapshot if to_snapshot is not None else self.latest_snapshot_id(table)
+        fresh: set[str] = set()
+        for s in self.snapshots(table):
+            sid = s["snapshot_id"]
+            if sid > to:
+                break
+            if sid > from_snapshot:
+                fresh.update(s["added_files"])
+                fresh.difference_update(s["removed_files"])
+        return self._read_files(table, sorted(fresh))
+
+    def changed_partitions(
+        self, table: str, from_snapshot: int, to_snapshot: Optional[int] = None
+    ) -> list[str]:
+        """ds values touched by commits in (from_snapshot, to_snapshot] —
+        the planning primitive for incremental downstream refresh."""
+        to = to_snapshot if to_snapshot is not None else self.latest_snapshot_id(table)
+        parts: set[str] = set()
+        for s in self.snapshots(table):
+            if from_snapshot < s["snapshot_id"] <= to:
+                parts.update(s["partitions"])
+        return sorted(parts)
+
+
+def read_parquet_path(spark: SparkSession, path: str) -> DataFrame:
+    """Log-aware parquet read for a direct path: a warehouse table dir
+    carrying a snapshot log resolves its LIVE files through it (replaced
+    files retained for time travel must not double-count); anything else
+    is a plain parquet read. Used by the Query-DSL scan so sources that
+    point at warehouse tables see committed data only."""
+    local = path[len("file:"):] if path.startswith("file:") else path
+    local = local.rstrip("/")
+    if os.path.isdir(os.path.join(local, SNAPSHOT_DIR)):
+        wh = ParquetWarehouse(spark, os.path.dirname(local))
+        return wh.read(os.path.basename(local))
+    return spark.read.parquet(path)
 
 
 class IcebergCatalog:  # pragma: no cover - requires iceberg runtime jar
@@ -133,6 +394,44 @@ class IcebergCatalog:  # pragma: no cover - requires iceberg runtime jar
 
     def insert_overwrite(self, df: DataFrame, table: str) -> None:
         df.writeTo(f"{self.namespace}.{table}").overwritePartitions()
+
+    # snapshot surface: same four calls as ParquetWarehouse, answered from
+    # Iceberg metadata tables (no file listing at all)
+    def snapshots(self, table: str) -> list[dict]:
+        rows = self.spark.sql(
+            f"SELECT snapshot_id, parent_id, operation FROM "
+            f"{self.namespace}.{table}.snapshots ORDER BY committed_at"
+        ).collect()
+        return [r.asDict() for r in rows]
+
+    def latest_snapshot_id(self, table: str) -> int:
+        snaps = self.snapshots(table)
+        return snaps[-1]["snapshot_id"] if snaps else 0
+
+    def read_at(self, table: str, snapshot_id: int) -> DataFrame:
+        return (
+            self.spark.read.option("snapshot-id", str(snapshot_id))
+            .table(f"{self.namespace}.{table}")
+        )
+
+    def read_incremental(
+        self, table: str, from_snapshot: int, to_snapshot: Optional[int] = None
+    ) -> DataFrame:
+        r = self.spark.read.format("iceberg").option(
+            "start-snapshot-id", str(from_snapshot)
+        )
+        if to_snapshot is not None:
+            r = r.option("end-snapshot-id", str(to_snapshot))
+        return r.load(f"{self.namespace}.{table}")
+
+    def changed_partitions(
+        self, table: str, from_snapshot: int, to_snapshot: Optional[int] = None
+    ) -> list[str]:
+        rows = (
+            self.read_incremental(table, from_snapshot, to_snapshot)
+            .select(self.spec.column).distinct().collect()
+        )
+        return sorted(r[0] for r in rows)
 
 
 class Catalog:

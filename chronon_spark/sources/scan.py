@@ -43,9 +43,12 @@ def _java_fmt_to_py(java_fmt: str) -> str:
 
 def _load_table(spark: SparkSession, table: str) -> DataFrame:
     """Table name, or a direct parquet path (dev convenience,
-    reference: LocalDataLoader.scala)."""
+    reference: LocalDataLoader.scala). Paths resolve through the
+    warehouse snapshot log when one is present (catalog.read_parquet_path)."""
     if table.endswith(".parquet") or table.startswith("/") or table.startswith("file:"):
-        return spark.read.parquet(table)
+        from chronon_spark.sources.catalog import read_parquet_path
+
+        return read_parquet_path(spark, table)
     return spark.read.table(table)
 
 

@@ -1,0 +1,225 @@
+"""Snapshot-log + incremental-refresh tests: the warehouse's Iceberg-style
+commit log (added/removed files per insert_overwrite), time travel,
+incremental append scans, and snapshot-range-driven downstream refresh
+(north rule: "incremental backfill over Iceberg snapshot ranges")."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from chronon_spark.api import (
+    Aggregation,
+    EventSource,
+    GroupBy,
+    Operation,
+    Query,
+    Window,
+)
+from chronon_spark.plans.backfill import (
+    groupby_affected_days,
+    groupby_backfill,
+    incremental_refresh,
+)
+from chronon_spark.sources.catalog import ParquetWarehouse
+
+BASE = 1704067200000  # 2024-01-01
+DAY = 86_400_000
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    return ParquetWarehouse(spark, str(tmp_path / "warehouse"))
+
+
+def _day_rows(spark, days: dict[str, list[tuple[int, float]]]):
+    """days: ds -> [(user_id, value)]; ts = noon of ds."""
+    rows = []
+    for ds, items in days.items():
+        day_idx = (int(ds[8:10]) - 1)
+        ts = BASE + day_idx * DAY + DAY // 2
+        for uid, v in items:
+            rows.append((uid, ts, float(v), ds))
+    return spark.createDataFrame(rows, "user_id int, ts long, value double, ds string")
+
+
+def test_snapshot_log_records_commits(spark, wh):
+    df1 = _day_rows(spark, {"2024-01-01": [(1, 10.0)], "2024-01-02": [(1, 20.0)]})
+    wh.insert_overwrite(df1, "t")
+    df2 = _day_rows(spark, {"2024-01-03": [(2, 30.0)]})
+    wh.insert_overwrite(df2, "t")
+
+    snaps = wh.snapshots("t")
+    assert [s["snapshot_id"] for s in snaps] == [1, 2]
+    assert snaps[0]["parent_id"] is None and snaps[1]["parent_id"] == 1
+    assert snaps[0]["partitions"] == ["2024-01-01", "2024-01-02"]
+    assert snaps[1]["partitions"] == ["2024-01-03"]
+    assert snaps[1]["added_files"] and not snaps[1]["removed_files"]
+    assert wh.latest_snapshot_id("t") == 2
+
+    # dynamic overwrite of an existing partition removes its old files
+    df3 = _day_rows(spark, {"2024-01-02": [(9, 99.0)]})
+    wh.insert_overwrite(df3, "t")
+    s3 = wh.snapshots("t")[-1]
+    assert s3["partitions"] == ["2024-01-02"]
+    assert s3["added_files"] and s3["removed_files"]
+
+
+def test_time_travel_and_incremental_scan(spark, wh):
+    wh.insert_overwrite(
+        _day_rows(spark, {"2024-01-01": [(1, 10.0)], "2024-01-02": [(1, 20.0)]}), "t"
+    )
+    wh.insert_overwrite(_day_rows(spark, {"2024-01-03": [(2, 30.0)]}), "t")
+    wh.insert_overwrite(_day_rows(spark, {"2024-01-02": [(9, 99.0)]}), "t")
+
+    # VERSION AS OF 1: the original two days, pre-rewrite
+    v1 = wh.read_at("t", 1).orderBy("ds").collect()
+    assert [(r["ds"], r["user_id"], r["value"]) for r in v1] == [
+        ("2024-01-01", 1, 10.0), ("2024-01-02", 1, 20.0)]
+    # VERSION AS OF 2 includes the appended day
+    assert wh.read_at("t", 2).count() == 3
+    # latest: day 2 rewritten
+    v3 = {(r["ds"], r["user_id"]) for r in wh.read_at("t", 3).collect()}
+    assert v3 == {("2024-01-01", 1), ("2024-01-02", 9), ("2024-01-03", 2)}
+    assert wh.read_at("t", 3).count() == wh.read("t").count()
+
+    # incremental append scan (1, 2]: only the appended day
+    inc = wh.read_incremental("t", 1, 2).collect()
+    assert [(r["ds"], r["user_id"]) for r in inc] == [("2024-01-03", 2)]
+    # (1, 3]: appended day + current content of the rewritten partition
+    inc2 = {(r["ds"], r["user_id"]) for r in wh.read_incremental("t", 1).collect()}
+    assert inc2 == {("2024-01-03", 2), ("2024-01-02", 9)}
+    # (3, 3] is empty but keeps the schema
+    empty = wh.read_incremental("t", 3)
+    assert empty.count() == 0 and "user_id" in empty.columns
+
+    assert wh.changed_partitions("t", 0) == ["2024-01-01", "2024-01-02", "2024-01-03"]
+    assert wh.changed_partitions("t", 1, 2) == ["2024-01-03"]
+    assert wh.changed_partitions("t", 2) == ["2024-01-02"]
+
+
+def test_expire_snapshots_gc(spark, wh):
+    wh.insert_overwrite(
+        _day_rows(spark, {"2024-01-01": [(1, 10.0)], "2024-01-02": [(1, 20.0)]}), "t"
+    )
+    wh.insert_overwrite(_day_rows(spark, {"2024-01-02": [(9, 99.0)]}), "t")
+    current = {(r["ds"], r["user_id"]) for r in wh.read("t").collect()}
+    n_dead = wh.expire_snapshots("t")
+    assert n_dead > 0  # the replaced day-2 file(s) were deleted
+    # current reads unchanged; log collapsed to one snapshot at the same id
+    assert {(r["ds"], r["user_id"]) for r in wh.read("t").collect()} == current
+    snaps = wh.snapshots("t")
+    assert len(snaps) == 1 and snaps[0]["operation"] == "expire"
+    assert wh.latest_snapshot_id("t") == 2
+    assert wh.partitions("t") == ["2024-01-01", "2024-01-02"]
+    # expiring again is a no-op
+    assert wh.expire_snapshots("t") == 0
+
+
+def _upstream(spark, wh, mutate: bool = False):
+    days = {
+        f"2024-01-{d:02d}": [(1, 10.0 * d), (2, 5.0 * d)] for d in range(1, 13)
+    }
+    if mutate:
+        days["2024-01-04"] = [(1, 1000.0), (2, 2000.0), (3, 7.0)]
+    wh.insert_overwrite(_day_rows(spark, days if not mutate
+                                  else {"2024-01-04": days["2024-01-04"]}), "up")
+
+
+def _job(spark, wh, windows=(3,), name="inc"):
+    gb = GroupBy(
+        sources=[EventSource(wh.path("up"), Query(
+            selects={"user_id": "user_id", "value": "value"}, time_column="ts"))],
+        key_columns=["user_id"],
+        aggregations=[Aggregation("value", Operation.SUM,
+                                  windows=[Window(w) for w in windows])],
+        name=name,
+    )
+    return groupby_backfill(spark, wh, gb, f"{name}_out", step_days=30), gb
+
+
+def test_incremental_refresh_recomputes_stale_partitions(spark, wh):
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    _upstream(spark, wh)
+    job, gb = _job(spark, wh)
+    rep0 = incremental_refresh(job, "up", "2024-01-02", "2024-01-12",
+                               affected_days=groupby_affected_days(gb))
+    assert rep0.refreshed == [] and rep0.backfill.rows_written > 0
+    before = {(r["user_id"], r["ds"]): r["value_sum_3d"]
+              for r in wh.read("inc_out").collect()}
+
+    # rewrite one upstream day, then refresh: output days [04, 06] (3d
+    # window) must be recomputed, everything else untouched
+    _upstream(spark, wh, mutate=True)
+    job2, _ = _job(spark, wh)
+    rep = incremental_refresh(job2, "up", "2024-01-02", "2024-01-12",
+                              affected_days=groupby_affected_days(gb))
+    assert rep.changed_upstream == ["2024-01-04"]
+    refreshed_ds = sorted(d for r in rep.refreshed for d in r.partitions())
+    assert refreshed_ds == ["2024-01-04", "2024-01-05", "2024-01-06"]
+    assert rep.backfill.steps == []  # no holes — refresh only
+
+    after = {(r["user_id"], r["ds"]): r["value_sum_3d"]
+             for r in wh.read("inc_out").collect()}
+    # exact equality with a from-scratch recompute on the mutated upstream
+    fresh_wh = ParquetWarehouse(spark, wh.root + "_fresh")
+    fresh_days = {f"2024-01-{d:02d}": [(1, 10.0 * d), (2, 5.0 * d)]
+                  for d in range(1, 13)}
+    fresh_days["2024-01-04"] = [(1, 1000.0), (2, 2000.0), (3, 7.0)]
+    fresh_wh.insert_overwrite(_day_rows(spark, fresh_days), "up")
+    fjob, _ = _job(spark, fresh_wh)
+    fjob.run("2024-01-02", "2024-01-12")
+    expected = {(r["user_id"], r["ds"]): r["value_sum_3d"]
+                for r in fresh_wh.read("inc_out").collect()}
+    assert after == expected
+
+    # untouched partitions kept their values (not recomputed to new ones —
+    # they were equal anyway; check the manifest instead)
+    man = job2.manifest().where(
+        (F.col("output_table") == "inc_out") & (F.col("status") == "refreshed")
+    )
+    assert {r["ds"] for r in man.collect()} == set(refreshed_ds)
+    # days outside the affected window unchanged
+    for k in before:
+        if k[1] not in refreshed_ds:
+            assert after[k] == before[k]
+
+    # idempotence: nothing changed upstream -> refresh is a no-op
+    rep2 = incremental_refresh(job2, "up", "2024-01-02", "2024-01-12",
+                               affected_days=groupby_affected_days(gb))
+    assert rep2.refreshed == [] and rep2.backfill.steps == []
+    assert rep2.changed_upstream == []
+
+
+def test_unbounded_window_invalidates_all_later_days(spark, wh):
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    _upstream(spark, wh)
+    gb = GroupBy(
+        sources=[EventSource(wh.path("up"), Query(
+            selects={"user_id": "user_id", "value": "value"}, time_column="ts"))],
+        key_columns=["user_id"],
+        aggregations=[Aggregation("value", Operation.SUM)],  # lifetime
+        name="life",
+    )
+    assert groupby_affected_days(gb) is None
+    job = groupby_backfill(spark, wh, gb, "life_out", step_days=30)
+    incremental_refresh(job, "up", "2024-01-02", "2024-01-08",
+                        affected_days=groupby_affected_days(gb))
+    _upstream(spark, wh, mutate=True)
+    job2 = groupby_backfill(spark, wh, gb, "life_out", step_days=30)
+    rep = incremental_refresh(job2, "up", "2024-01-02", "2024-01-08",
+                              affected_days=None)
+    refreshed_ds = sorted(d for r in rep.refreshed for d in r.partitions())
+    assert refreshed_ds == [f"2024-01-{d:02d}" for d in range(4, 9)]
+
+
+def test_affected_days_helper():
+    def mk(windows):
+        return GroupBy(
+            sources=[EventSource("x", Query(selects={"v": "v"}, time_column="ts"))],
+            key_columns=["k"],
+            aggregations=[Aggregation("v", Operation.SUM, windows=windows)],
+            name="h",
+        )
+
+    assert groupby_affected_days(mk([Window(7)])) == 7
+    assert groupby_affected_days(mk([Window(7), Window(30)])) == 30
+    assert groupby_affected_days(mk(None)) is None
