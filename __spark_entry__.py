@@ -993,6 +993,38 @@ def q_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition column stats from parquet FOOTERS only (zero data
+    scan — the parquet analog of the reference's Iceberg manifest walk,
+    IcebergPartitionStatsExtractor.scala:70-180). The oracle recomputes
+    the same numbers from the data itself."""
+    _prep(spark)
+    import tempfile
+
+    from chronon_spark.sources.catalog import ParquetWarehouse
+    from chronon_spark.sources.partition_stats import partition_stats
+
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    wh = ParquetWarehouse(spark, tempfile.mkdtemp(prefix="chronon_ps_"))
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.expr(
+            "CASE WHEN user_id % 7 = 0 THEN NULL "
+            "ELSE CAST(round(value * 100, 0) AS BIGINT) END"
+        ).alias("cents"),
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd").alias("ds"),
+    )
+    wh.insert_overwrite(raw, "ev")
+    out = partition_stats(wh, "ev", columns=["user_id", "cents"])
+    return out.select(
+        "ds", "column",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_nulls").cast("long").alias("n_nulls"),
+        F.col("min_num").alias("min_num"),
+        F.col("max_num").alias("max_num"),
+    )
+
+
 def q_groupby_approx_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPROX_UNIQUE_COUNT via HLL-sketch daily partials unioned across the
     window frame. At per-key event-type cardinality the HLL sparse mode is
@@ -2094,6 +2126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_mapcol": q_groupby_mapcol,
         "backfill_resume": q_backfill_resume,
         "incremental_refresh": q_incremental_refresh,
+        "partition_stats": q_partition_stats,
         "groupby_approx_unique": q_groupby_approx_unique,
         "bootstrap_covered": q_bootstrap_covered,
         "groupby_frequent_k": q_groupby_frequent_k,
@@ -2273,6 +2306,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT ds, COUNT(*) AS n_keys, ROUND(SUM(s) / 100.0, 6) AS total_sum_7d
             FROM per GROUP BY ds
+        """,
+        "partition_stats": """
+            WITH ev AS (SELECT user_id,
+                               CASE WHEN user_id % 7 = 0 THEN NULL
+                                    ELSE CAST(round(value * 100, 0) AS BIGINT)
+                               END AS cents,
+                               strftime(ts, '%Y-%m-%d') AS ds
+                        FROM events)
+            SELECT ds, 'user_id' AS "column",
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(0 AS BIGINT) AS n_nulls,
+                   CAST(MIN(user_id) AS DOUBLE) AS min_num,
+                   CAST(MAX(user_id) AS DOUBLE) AS max_num
+            FROM ev GROUP BY ds
+            UNION ALL
+            SELECT ds, 'cents' AS "column",
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_nulls,
+                   CAST(MIN(cents) AS DOUBLE) AS min_num,
+                   CAST(MAX(cents) AS DOUBLE) AS max_num
+            FROM ev GROUP BY ds
         """,
         "groupby_approx_unique": f"""
             WITH {_SNAP_DAYS}
