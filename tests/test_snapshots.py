@@ -114,6 +114,56 @@ def test_expire_snapshots_gc(spark, wh):
     assert wh.expire_snapshots("t") == 0
 
 
+def test_snapshot_log_model_based(spark, wh):
+    """Randomized commit sequence vs a pure-Python model: after every
+    commit, read()/partitions() match the model's current state and
+    read_at() reproduces every PRIOR version exactly; a mid-sequence
+    expire keeps current state intact."""
+    import random
+
+    rng = random.Random(13)
+    model: dict[str, list[tuple[int, float]]] = {}  # ds -> rows
+    history: list[dict] = []
+    all_ds = [f"2024-01-{d:02d}" for d in range(1, 6)]
+
+    def check_current():
+        got = {}
+        for r in wh.read("m").collect():
+            got.setdefault(r["ds"], []).append((r["user_id"], r["value"]))
+        model_norm = {ds: sorted(rows) for ds, rows in model.items() if rows}
+        got_norm = {ds: sorted(rows) for ds, rows in got.items()}
+        assert got_norm == model_norm
+        assert wh.partitions("m") == sorted(model_norm)
+
+    for step in range(8):
+        n_parts = rng.randint(1, 3)
+        days = rng.sample(all_ds, n_parts)
+        commit = {
+            ds: [(rng.randint(0, 99), round(rng.uniform(0, 10), 3))
+                 for _ in range(rng.randint(1, 4))]
+            for ds in days
+        }
+        wh.insert_overwrite(_day_rows(spark, commit), "m")
+        for ds, rows in commit.items():
+            model[ds] = list(rows)
+        history.append({ds: sorted(rows) for ds, rows in model.items() if rows})
+        check_current()
+        if step == 4:
+            wh.expire_snapshots("m")
+            check_current()
+            # versions before the expiry point are gone by design;
+            # truncate the reproducible history to the surviving snapshot
+            history = history[-1:]
+
+    # time travel reproduces every surviving version
+    base = wh.latest_snapshot_id("m") - (len(history) - 1)
+    for i, want in enumerate(history):
+        got = {}
+        for r in wh.read_at("m", base + i).collect():
+            got.setdefault(r["ds"], []).append((r["user_id"], r["value"]))
+        assert {ds: sorted(v) for ds, v in got.items()} == want, f"version {i}"
+
+
 def _upstream(spark, wh, mutate: bool = False):
     days = {
         f"2024-01-{d:02d}": [(1, 10.0 * d), (2, 5.0 * d)] for d in range(1, 13)

@@ -92,10 +92,13 @@ def main() -> None:
         from chronon_spark.operators.temporal_join import temporal_self_features
 
         ev = spark.read.parquet(args.input).select("user_id", "ts", "value")
+        n_rows = ev.count()
         parts = [p for a in gb.aggregations for p in a.unpack()]
 
         def run():
-            return temporal_self_features(ev, ["user_id"], parts).count()
+            temporal_self_features(ev, ["user_id"], parts).write.format(
+                "noop").mode("overwrite").save()
+            return n_rows
     elif args.workload.startswith("image"):
         # the north_star pipeline itself: decode binary images, extract
         # pixel features (Arrow-batched numpy per image), enrich each
@@ -115,7 +118,7 @@ def main() -> None:
         # (retry determinism) — pathological on multi-KB payloads.
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
         images = spark.read.parquet(args.input).cache()
-        images.count()
+        n_rows = images.count()
         parts = [
             AggregationPart("caption_len", Operation.COUNT, window=Window(1)),
             AggregationPart("caption_len", Operation.COUNT, window=None),
@@ -135,7 +138,10 @@ def main() -> None:
                 Fn.length("caption").cast("bigint").alias("caption_len"),
             )
             out = temporal_features(feats, right, ["phash"], ["phash"], parts)
-            return out.count()
+            # noop sink: full-plan execution (count() lets Catalyst prune
+            # unreferenced output expressions on native-agg plans)
+            out.write.format("noop").mode("overwrite").save()
+            return n_rows
     elif args.workload == "curate":
         # corpus curation at scale: decode EVERY image (the dominant,
         # embarrassingly-parallel stage), quality-gate, then phash
@@ -172,7 +178,7 @@ def main() -> None:
 
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
         videos = spark.read.parquet(args.input).cache()
-        videos.count()
+        n_rows = videos.count()
         parts = [
             AggregationPart("caption_len", Operation.COUNT, window=Window(1)),
             AggregationPart("caption_len", Operation.COUNT, window=None),
@@ -188,7 +194,10 @@ def main() -> None:
                 Fn.length("caption").cast("bigint").alias("caption_len"),
             )
             out = temporal_features(feats, right, ["phash"], ["phash"], parts)
-            return out.count()
+            # noop sink: full-plan execution (count() lets Catalyst prune
+            # unreferenced output expressions on native-agg plans)
+            out.write.format("noop").mode("overwrite").save()
+            return n_rows
     else:
         # snapshot GroupBy: daily partials + window frames over the same
         # 64M-event input; throughput measured in INPUT events/sec (the
@@ -209,7 +218,8 @@ def main() -> None:
         input_rows = spark.read.parquet(args.input).count()
 
         def run():
-            compute_snapshot_groupby(spark, gb_s).count()
+            compute_snapshot_groupby(spark, gb_s).write.format("noop").mode(
+                "overwrite").save()
             return input_rows
 
     # warm-up: one FULL pass — spawns the whole python worker pool, JITs
