@@ -30,6 +30,12 @@ sandbox analog of reading Iceberg manifests); a real Iceberg catalog
 answers the same four calls from metadata alone and `Catalog.for_session`
 picks it automatically when the runtime jar is present — the rest of the
 engine is unchanged.
+
+Caveats, same as Iceberg's: once a table has a log, all writes must go
+through `insert_overwrite` (files added behind the log's back are
+invisible to reads); deleting a partition directory by hand is tolerated
+for current-state reads (forces recompute, a supported Hive-era workflow)
+but breaks time travel to versions that referenced it.
 """
 
 from __future__ import annotations

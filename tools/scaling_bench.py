@@ -233,7 +233,11 @@ multiple sessions, every pass wall + per-level steal time is appended to
 `BENCH/scaling_runs.jsonl`, and efficiency is computed from the BEST pass per
 level — the engine's uncontended capability at each size. Single-session
 ratios swing +-0.15 in both directions with the steal weather; the log makes
-that visible instead of hiding it. The N=4 -> 4N=16 pair sits inside the
+that visible instead of hiding it. r3 measurement fix: timed passes force the
+FULL plan through the noop sink (a bare .count() lets Catalyst prune
+unreferenced output expressions); for these kernel-shaped workloads the
+compute lives inside applyInPandas either way, and the re-measured join pair
+(run-tag r3join-noop) confirms the efficiency is unchanged. The N=4 -> 4N=16 pair sits inside the
 socket's linear regime, the faithful proxy for adding cluster NODES (each
 node brings its own memory bus); the 8 -> 32 saturation point is reported
 separately below.
