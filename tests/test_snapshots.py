@@ -261,6 +261,59 @@ def test_unbounded_window_invalidates_all_later_days(spark, wh):
     assert refreshed_ds == [f"2024-01-{d:02d}" for d in range(4, 9)]
 
 
+def test_cascading_incremental_refresh(spark, wh):
+    """Two-level pipeline: raw -> groupby table -> derived table. A rewrite
+    of one raw day must cascade — level 1 recomputes its affected window
+    off raw's snapshot log, and level 2 recomputes off LEVEL 1's snapshot
+    log (the refresh writes are commits too) — ending equal to a
+    from-scratch rebuild."""
+    from chronon_spark.plans.backfill import BackfillJob
+
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+
+    def build(w):
+        job, gb = _job(spark, w)  # 3d-window sum -> inc_out
+        incremental_refresh(job, "up", "2024-01-02", "2024-01-12", affected_days=3)
+        # level 2: daily per-ds total over inc_out (depends 1:1 on its ds)
+        l2 = BackfillJob(
+            spark, w, "l2_out",
+            compute=lambda rng: w.read("inc_out", rng).groupBy("ds").agg(
+                F.round(F.sum("value_sum_3d"), 6).alias("daily_total")),
+            config=gb, job_name="l2", step_days=30,
+        )
+        incremental_refresh(l2, "inc_out", "2024-01-02", "2024-01-12",
+                            affected_days=1)
+        return job, gb, l2
+
+    _upstream(spark, wh)
+    job, gb, l2 = build(wh)
+    _upstream(spark, wh, mutate=True)  # rewrite raw day 04
+    job2, _ = _job(spark, wh)
+    incremental_refresh(job2, "up", "2024-01-02", "2024-01-12", affected_days=3)
+    l2b = BackfillJob(
+        spark, wh, "l2_out",
+        compute=lambda rng: wh.read("inc_out", rng).groupBy("ds").agg(
+            F.round(F.sum("value_sum_3d"), 6).alias("daily_total")),
+        config=gb, job_name="l2", step_days=30,
+    )
+    rep2 = incremental_refresh(l2b, "inc_out", "2024-01-02", "2024-01-12",
+                               affected_days=1)
+    # level 2 saw exactly the partitions level 1 rewrote
+    assert sorted(rep2.changed_upstream) == [
+        "2024-01-04", "2024-01-05", "2024-01-06"]
+
+    # equality with a from-scratch pipeline on the mutated raw
+    fresh = ParquetWarehouse(spark, wh.root + "_cascade_fresh")
+    _upstream(spark, fresh)
+    fresh.insert_overwrite(
+        _day_rows(spark, {"2024-01-04": [(1, 1000.0), (2, 2000.0), (3, 7.0)]}),
+        "up")
+    build(fresh)
+    got = {r["ds"]: r["daily_total"] for r in wh.read("l2_out").collect()}
+    want = {r["ds"]: r["daily_total"] for r in fresh.read("l2_out").collect()}
+    assert got == want
+
+
 def test_affected_days_helper():
     def mk(windows):
         return GroupBy(
