@@ -260,6 +260,44 @@ class ParquetWarehouse:
         os.rename(tmp, final)  # atomic commit
         return snap
 
+    def compact(self, table: str, min_files: int = 2) -> dict:
+        """Iceberg `rewrite_data_files` analog: partitions fragmented into
+        >= `min_files` live files by repeated incremental commits are
+        rewritten as one file per partition, committed like any other
+        snapshot (current rows unchanged — asserted by tests; prior
+        versions still readable until expire_snapshots). Small files are
+        THE silent scan-cost killer of a long-running incremental
+        pipeline: task-per-file scheduling overhead grows with commits,
+        not with data.
+        """
+        from collections import Counter
+
+        self._ensure_adopted(table)
+        live = self._live_files(table) or []
+        per_part = Counter(
+            p for f in live if (p := self._partition_of(f))
+        )
+        frag = sorted(p for p, n in per_part.items() if n >= min_files)
+        if not frag:
+            return {"partitions": [], "files_before": 0, "files_after": 0}
+        files = [f for f in live if self._partition_of(f) in set(frag)]
+        df = self._read_files(table, files)
+        # hash-repartition on the partition column: every ds lands in
+        # exactly one task -> exactly one output file per partition
+        from pyspark.sql import functions as F
+
+        df = df.repartition(len(frag), F.col(self.spec.column))
+        self.insert_overwrite(df, table)
+        after = Counter(
+            p for f in (self._live_files(table) or [])
+            if (p := self._partition_of(f)) in set(frag)
+        )
+        return {
+            "partitions": frag,
+            "files_before": len(files),
+            "files_after": sum(after.values()),
+        }
+
     def expire_snapshots(self, table: str) -> int:
         """Garbage-collect: physically delete files no longer live and
         collapse the log to one snapshot (Iceberg expire_snapshots — time
