@@ -429,8 +429,10 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 via random-hyperplane LSH buckets + exact rescoring —
-    the 10^12-row scale path. Rows-only driver check (approximate by
-    design); pytest measures recall vs brute force."""
+    the 10^12-row scale path. r3: DERIVED DETERMINISTIC ORACLE — DuckDB
+    replicates the sketch, multi-probe bucket set, pruning and rescoring
+    (see _lsh_topk_oracle_sql); pytest additionally measures recall vs
+    brute force."""
     _prep(spark)
     from chronon_spark.operators.similarity import lsh_topk
 
@@ -494,6 +496,72 @@ def _hyperplane_bits_sql(dim: int, planes: int) -> str:
             f"THEN {1 << p} ELSE 0 END)"
         )
     return " + ".join(terms)
+
+
+def _lsh_topk_oracle_sql(
+    dim: int, planes: int, probes: int, k: int, query_ids: tuple[int, ...]
+) -> str:
+    """Derived deterministic oracle for similarity.lsh_topk: DuckDB
+    reproduces the sign-bit sketch (same LCG hyperplane literals), the
+    multi-probe bucket set (base bucket + flipping the `probes`
+    least-|dot| bits, ties by plane index — exactly q_buckets), the
+    bucket-join candidate pruning, and the exact-cosine rescore/rank.
+    A value-hash match certifies the FULL ANN pipeline, not just the
+    scoring."""
+    from chronon_spark.operators.similarity import hyperplane_matrix
+
+    H = hyperplane_matrix(dim, planes)
+    plane_rows = ", ".join(
+        f"({p}, [{', '.join(repr(x) for x in H[p])}])" for p in range(planes)
+    )
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        sk AS (SELECT vec_id, v, {_hyperplane_bits_sql(dim, planes)} AS bits FROM e),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({ids})),
+        planes(p, h) AS (VALUES {plane_rows}),
+        qp AS (
+          SELECT query_id, p, list_dot_product(qv, h) AS dot
+          FROM q CROSS JOIN planes
+        ),
+        qbase AS (
+          SELECT query_id,
+                 CAST(SUM(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS base
+          FROM qp GROUP BY query_id
+        ),
+        flips AS (
+          SELECT query_id, p FROM (
+            SELECT query_id, p,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY ABS(dot), p) AS rnk
+            FROM qp
+          ) WHERE rnk <= {probes}
+        ),
+        buckets AS (
+          SELECT query_id, base AS bits FROM qbase
+          UNION
+          SELECT f.query_id, xor(b.base, CAST(1 << f.p AS BIGINT))
+          FROM flips f JOIN qbase b USING (query_id)
+        ),
+        cand AS (
+          SELECT DISTINCT bk.query_id, s.vec_id
+          FROM buckets bk JOIN sk s ON s.bits = bk.bits
+        ),
+        scored AS (
+          SELECT c.query_id, c.vec_id,
+                 ROUND(list_cosine_similarity(s.v, q.qv) + 1e-9, 6) AS cosine
+          FROM cand c
+          JOIN sk s ON s.vec_id = c.vec_id
+          JOIN q ON q.query_id = c.query_id
+        ),
+        ranked AS (
+          SELECT query_id, vec_id, cosine,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+          FROM scored
+        )
+        SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
+    """
 
 
 def q_temporal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2766,6 +2834,13 @@ def oracle_sql() -> dict[str, str]:
         # full-probe IVF == exact brute force, so the oracle is the plain
         # cosine top-k — identical shape to embedding_topk but over query
         # vectors 3/4/5 (and exercising the IVF pipeline on the engine side).
+        # derived deterministic oracle (r3): full ANN pipeline replicated
+        # in DuckDB — sketch bits, multi-probe buckets (3 least-|dot| bit
+        # flips), bucket-join pruning, exact rescore + rank. Closes the
+        # last rows-only row in the gate.
+        "embedding_lsh_topk": _lsh_topk_oracle_sql(
+            dim=64, planes=8, probes=3, k=10, query_ids=(0, 1, 2)
+        ),
         "embedding_ivf_topk": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (3, 4, 5)),
