@@ -564,6 +564,31 @@ def _lsh_topk_oracle_sql(
     """
 
 
+def _fp_bucket_sql(expr: str, salt: str, buckets: int = 10_000) -> str:
+    """DuckDB expression reproducing sampling.hash_bucket exactly: the
+    polynomial rolling hash of '<expr>:<salt>' mod `buckets`."""
+    key = f"CAST({expr} AS VARCHAR) || ':{salt}'"
+    return (
+        f"CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split_regex({key}, ''), "
+        f"ch -> CAST(ascii(ch) AS BIGINT))), "
+        f"(acc, x) -> (acc * 131 + x) % 1000000007) % {buckets} AS INTEGER)"
+    )
+
+
+_SHINGLE20_SQL = """
+    list_distinct(list_transform(
+      CASE WHEN length(text) >= 20
+           THEN [substr(text, i, 20) FOR i IN range(1, length(text) - 18)]
+           ELSE [text] END,
+      s -> list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split_regex(s, ''),
+                              ch -> CAST(ascii(ch) AS BIGINT))),
+             (acc, x) -> (acc * 131 + x) % 1000000007)))
+"""
+
+
 def q_temporal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal HISTOGRAM: event_type -> count map over a 1d window as-of
     each event, exploded to rows for the oracle."""
@@ -2149,6 +2174,84 @@ def q_analyze_skew_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_keys(ev, ["user_id", "event_type"], k=5)
 
 
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) by the cross-engine
+    rolling-hash bucket of doc_id — membership is a closed-form function
+    of the id, reproducible by any engine (the DuckDB oracle recomputes
+    every bucket). Scan-stage projection: zero shuffles."""
+    _prep(spark)
+    from chronon_spark.operators.sampling import hash_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hash_split(
+        docs, "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    ).select("doc_id", "bucket", "split")
+
+
+def q_corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sampling (en 50%, de 20%, fr 100%,
+    zh 10%, default 25%) — the corpus-mix downsampling step, exact
+    membership by hash bucket. Pure scan-stage filter."""
+    _prep(spark)
+    from chronon_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample(
+        docs,
+        "lang",
+        {"en": 0.5, "de": 0.2, "fr": 1.0, "zh": 0.1},
+        "doc_id",
+        default_fraction=0.25,
+    ).select("doc_id", "lang", "source")
+
+
+def q_corpus_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted dataset mixing by repetition factor (the LLM 'epochs'
+    recipe): short docs x2.3 (2 full copies + deterministic 30% sample),
+    long docs x0.5. Union of scan-stage filters — no shuffle."""
+    _prep(spark)
+    from chronon_spark.operators.sampling import weighted_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return weighted_mix(
+        [
+            ("short", docs.where(F.col("n_chars") < 300), 2.3),
+            ("long", docs.where(F.col("n_chars") >= 300), 0.5),
+        ],
+        "doc_id",
+    ).select("doc_id", "mix_source", "mix_copy")
+
+
+def q_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing per language shard (budget 2000 'tokens' =
+    n_chars, docs walked in id order, oversized docs isolated): one
+    shuffle on the shard key + one Arrow fold per group, O(bins log docs)
+    per group. The oracle replays the fold as a recursive CTE."""
+    _prep(spark)
+    from chronon_spark.operators.sampling import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(docs, "doc_id", "n_chars", 2000, key_col="lang")
+
+
+def q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination sweep: training docs sharing >= 3 distinct
+    20-char shingles with any held-out doc (doc_id % 50 = 0) are flagged.
+    Eval shingle set broadcast; train side touched scan-wise once; the
+    only shuffle is the per-doc overlap count. Shingle fingerprints are
+    the engine's cross-engine rolling hash, so the DuckDB oracle
+    recomputes the WHOLE sweep from raw text."""
+    _prep(spark)
+    from chronon_spark.operators.dedup import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.where("doc_id % 50 = 0")
+    tr = docs.where("doc_id % 50 != 0")
+    return decontaminate(tr, ev, "doc_id", "text", n=20, min_overlap=3).select(
+        "doc_id", "eval_overlap", "contaminated"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_query_dsl": q_scan_query_dsl,
@@ -2213,6 +2316,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_noagg_passthrough": q_join_noagg_passthrough,
         "feature_stats": q_feature_stats,
         "analyze_skew_keys": q_analyze_skew_keys,
+        "corpus_split": q_corpus_split,
+        "corpus_stratified_sample": q_corpus_stratified_sample,
+        "corpus_weighted_mix": q_corpus_weighted_mix,
+        "corpus_pack": q_corpus_pack,
+        "corpus_decontaminate": q_corpus_decontaminate,
         "compare_tables": q_compare_tables,
         "drift_metrics": q_drift_metrics,
         "analyze_join_schema": q_analyze_join_schema,
@@ -3552,6 +3660,80 @@ def oracle_sql() -> dict[str, str]:
               FROM c
             )
             SELECT col_name, key_value, cnt FROM r WHERE rk <= 5
+        """,
+        # -- corpus sampling / mixing / packing / decontamination (r3) ----
+        # every bucket recomputed from raw ids via the rolling hash — the
+        # oracle certifies exact membership, not proportions.
+        "corpus_split": f"""
+            WITH b AS (
+              SELECT doc_id, {_fp_bucket_sql('doc_id', 'split')} AS bucket
+              FROM documents
+            )
+            SELECT doc_id, bucket,
+                   CASE WHEN bucket < 8000 THEN 'train'
+                        WHEN bucket < 9000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b
+        """,
+        "corpus_stratified_sample": f"""
+            SELECT doc_id, lang, source FROM documents
+            WHERE {_fp_bucket_sql('doc_id', 'sample')} <
+                  CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000
+                            WHEN 'fr' THEN 10000 WHEN 'zh' THEN 1000
+                            ELSE 2500 END
+        """,
+        "corpus_weighted_mix": f"""
+            SELECT doc_id, 'short' AS mix_source, CAST(c AS INTEGER) AS mix_copy
+            FROM documents CROSS JOIN range(2) t(c) WHERE n_chars < 300
+            UNION ALL
+            SELECT doc_id, 'short', 2 FROM documents
+            WHERE n_chars < 300 AND {_fp_bucket_sql('doc_id', 'mix:short')} < 3000
+            UNION ALL
+            SELECT doc_id, 'long', 0 FROM documents
+            WHERE n_chars >= 300 AND {_fp_bucket_sql('doc_id', 'mix:long')} < 5000
+        """,
+        # the greedy fold replayed row-by-row as a recursive CTE: bin
+        # opens when acc + tokens would exceed the budget (oversized docs
+        # isolated), exactly sampling.pack_sequences' kernel.
+        "corpus_pack": """
+            WITH RECURSIVE ordered AS (
+              SELECT lang AS pack_key, doc_id AS id, n_chars AS tokens,
+                     ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+              FROM documents
+            ),
+            walk(pack_key, rn, id, tokens, bin, acc) AS (
+              SELECT pack_key, rn, id, tokens, CAST(0 AS BIGINT), tokens
+              FROM ordered WHERE rn = 1
+              UNION ALL
+              SELECT o.pack_key, o.rn, o.id, o.tokens,
+                     CASE WHEN w.acc + o.tokens > 2000 AND w.acc > 0
+                          THEN w.bin + 1 ELSE w.bin END,
+                     CASE WHEN w.acc + o.tokens > 2000 AND w.acc > 0
+                          THEN o.tokens ELSE w.acc + o.tokens END
+              FROM walk w JOIN ordered o
+                ON o.pack_key = w.pack_key AND o.rn = w.rn + 1
+            )
+            SELECT pack_key, id, tokens, bin FROM walk
+        """,
+        "corpus_decontaminate": f"""
+            WITH tr AS (
+              SELECT doc_id, {_SHINGLE20_SQL} AS sh
+              FROM documents WHERE doc_id % 50 != 0
+            ),
+            ev AS (
+              SELECT DISTINCT UNNEST({_SHINGLE20_SQL}) AS s
+              FROM documents WHERE doc_id % 50 = 0
+            ),
+            hits AS (
+              SELECT t.doc_id, COUNT(*) AS n
+              FROM (SELECT doc_id, UNNEST(sh) AS s FROM tr) t
+              JOIN ev ON t.s = ev.s
+              GROUP BY t.doc_id
+            )
+            SELECT tr.doc_id,
+                   CAST(COALESCE(hits.n, 0) AS BIGINT) AS eval_overlap,
+                   COALESCE(hits.n, 0) >= 3 AS contaminated
+            FROM tr LEFT JOIN hits ON tr.doc_id = hits.doc_id
         """,
     }
 

@@ -144,8 +144,15 @@ def shingle_fps_np(text: Optional[str], n: int) -> np.ndarray:
         w = FP_BASE ** np.arange(len(codes) - 1, -1, -1, dtype=np.int64)
         return np.array([int(codes @ w) % FP_MOD], dtype=np.int64)
     windows = np.lib.stride_tricks.sliding_window_view(codes, n)
-    weights = FP_BASE ** np.arange(n - 1, -1, -1, dtype=np.int64)
-    return np.unique((windows @ weights) % FP_MOD)
+    if n <= 8:
+        weights = FP_BASE ** np.arange(n - 1, -1, -1, dtype=np.int64)
+        return np.unique((windows @ weights) % FP_MOD)
+    # n > 8: 131^n overflows int64, so run the mod per column instead of
+    # one dot product — n vectorized passes, intermediates < 2^38
+    h = np.zeros(len(windows), dtype=np.int64)
+    for j in range(n):
+        h = (h * FP_BASE + windows[:, j]) % FP_MOD
+    return np.unique(h)
 
 
 def with_shingles_and_signature(
@@ -685,3 +692,50 @@ def resolve_duplicate_clusters(
         .withColumn("is_canonical", F.col("cluster_id") == F.col(id_col))
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Eval-set decontamination
+# ---------------------------------------------------------------------------
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_overlap: int = 1,
+    eval_text_col: Optional[str] = None,
+) -> DataFrame:
+    """Flag training docs sharing >= `min_overlap` distinct n-gram shingles
+    with ANY eval document — the standard benchmark-contamination sweep a
+    corpus runs before training.
+
+    Returns every train row + (eval_overlap, contaminated); filter on
+    `NOT contaminated` to drop. Shape at 100 TB: the eval side is tiny by
+    nature (benchmarks are thousands of docs), so its DISTINCT shingle set
+    is collected into a broadcast inner join against the train side's
+    exploded distinct shingles — train is touched scan-wise once, the only
+    shuffle is the per-doc overlap count on doc id. Shingles reuse the
+    engine's cross-engine rolling-hash fingerprints (dedup bookkeeping
+    ids), so an external engine can re-verify the sweep bit-for-bit.
+    """
+    etext = eval_text_col or text_col
+    train_sh = with_shingle_fps_arrow(train, id_col, text_col, n)
+    eval_sh = (
+        with_shingle_fps_arrow(eval_df, id_col, etext, n)
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
+    hits = (
+        train_sh.select("id", F.explode("sh").alias("s"))
+        .join(F.broadcast(eval_sh), "s")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("eval_overlap"))
+    )
+    return (
+        train.join(
+            hits.withColumnRenamed("id", id_col), id_col, "left"
+        )
+        .withColumn("eval_overlap", F.coalesce("eval_overlap", F.lit(0)))
+        .withColumn("contaminated", F.col("eval_overlap") >= min_overlap)
+    )

@@ -1,0 +1,196 @@
+"""Deterministic sampling, splitting, dataset mixing and sequence packing —
+the training-data side of the corpus pipeline.
+
+Everything here is driven by ONE cross-engine-stable hash (the polynomial
+rolling hash from operators/text.py, reproducible in any SQL engine), so
+sample membership is a pure function of (row id, salt): re-runs, backfills
+and other engines agree row-for-row — the property a 100 TB pipeline needs
+to resume, audit, and decontaminate without a recorded RNG state.
+
+Scale shape: split/sample/mix are scan-stage projections and filters (zero
+shuffles, zero driver actions); packing shuffles once on the pack key and
+folds each group in a single Arrow pass.
+
+Reference provenance: the reference has no sampling surface (its scope ends
+at feature serving); these follow its determinism discipline (semantic
+hashing, engine-portable fingerprints — api/Extensions.scala semanticHash)
+applied to the corpus-preparation ops a training pipeline runs upstream.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import FP_BASE, FP_MOD
+
+BUCKETS = 10_000  # sampling resolution: basis points
+
+
+def _bps(fraction: float) -> int:
+    """Fraction -> integer basis-point threshold (banker-free round)."""
+    return int(round(fraction * BUCKETS))
+
+
+def hash_bucket(id_col: Column, salt: str, buckets: int = BUCKETS) -> Column:
+    """Deterministic bucket in [0, buckets) from (id, salt).
+
+    The rolling hash runs over `"<id>:<salt>"` chars — pure codegen
+    (aggregate over split), no UDF, engine-portable. Different salts give
+    independent bucketings, so a split salt and a sample salt never
+    correlate."""
+    key = F.concat(id_col.cast("string"), F.lit(":" + salt))
+    fp = F.aggregate(
+        F.split(key, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * FP_BASE + F.ascii(ch)) % FP_MOD,
+    )
+    return (fp % buckets).cast("int")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: Sequence[tuple[str, float]] = (
+        ("train", 0.9),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+    salt: str = "split",
+) -> DataFrame:
+    """Assign every row a split label by hash bucket — the deterministic
+    train/val/test cut. Fractions must sum to 1 (+-1 bp rounding); the
+    label is a closed-form function of the id, so a doc can never migrate
+    between splits across runs or engines (eval-set hygiene)."""
+    total = sum(_bps(f) for _, f in splits)
+    if not BUCKETS - 1 <= total <= BUCKETS + 1:
+        raise ValueError(f"split fractions sum to {total / BUCKETS}, want 1.0")
+    bucket = hash_bucket(F.col(id_col), salt)
+    expr = F.lit(splits[-1][0])  # remainder absorbs rounding slack
+    edge = 0
+    cases = []
+    for name, frac in splits[:-1]:
+        edge += _bps(frac)
+        cases.append((edge, name))
+    for edge, name in reversed(cases):
+        expr = F.when(bucket < edge, F.lit(name)).otherwise(expr)
+    return df.withColumn("bucket", bucket).withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str,
+    salt: str = "sample",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Keep a deterministic per-stratum fraction of rows: row survives iff
+    hash_bucket(id) < fraction[stratum] * 10000. Exact-membership analog
+    of df.sampleBy — but reproducible across runs/engines and backfill
+    steps (no RNG seed to lose). Pure scan-stage filter: zero shuffles."""
+    bucket = hash_bucket(F.col(id_col), salt)
+    thresh = F.lit(_bps(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        thresh = F.when(
+            F.col(strata_col) == value, F.lit(_bps(frac))
+        ).otherwise(thresh)
+    return df.where(bucket < thresh)
+
+
+def weighted_mix(
+    sources: Sequence[tuple[str, DataFrame, float]],
+    id_col: str,
+    salt: str = "mix",
+) -> DataFrame:
+    """Weighted dataset mixing by repetition factor (the LLM-corpus
+    "epochs" recipe): a source with weight e contributes floor(e) full
+    copies plus a deterministic hash-sample of the fractional remainder.
+    Output rows carry (mix_source, mix_copy); copies are identical by
+    design — downstream shuffling/packing interleaves them.
+
+    Union of scans: no shuffle, no driver action; each fractional copy is
+    a scan-stage filter salted per source so sources sample independently.
+    """
+    out = None
+    for name, df, epochs in sources:
+        if epochs < 0:
+            raise ValueError(f"negative epochs for {name}")
+        full = int(epochs)
+        frac = epochs - full
+        copies = []
+        for c in range(full):
+            copies.append(
+                df.withColumn("mix_source", F.lit(name)).withColumn(
+                    "mix_copy", F.lit(c)
+                )
+            )
+        frac_bps = _bps(frac)
+        if frac_bps > 0:
+            bucket = hash_bucket(F.col(id_col), f"{salt}:{name}")
+            copies.append(
+                df.where(bucket < frac_bps)
+                .withColumn("mix_source", F.lit(name))
+                .withColumn("mix_copy", F.lit(full))
+            )
+        for c in copies:
+            out = c if out is None else out.unionByName(c)
+    if out is None:
+        raise ValueError("no sources")
+    return out
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    key_col: Optional[str] = None,
+) -> DataFrame:
+    """Greedy sequence packing: within each pack key (shard), walk docs in
+    id order and open a new bin whenever adding the next doc would exceed
+    `budget` tokens (a doc larger than the budget gets a bin of its own).
+    Returns (key, id, tokens, bin) — the (shard, bin) pair is the training
+    sequence a packer concatenates.
+
+    Packing is inherently a sequential fold, so it runs per key group in
+    one Arrow pass (applyInPandas after a single shuffle on the key); keys
+    are the parallelism unit, exactly how production packers shard. A
+    `key_col` is required at scale — passing None packs the whole frame in
+    one group and is only for small corpora.
+    """
+    import pandas as pd
+
+    keyed = df.select(
+        (F.col(key_col) if key_col else F.lit("__all__")).alias("pack_key"),
+        F.col(id_col).cast("long").alias("id"),
+        F.col(token_col).cast("long").alias("tokens"),
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
+        toks = pdf["tokens"].to_numpy()
+        cs = np.cumsum(toks)
+        n = len(toks)
+        bins = np.zeros(n, dtype=np.int64)
+        start, b = 0, 0
+        # one iteration PER BIN (searchsorted finds the maximal prefix
+        # fitting the budget), not per doc — the fold is O(bins log docs)
+        while start < n:
+            base = cs[start - 1] if start else 0
+            end = int(np.searchsorted(cs, base + budget, side="right"))
+            if end == start:  # single doc larger than the budget
+                end = start + 1
+            bins[start:end] = b
+            b += 1
+            start = end
+        pdf["bin"] = bins
+        return pdf
+
+    return keyed.groupBy("pack_key").applyInPandas(
+        fold, schema="pack_key string, id long, tokens long, bin long"
+    )
