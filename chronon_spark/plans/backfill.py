@@ -24,7 +24,7 @@ import json
 import time
 from dataclasses import asdict, dataclass, field, is_dataclass
 from enum import Enum
-from typing import Callable, Optional
+from typing import Callable, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -125,6 +125,7 @@ class BackfillJob:
         job_name: str = "backfill",
         step_days: int = 15,
         spec: PartitionSpec = DEFAULT_SPEC,
+        cluster_by: Optional[Sequence[str]] = None,
     ):
         self.spark = spark
         self.wh = warehouse
@@ -133,6 +134,10 @@ class BackfillJob:
         self.job_name = job_name
         self.step_days = step_days
         self.spec = spec
+        # write layout: range-cluster + sort each output partition on these
+        # columns (e.g. ("user_id", "ts")) so downstream as-of scans prune
+        # by footer min/max — the north-rule's explicit repartitionByRange
+        self.cluster_by = tuple(cluster_by) if cluster_by else None
         self.sem_hash = agg_aware_hash(config) if config is not None else ""
 
     # -- manifest ---------------------------------------------------------
@@ -249,7 +254,7 @@ class BackfillJob:
                     .withColumnRenamed(self.spec.column, "ds")
                     .collect()
                 }
-                self.wh.insert_overwrite(out, self.output_table)
+                self.wh.insert_overwrite(out, self.output_table, cluster_by=self.cluster_by)
                 out.unpersist()
                 wall = time.perf_counter() - t0
                 self._record(per_ds, step, wall)
@@ -267,6 +272,7 @@ def groupby_backfill(
     step_days: int = 15,
     dense: bool = False,
     spec: PartitionSpec = DEFAULT_SPEC,
+    cluster_by: Optional[Sequence[str]] = None,
 ) -> BackfillJob:
     """Snapshot-GroupBy backfill job (reference EP-1, GroupBy.computeBackfill)."""
     from chronon_spark.operators.groupby import compute_snapshot_groupby
@@ -275,7 +281,7 @@ def groupby_backfill(
         spark, warehouse, output_table,
         compute=lambda rng: compute_snapshot_groupby(spark, group_by, rng, spec, dense),
         config=group_by, job_name=f"groupby/{group_by.name}",
-        step_days=step_days, spec=spec,
+        step_days=step_days, spec=spec, cluster_by=cluster_by,
     )
 
 
@@ -286,6 +292,7 @@ def join_backfill(
     output_table: str,
     step_days: int = 15,
     spec: PartitionSpec = DEFAULT_SPEC,
+    cluster_by: Optional[Sequence[str]] = None,
 ) -> BackfillJob:
     """Temporal-join backfill job (reference EP-2, JoinBase.computeJoin)."""
     from chronon_spark.operators.temporal_join import compute_temporal_join
@@ -294,7 +301,7 @@ def join_backfill(
         spark, warehouse, output_table,
         compute=lambda rng: compute_temporal_join(spark, join, rng, spec),
         config=join, job_name=f"join/{join.name}",
-        step_days=step_days, spec=spec,
+        step_days=step_days, spec=spec, cluster_by=cluster_by,
     )
 
 

@@ -43,7 +43,7 @@ from __future__ import annotations
 import json
 import os
 import re
-from typing import Optional
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -127,7 +127,9 @@ class ParquetWarehouse:
         os.rename(self.path(table), dst)
         return dst
 
-    def insert_overwrite(self, df: DataFrame, table: str) -> None:
+    def insert_overwrite(
+        self, df: DataFrame, table: str, cluster_by: Optional[Sequence[str]] = None
+    ) -> None:
         """Dynamic partition overwrite — idempotent per-partition sink.
 
         reference: TableUtils.insertPartitions (catalog/TableUtils.scala:219-290)
@@ -138,10 +140,22 @@ class ParquetWarehouse:
         travel until `expire_snapshots`). Readers resolve liveness through
         the log, so a half-finished stage is invisible — same isolation
         guarantee as an Iceberg commit.
+
+        `cluster_by` (e.g. ("user_id", "ts")): range-shuffle on
+        (ds, *cluster_by) + sortWithinPartitions before the write — the
+        Iceberg SORTED BY layout. Each data file then covers a narrow
+        (entity, ts) slice, so as-of probes and entity-range scans prune
+        by parquet footer min/max instead of reading whole partitions;
+        downstream sorts start from clustered runs. Costs one extra
+        range exchange at write time — pay it once per table, save it on
+        every scan.
         """
         import shutil
 
         self._ensure_adopted(table)
+        if cluster_by:
+            cols = [self.spec.column, *cluster_by]
+            df = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
         live_before = self._live_files(table) or []
         stage = os.path.join(self.path(table), "_stage")
         shutil.rmtree(stage, ignore_errors=True)
@@ -436,7 +450,12 @@ class IcebergCatalog:  # pragma: no cover - requires iceberg runtime jar
                 df = df.where(clause)
         return df
 
-    def insert_overwrite(self, df: DataFrame, table: str) -> None:
+    def insert_overwrite(
+        self, df: DataFrame, table: str, cluster_by: Optional[Sequence[str]] = None
+    ) -> None:
+        if cluster_by:
+            cols = [self.spec.column, *cluster_by]
+            df = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
         df.writeTo(f"{self.namespace}.{table}").overwritePartitions()
 
     # snapshot surface: same four calls as ParquetWarehouse, answered from
