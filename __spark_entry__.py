@@ -2252,6 +2252,24 @@ def q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the daily-ingest shape: an incoming batch
+    (doc_id % 10 = 0) probed against the existing corpus through banded
+    MinHash signatures (index pre-computable, corpus text never re-read).
+    Derived deterministic oracle: DuckDB computes ALL exact cross-pair
+    Jaccards — equality asserts banding recall 1.0 at these parameters
+    AND per-pair correctness."""
+    _prep(spark)
+    from chronon_spark.operators.dedup import minhash_lsh_pairs_incremental
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs_incremental(
+        docs.where("doc_id % 10 = 0"),
+        docs.where("doc_id % 10 != 0"),
+        "doc_id", "text", n=8, threshold=0.3,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_query_dsl": q_scan_query_dsl,
@@ -2317,6 +2335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_stats": q_feature_stats,
         "analyze_skew_keys": q_analyze_skew_keys,
         "corpus_split": q_corpus_split,
+        "dedup_incremental": q_dedup_incremental,
         "corpus_stratified_sample": q_corpus_stratified_sample,
         "corpus_weighted_mix": q_corpus_weighted_mix,
         "corpus_pack": q_corpus_pack,
@@ -3660,6 +3679,36 @@ def oracle_sql() -> dict[str, str]:
               FROM c
             )
             SELECT col_name, key_value, cnt FROM r WHERE rk <= 5
+        """,
+        # incremental dedup: exact cross-pair Jaccard between the batch
+        # and the corpus (derived oracle — banding recall 1.0 pinned).
+        "dedup_incremental": """
+            WITH docs AS (
+              SELECT doc_id AS id,
+                list_distinct(list_transform(
+                  CASE WHEN length(text) >= 8
+                       THEN [substr(text, i, 8) FOR i IN range(1, length(text) - 6)]
+                       ELSE [text] END,
+                  s -> list_reduce(
+                         list_prepend(CAST(0 AS BIGINT),
+                           list_transform(string_split_regex(s, ''),
+                                          ch -> CAST(ascii(ch) AS BIGINT))),
+                         (acc, x) -> (acc * 131 + x) % 1000000007))) AS sh
+              FROM documents
+            ),
+            inv AS (SELECT id, len(sh) AS sz, UNNEST(sh) AS s FROM docs),
+            co AS (
+              SELECT a.id AS new_id, b.id AS corpus_id,
+                     a.sz AS sz_a, b.sz AS sz_b, COUNT(*) AS inter
+              FROM inv a JOIN inv b ON a.s = b.s
+              WHERE a.id % 10 = 0 AND b.id % 10 != 0
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT new_id, corpus_id,
+                   ROUND(inter / CAST(sz_a + sz_b - inter AS DOUBLE) + 1e-9, 6)
+                       AS jaccard
+            FROM co
+            WHERE inter / CAST(sz_a + sz_b - inter AS DOUBLE) >= 0.3
         """,
         # -- corpus sampling / mixing / packing / decontamination (r3) ----
         # every bucket recomputed from raw ids via the rolling hash — the

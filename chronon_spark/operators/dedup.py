@@ -739,3 +739,98 @@ def decontaminate(
         .withColumn("eval_overlap", F.coalesce("eval_overlap", F.lit(0)))
         .withColumn("contaminated", F.col("eval_overlap") >= min_overlap)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs indexed corpus
+# ---------------------------------------------------------------------------
+def signature_index(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 64
+) -> DataFrame:
+    """The persistable dedup index of a corpus: (id, sh, sig) — shingle
+    fingerprints + MinHash signature, one Arrow pass per doc. At 100 TB
+    you compute this ONCE, write it to the warehouse next to the corpus,
+    and every daily ingest probes against it instead of re-hashing
+    petabytes (the index is ~num_hashes longs + the distinct-shingle set
+    per doc, text never read again)."""
+    return with_shingles_and_signature(df, id_col, text_col, n, num_hashes)
+
+
+def _banded(docs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    return docs.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.slice("sig", b * rows_per_band + 1, rows_per_band).alias("key"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+
+
+def minhash_lsh_pairs_incremental(
+    new_df: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    max_bucket: Optional[int] = 200,
+    corpus_is_index: bool = False,
+) -> DataFrame:
+    """Near-dup pairs between an INCOMING batch and an existing corpus —
+    the daily-ingest shape: the corpus is only ever touched through its
+    (pre-computable) signature index, never re-shingled per batch.
+
+    Returns (new_id, corpus_id, jaccard >= threshold), exact-verified.
+    Cost: |new| banding (tiny) joined against the corpus banding; the
+    corpus side of the join prunes to buckets the new batch actually
+    probes (bucket keys from a small batch are a sparse subset), and
+    `max_bucket` caps template-heavy corpus buckets exactly like the
+    self-join path. Dedup WITHIN the batch is `minhash_lsh_pairs(new)`.
+
+    Pass `corpus_is_index=True` when `corpus` is a persisted
+    `signature_index` output (columns id, sh, sig) to skip re-hashing.
+    """
+    rows_per_band = num_hashes // bands
+    new_docs = with_shingles_and_signature(
+        new_df, id_col, text_col, n, num_hashes
+    ).cache()
+    corpus_docs = (
+        corpus if corpus_is_index
+        else with_shingles_and_signature(corpus, id_col, text_col, n, num_hashes)
+    ).cache()
+
+    nb = _banded(new_docs, bands, rows_per_band)
+    cb = _banded(corpus_docs, bands, rows_per_band)
+    if max_bucket is not None:
+        hot = (
+            cb.groupBy("band", "key").count()
+            .where(F.col("count") > max_bucket).select("band", "key")
+        )
+        cb = cb.join(F.broadcast(hot), ["band", "key"], "left_anti")
+    cand = (
+        nb.alias("a")
+        .join(cb.alias("b"), ["band", "key"])
+        .select(F.col("a.id").alias("new_id"), F.col("b.id").alias("corpus_id"))
+        .where(F.col("new_id") != F.col("corpus_id"))
+        .distinct()
+    )
+    da = new_docs.select(F.col("id").alias("new_id"), F.col("sh").alias("sh_a"))
+    db = corpus_docs.select(F.col("id").alias("corpus_id"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(da, "new_id").join(db, "corpus_id")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id",
+                F.round(F.col("jaccard") + 1e-9, 6).alias("jaccard"))
+    )

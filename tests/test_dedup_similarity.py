@@ -401,3 +401,50 @@ def test_hamming_clusters_equiv_pairs_path(spark):
         .select("id", "cluster_id", "is_canonical").collect()
     }
     assert got == expect and len(got) == len(rows)
+
+
+def test_incremental_minhash_matches_exact_cross_pairs(spark):
+    """Incremental (batch vs corpus) dedup == brute-force cross-pair
+    Jaccard at these banding parameters, including via a persisted
+    signature index."""
+    from chronon_spark.operators.dedup import (
+        minhash_lsh_pairs_incremental, signature_index, shingle_fps_np,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    new = docs.where("doc_id % 10 = 0")
+    corpus = docs.where("doc_id % 10 != 0")
+
+    got = sorted(
+        (r["new_id"], r["corpus_id"], r["jaccard"])
+        for r in minhash_lsh_pairs_incremental(
+            new, corpus, "doc_id", "text", n=8, threshold=0.3
+        ).collect()
+    )
+
+    # brute force in python
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    sh = {i: set(shingle_fps_np(t, 8).tolist()) for i, t in rows}
+    want = []
+    for i in sh:
+        if i % 10 != 0:
+            continue
+        for j in sh:
+            if j % 10 == 0:
+                continue
+            inter = len(sh[i] & sh[j])
+            jac = inter / (len(sh[i]) + len(sh[j]) - inter)
+            if jac >= 0.3:
+                want.append((i, j, round(jac + 1e-9, 6)))
+    assert got == sorted(want)
+
+    # identical through a persisted index (text never re-read)
+    idx = signature_index(corpus, "doc_id", "text", n=8)
+    via_idx = sorted(
+        (r["new_id"], r["corpus_id"], r["jaccard"])
+        for r in minhash_lsh_pairs_incremental(
+            new, idx, "doc_id", "text", n=8, threshold=0.3,
+            corpus_is_index=True,
+        ).collect()
+    )
+    assert via_idx == got
