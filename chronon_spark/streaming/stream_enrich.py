@@ -1,0 +1,86 @@
+"""Streaming feature serving: enrich a live event stream with the latest
+batch-computed feature rows from the warehouse — the Spark-native analog
+of the reference's online serving path (Fetcher + KV store fed by daily
+batch uploads; reference context: online/.../Fetcher.scala, spark
+uploads in GroupByUpload.scala). We have no KV store, so serving is a
+stream-static join re-resolved per micro-batch:
+
+  * the static side is `warehouse.read(feature_table)` evaluated INSIDE
+    foreachBatch — each micro-batch sees the warehouse's CURRENT snapshot
+    log, so a nightly backfill commit is picked up by the very next batch
+    (exactly the "daily batch upload refreshes the online store" contract;
+    a plan-time static join would pin the file list forever).
+  * each key serves its LATEST partition row (max ds <= the serving
+    cutoff), i.e. end-of-yesterday snapshot accuracy — identical
+    semantics to the batch snapshot join.
+  * the stream side stays append-only: left join, no stream-side state,
+    checkpoint/resume handled by Structured Streaming.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def latest_feature_rows(
+    features: DataFrame,
+    keys: Sequence[str],
+    ds_col: str = "ds",
+    max_ds: Optional[str] = None,
+) -> DataFrame:
+    """One row per key: the newest partition <= max_ds (serving cutoff).
+    Shape note: feature tables are |keys| x |days|; the row_number prune
+    runs on the micro-batch executor side and is one shuffle of the
+    feature table — at scale, point `features` at a pre-pruned recent
+    window (e.g. warehouse.read(table, last_n_days) — partition pruning
+    makes this a small scan)."""
+    if max_ds is not None:
+        features = features.where(F.col(ds_col) <= max_ds)
+    rn = F.row_number().over(
+        W.partitionBy(*keys).orderBy(F.col(ds_col).desc())
+    )
+    return (
+        features.withColumn("_rn", rn).where(F.col("_rn") == 1).drop("_rn")
+    )
+
+
+def enrich_stream(
+    stream_df: DataFrame,
+    warehouse,
+    feature_table: str,
+    keys: Sequence[str],
+    output_dir: str,
+    checkpoint_dir: str,
+    ds_col: str = "ds",
+    feature_prefix: str = "",
+):
+    """foreachBatch serving join. Returns the DataStreamWriter (call
+    .trigger(availableNow=True).start() or .start() on it).
+
+    Every micro-batch: re-read the feature table through the snapshot log
+    (picking up any backfill commit since the last batch), collapse to
+    latest-row-per-key, left-join onto the batch's events, append to
+    `output_dir`. The feature columns may be prefixed to avoid collisions.
+    """
+    feat_cols: Optional[list[str]] = None
+
+    def _serve(batch_df: DataFrame, epoch_id: int) -> None:
+        nonlocal feat_cols
+        feats = latest_feature_rows(
+            warehouse.read(feature_table), keys, ds_col=ds_col
+        ).drop(ds_col)
+        if feature_prefix:
+            for c in feats.columns:
+                if c not in keys:
+                    feats = feats.withColumnRenamed(c, feature_prefix + c)
+        out = batch_df.join(feats, list(keys), "left")
+        out.write.mode("append").parquet(output_dir)
+
+    return (
+        stream_df.writeStream.foreachBatch(_serve)
+        .option("checkpointLocation", checkpoint_dir)
+    )

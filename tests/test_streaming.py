@@ -176,3 +176,71 @@ def test_stream_stateful_rejects_windowed_parts(spark, tmp_path):
     )
     with pytest.raises(NotImplementedError):
         stream_stateful_groupby(stream, gb)
+
+
+def test_stream_enrich_serves_latest_warehouse_commit(spark, tmp_path):
+    """Online-serving analog: per-micro-batch join against the CURRENT
+    warehouse snapshot — a backfill commit between runs is picked up by
+    the next batch, each key serving its newest ds row."""
+    import os
+
+    from chronon_spark.sources.catalog import ParquetWarehouse
+    from chronon_spark.streaming.stream_enrich import (
+        enrich_stream, latest_feature_rows,
+    )
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    # v1 feature snapshot: two days, keys 0..2
+    v1 = spark.createDataFrame(
+        [(u, ds, float(u * 10 + d)) for u in range(3)
+         for d, ds in enumerate(["2024-01-01", "2024-01-02"])],
+        "user_id int, ds string, score double",
+    )
+    wh.insert_overwrite(v1, "feats")
+
+    src_dir = str(tmp_path / "events")
+    os.makedirs(src_dir)
+    spark.createDataFrame(
+        [(u, 1) for u in range(3)], "user_id int, seq int"
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = spark.readStream.schema("user_id int, seq int").parquet(src_dir)
+    out_dir = str(tmp_path / "served")
+    ck = str(tmp_path / "ck")
+    w = enrich_stream(stream, wh, "feats", ["user_id"], out_dir, ck,
+                      feature_prefix="f_")
+    q = w.trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    got1 = {(r["user_id"], r["seq"]): r["f_score"]
+            for r in spark.read.parquet(out_dir).collect()}
+    # latest ds = 2024-01-02 -> score u*10 + 1
+    assert got1 == {(u, 1): float(u * 10 + 1) for u in range(3)}
+
+    # nightly backfill commits day 3 for keys 0,1 only
+    v2 = spark.createDataFrame(
+        [(0, "2024-01-03", 777.0), (1, "2024-01-03", 888.0)],
+        "user_id int, ds string, score double",
+    )
+    wh.insert_overwrite(v2, "feats")
+    spark.createDataFrame(
+        [(u, 2) for u in range(3)], "user_id int, seq int"
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    q = enrich_stream(stream, wh, "feats", ["user_id"], out_dir, ck,
+                      feature_prefix="f_").trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    got2 = {(r["user_id"], r["seq"]): r["f_score"]
+            for r in spark.read.parquet(out_dir).collect()}
+    assert got2[(0, 2)] == 777.0 and got2[(1, 2)] == 888.0
+    assert got2[(2, 2)] == 21.0          # key 2 still served from day 2
+    for u in range(3):                   # run-1 outputs untouched
+        assert got2[(u, 1)] == float(u * 10 + 1)
+
+    # latest_feature_rows serving cutoff (batch-side check)
+    cut = latest_feature_rows(wh.read("feats"), ["user_id"],
+                              max_ds="2024-01-02")
+    assert {r["user_id"]: r["score"] for r in cut.collect()} == {
+        0: 1.0, 1: 11.0, 2: 21.0,
+    }
