@@ -1422,6 +1422,25 @@ def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_phash_neardup_pairs(images, max_hamming=2)
 
 
+def q_image_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental image near-dup — the daily-ingest shape for an image
+    corpus: a new batch (image_id % 20 = 0) probed against the existing
+    corpus via pigeonhole hamming banding (recall 1), corpus touched only
+    through its (id, phash) projection. Oracle: brute-force cross-pair
+    hamming over the stored phash (pinned equal to the decoded hash by
+    image_pixel_features)."""
+    _prep(spark)
+    from chronon_spark.operators.dedup import hamming_pairs_incremental
+
+    images = spark.read.parquet(_image_fixture_path())
+    num = "cast(substring(image_id, 5) as int) % 20"
+    return hamming_pairs_incremental(
+        images.where(f"{num} = 0"),
+        images.where(f"{num} != 0"),
+        "image_id", "phash", max_hamming=2,
+    )
+
+
 def q_image_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed curation pipeline: decode-gated quality filters
     (resolution >= 48x48, caption >= 8 tokens) then phash near-dup
@@ -2336,6 +2355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "analyze_skew_keys": q_analyze_skew_keys,
         "corpus_split": q_corpus_split,
         "dedup_incremental": q_dedup_incremental,
+        "image_phash_incremental": q_image_phash_incremental,
         "corpus_stratified_sample": q_corpus_stratified_sample,
         "corpus_weighted_mix": q_corpus_weighted_mix,
         "corpus_pack": q_corpus_pack,
@@ -3033,6 +3053,14 @@ def oracle_sql() -> dict[str, str]:
         # curation pipeline oracle: quality gates over stored metadata,
         # then recursive-CTE transitive closure over brute-force hamming
         # pairs of the stored phash (== decoded hash per the pixel oracle).
+        "image_phash_incremental": rf"""
+            SELECT a.image_id AS new_id, b.image_id AS corpus_id,
+                   bit_count(xor(a.phash, b.phash)) AS hamming
+            FROM '{_FIXTURE_PATH}' a JOIN '{_FIXTURE_PATH}' b
+              ON CAST(substr(a.image_id, 5) AS INTEGER) % 20 = 0
+             AND CAST(substr(b.image_id, 5) AS INTEGER) % 20 != 0
+            WHERE bit_count(xor(a.phash, b.phash)) <= 2
+        """,
         "image_curation": rf"""
             WITH RECURSIVE kept AS (
               SELECT image_id, phash, w, h

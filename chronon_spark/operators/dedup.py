@@ -834,3 +834,66 @@ def minhash_lsh_pairs_incremental(
         .select("new_id", "corpus_id",
                 F.round(F.col("jaccard") + 1e-9, 6).alias("jaccard"))
     )
+
+
+def hamming_pairs_incremental(
+    new_df: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
+    max_bucket: Optional[int] = None,
+) -> DataFrame:
+    """Incremental image near-dup: an incoming batch probed against the
+    existing corpus by pigeonhole banding on the 64-bit hash (phash /
+    simhash). Same recall-1 guarantee as `hamming_pairs` (any pair within
+    distance agrees on >= 1 chunk); the join is batch-banding x
+    corpus-banding, so the corpus is only touched through its (tiny,
+    persistable) (id, hash) projection — the daily-ingest shape for an
+    image corpus. Returns (new_id, corpus_id, hamming)."""
+    chunks = max_hamming + 1
+    width = 64 // chunks
+
+    def _banded64(df: DataFrame) -> DataFrame:
+        def _chunk_key(c: int) -> Column:
+            shifted = F.shiftrightunsigned(F.col("__h"), c * width)
+            if width >= 64:
+                return shifted
+            return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
+        src = df.select(F.col(id_col).alias("id"), F.col(hash_col).alias("__h"))
+        return src.select(
+            "id", "__h",
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(c).alias("chunk"), _chunk_key(c).alias("key"))
+                    for c in range(chunks)
+                ])
+            ).alias("bk"),
+        ).select("id", "__h", "bk.chunk", "bk.key")
+
+    nb = _banded64(new_df)
+    cb = _banded64(corpus)
+    if max_bucket is not None:
+        counts = cb.groupBy("chunk", "key").agg(F.count(F.lit(1)).alias("__bn"))
+        cb = cb.join(
+            F.broadcast(counts.where(F.col("__bn") > max_bucket)),
+            ["chunk", "key"], "left_anti",
+        )
+    a = nb.alias("a")
+    b = cb.alias("b")
+    ham = F.bit_count(F.col("a.__h").bitwiseXOR(F.col("b.__h")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .where(ham <= max_hamming)
+        .select(
+            F.col("a.id").alias("new_id"), F.col("b.id").alias("corpus_id"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+    )

@@ -448,3 +448,38 @@ def test_incremental_minhash_matches_exact_cross_pairs(spark):
         ).collect()
     )
     assert via_idx == got
+
+
+def test_incremental_hamming_matches_brute_force(spark):
+    """Batch-vs-corpus pigeonhole banding == brute-force cross-pair
+    hamming (recall 1 by construction, verified exactly)."""
+    import numpy as np
+
+    from chronon_spark.operators.dedup import hamming_pairs_incremental
+
+    rng = np.random.RandomState(11)
+    base = rng.randint(-(2**62), 2**62, size=60, dtype=np.int64)
+    rows = [(i, int(h)) for i, h in enumerate(base)]
+    # plant near-dups of corpus rows inside the batch (flip <= 2 bits)
+    for k, (src, flips) in enumerate([(1, 1), (7, 2), (13, 0)]):
+        h = int(base[src])
+        for b in range(flips):
+            h ^= 1 << (3 * b + 5)
+        rows.append((100 + k, h))
+    df = spark.createDataFrame(rows, "id long, h long")
+    new = df.where("id >= 100 OR id % 10 = 0")
+    corpus = df.where("id < 100 AND id % 10 != 0")
+    got = sorted(
+        (r["new_id"], r["corpus_id"], r["hamming"])
+        for r in hamming_pairs_incremental(
+            new, corpus, "id", "h", max_hamming=2
+        ).collect()
+    )
+    nd = {r[0]: r[1] for r in new.collect()}
+    cd = {r[0]: r[1] for r in corpus.collect()}
+    want = sorted(
+        (a, b, bin((ha ^ hb) & (2**64 - 1)).count("1"))
+        for a, ha in nd.items() for b, hb in cd.items()
+        if bin((ha ^ hb) & (2**64 - 1)).count("1") <= 2
+    )
+    assert got == want and len(want) >= 2

@@ -183,3 +183,20 @@ def test_shingle_fp_np_matches_catalyst_for_long_n(spark):
         "id", F.array_sort("sh").alias("sh2")
     )
     assert native.join(arrow, "id").where("sh != sh2").count() == 0
+
+
+def test_sampling_plans_are_scan_stage(spark, docs):
+    """The zero-shuffle claims, plan-asserted: split/sample/mix compile to
+    scans + projections/filters/union — no Exchange anywhere."""
+    plans = {
+        "split": hash_split(docs, "doc_id"),
+        "sample": stratified_sample(docs, "lang", {"en": 0.5}, "doc_id"),
+        "mix": weighted_mix(
+            [("a", docs.where("doc_id < 150"), 1.5),
+             ("b", docs.where("doc_id >= 150"), 0.5)],
+            "doc_id",
+        ),
+    }
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, (name, plan[:500])
