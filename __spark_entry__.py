@@ -2271,6 +2271,20 @@ def q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality gate: keep documents at or above the median
+    quality within their language. Quality is rounded to 6dp before
+    ranking so percent_rank is identical cross-engine; the oracle
+    recomputes the full quality formula AND the window from raw text."""
+    _prep(spark)
+    from chronon_spark.operators.text import quality_percentile_gate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_percentile_gate(
+        docs, "text", group_col="lang", min_percentile=0.5
+    ).select("doc_id", "lang", "quality", "q_rank")
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup — the daily-ingest shape: an incoming batch
     (doc_id % 10 = 0) probed against the existing corpus through banded
@@ -2356,6 +2370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": q_corpus_split,
         "dedup_incremental": q_dedup_incremental,
         "image_phash_incremental": q_image_phash_incremental,
+        "corpus_quality_gate": q_corpus_quality_gate,
         "corpus_stratified_sample": q_corpus_stratified_sample,
         "corpus_weighted_mix": q_corpus_weighted_mix,
         "corpus_pack": q_corpus_pack,
@@ -3707,6 +3722,45 @@ def oracle_sql() -> dict[str, str]:
               FROM c
             )
             SELECT col_name, key_value, cnt FROM r WHERE rk <= 5
+        """,
+        # quality gate: the full quality formula + percent_rank window
+        # recomputed from raw text (rank runs on the 6dp-rounded value in
+        # both engines, so ties agree).
+        "corpus_quality_gate": r"""
+            WITH base AS (
+              SELECT doc_id, lang,
+                CAST(length(text) AS DOUBLE) AS n,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\s+')) END AS toks,
+                length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS keep_alpha,
+                length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS keep_punct,
+                len(regexp_extract_all(text, '(?i)\b(the|and|of|to|is|that)\b')) AS s_en
+              FROM documents
+            ),
+            r AS (
+              SELECT doc_id, lang, s_en,
+                CASE WHEN n > 0 THEN (n - keep_alpha) / n ELSE 0.0 END AS alpha_ratio,
+                CASE WHEN n > 0 THEN (n - keep_punct) / n ELSE 0.0 END AS punct_ratio,
+                CAST(toks AS DOUBLE) AS td
+              FROM base
+            ),
+            q AS (
+              SELECT doc_id, lang,
+                ROUND((LEAST(td / 20.0, 1.0)
+                       + alpha_ratio
+                       + (1.0 - LEAST(punct_ratio * 4, 1.0))
+                       + LEAST(CAST(s_en AS DOUBLE) / GREATEST(td, 1.0) * 5, 1.0)) / 4
+                      + 1e-9, 6) AS quality
+              FROM r
+            ),
+            ranked AS (
+              SELECT doc_id, lang, quality,
+                     ROUND(PERCENT_RANK() OVER (
+                         PARTITION BY lang ORDER BY quality) + 1e-9, 6) AS q_rank
+              FROM q
+            )
+            SELECT doc_id, lang, quality, q_rank FROM ranked
+            WHERE q_rank >= 0.5
         """,
         # incremental dedup: exact cross-pair Jaccard between the batch
         # and the corpus (derived oracle — banding recall 1.0 pinned).

@@ -131,3 +131,32 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(c).alias("lang_pred"),
         fingerprint(c).alias("fp"),
     )
+
+
+def quality_percentile_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = None,
+    min_percentile: float = 0.5,
+) -> DataFrame:
+    """Keep documents at or above the per-group quality percentile — the
+    standard corpus quality gate ("drop the worst X% per language").
+
+    Determinism across engines: quality is rounded to 6dp BEFORE ranking
+    (bit-equal in Spark and the SQL oracle), and percent_rank depends only
+    on the rank of the rounded value, so tied documents share a rank in
+    every engine. One shuffle on the group column; at 100 TB prefer a
+    two-pass variant (approx threshold per group, then a scan-stage
+    filter) if a full per-group sort is too hot — the exact window form
+    is the verification baseline.
+    """
+    from pyspark.sql.window import Window as W
+
+    q = F.round(quality_score(F.col(text_col)) + F.lit(1e-9), 6)
+    parts = [group_col] if group_col else [F.lit(1)]
+    w = W.partitionBy(*parts).orderBy(F.col("quality"))
+    return (
+        df.withColumn("quality", q)
+        .withColumn("q_rank", F.round(F.percent_rank().over(w) + F.lit(1e-9), 6))
+        .where(F.col("q_rank") >= min_percentile)
+    )
