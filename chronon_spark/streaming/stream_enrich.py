@@ -84,3 +84,73 @@ def enrich_stream(
         stream_df.writeStream.foreachBatch(_serve)
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+# ---------------------------------------------------------------------------
+# Sawtooth serving: batch IR (end of yesterday) + streaming day tail
+# ---------------------------------------------------------------------------
+_MERGEABLE = {"count", "sum", "min", "max"}
+
+
+def stream_sawtooth_serve(
+    stream_df: DataFrame,
+    warehouse,
+    batch_table: str,
+    keys: Sequence[str],
+    aggs: Sequence[tuple[str, str, str]],
+    output_dir: str,
+    checkpoint_dir: str,
+    ds_col: str = "ds",
+):
+    """The reference's online sawtooth split (GroupByUpload batch IRs +
+    streaming per-event tail, merged by the Fetcher at request time),
+    re-expressed in Structured Streaming:
+
+      * batch side: `batch_table` holds one IR row per key as of END OF
+        YESTERDAY (any groupby_backfill output — latest ds row is used).
+      * tail side: a native streaming aggregation over today's events
+        keeps per-key running partials in Spark state (update-on-change,
+        watermark-free lifetime-of-day state — the tail resets when the
+        nightly batch job advances and the stream restarts on the new day,
+        exactly the reference's daily IR handoff).
+      * merge: every micro-batch full-outer-joins the UPDATED tail
+        partials with the batch IRs and rewrites the serving table —
+        count/sum add, min/max fold, so served = exact aggregate over
+        (history + today-so-far), the sawtooth head included.
+
+    aggs: (out_name, op, stream_value_col) with op in {count,sum,min,max};
+    `batch_table` must carry a column named `out_name` per agg (the batch
+    IR). Returns the DataStreamWriter."""
+    for _, op, _ in aggs:
+        if op not in _MERGEABLE:
+            raise ValueError(f"op {op} is not mergeable for streaming tails")
+
+    tail_exprs = []
+    for name, op, col in aggs:
+        fn = {"count": F.count, "sum": F.sum, "min": F.min, "max": F.max}[op]
+        tail_exprs.append(fn(F.col(col)).alias(f"_tail_{name}"))
+    tail = stream_df.groupBy(*keys).agg(*tail_exprs)
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        feats = latest_feature_rows(
+            warehouse.read(batch_table), keys, ds_col=ds_col
+        ).drop(ds_col)
+        merged = feats.join(batch_df, list(keys), "full_outer")
+        for name, op, _ in aggs:
+            b, t = F.col(name), F.col(f"_tail_{name}")
+            if op in ("count", "sum"):
+                val = F.coalesce(b, F.lit(0)) + F.coalesce(t, F.lit(0))
+            elif op == "min":
+                val = F.least(F.coalesce(b, t), F.coalesce(t, b))
+            else:
+                val = F.greatest(F.coalesce(b, t), F.coalesce(t, b))
+            merged = merged.withColumn(name, val)
+        merged.select(*keys, *[n for n, _, _ in aggs]).write.mode(
+            "overwrite"
+        ).parquet(output_dir)
+
+    return (
+        tail.writeStream.outputMode("complete")
+        .foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+    )

@@ -244,3 +244,62 @@ def test_stream_enrich_serves_latest_warehouse_commit(spark, tmp_path):
     assert {r["user_id"]: r["score"] for r in cut.collect()} == {
         0: 1.0, 1: 11.0, 2: 21.0,
     }
+
+
+def test_stream_sawtooth_serve_merges_batch_ir_and_day_tail(spark, tmp_path):
+    """Sawtooth online serving: batch IRs as of yesterday + streaming
+    same-day tail; served values == exact aggregate over history+today,
+    updated as the day streams in (two micro-batches checked)."""
+    import os
+
+    from chronon_spark.sources.catalog import ParquetWarehouse
+    from chronon_spark.streaming.stream_enrich import stream_sawtooth_serve
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    # batch IRs per key as of end of yesterday (lifetime count/sum/max)
+    batch = spark.createDataFrame(
+        [(0, "2024-01-02", 10, 100.0, 9.5),
+         (1, "2024-01-02", 4, 40.0, 8.0)],
+        "user_id int, ds string, n long, total double, top double",
+    )
+    wh.insert_overwrite(batch, "irs")
+
+    src_dir = str(tmp_path / "day")
+    os.makedirs(src_dir)
+    out_dir = str(tmp_path / "serving")
+    ck = str(tmp_path / "ck")
+    stream = spark.readStream.schema("user_id int, value double").parquet(src_dir)
+    aggs = [("n", "count", "value"), ("total", "sum", "value"),
+            ("top", "max", "value")]
+
+    def run():
+        q = stream_sawtooth_serve(
+            stream, wh, "irs", ["user_id"], aggs, out_dir, ck
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+        return {r["user_id"]: (r["n"], r["total"], r["top"])
+                for r in spark.read.parquet(out_dir).collect()}
+
+    # micro-batch 1: key 0 gets 2 events, NEW key 2 appears intraday
+    spark.createDataFrame(
+        [(0, 5.0), (0, 3.0), (2, 7.0)], "user_id int, value double"
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+    got = run()
+    assert got[0] == (12, 108.0, 9.5)   # 10+2, 100+8, max(9.5, 5)
+    assert got[1] == (4, 40.0, 8.0)     # untouched key served from batch
+    assert got[2] == (1, 7.0, 7.0)      # tail-only key
+
+    # micro-batch 2: the tail keeps accumulating (streaming state)
+    spark.createDataFrame(
+        [(1, 99.0)], "user_id int, value double"
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+    got = run()
+    assert got[0] == (12, 108.0, 9.5)
+    assert got[1] == (5, 139.0, 99.0)   # 4+1, 40+99, max(8, 99)
+    assert got[2] == (1, 7.0, 7.0)
+
+    # rejects non-mergeable ops
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        stream_sawtooth_serve(stream, wh, "irs", ["user_id"],
+                              [("x", "last", "value")], out_dir, ck)
