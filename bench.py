@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "temporal_entity_mutations",  # r2: mutation replay
     "image_asof_fused",        # r3: north-star image+caption backfill
     "curate_images_48k",       # r3: decode-gate-cluster curation path
+    "corpus_decontaminate",    # r3: eval-set shingle sweep (text corpus)
+    "dedup_incremental",       # r3: batch-vs-corpus minhash probe
 ]
 
 # North-star workload (BASELINE.json metric: feature vectors/sec on the
