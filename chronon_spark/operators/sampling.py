@@ -40,7 +40,9 @@ def hash_bucket(id_col: Column, salt: str, buckets: int = BUCKETS) -> Column:
     The rolling hash runs over `"<id>:<salt>"` chars — pure codegen
     (aggregate over split), no UDF, engine-portable. Different salts give
     independent bucketings, so a split salt and a sample salt never
-    correlate."""
+    correlate. NULL ids hash to a NULL bucket: samplers drop such rows
+    (comparison is never true) and hash_split labels them with the last
+    split — key-quality gating belongs upstream."""
     key = F.concat(id_col.cast("string"), F.lit(":" + salt))
     fp = F.aggregate(
         F.split(key, ""),
@@ -166,7 +168,9 @@ def pack_sequences(
     keyed = df.select(
         (F.col(key_col) if key_col else F.lit("__all__")).alias("pack_key"),
         F.col(id_col).cast("long").alias("id"),
-        F.col(token_col).cast("long").alias("tokens"),
+        # NULL token counts pack as 0 (doc rides along free) rather than
+        # poisoning the cumulative sums with NaN
+        F.coalesce(F.col(token_col).cast("long"), F.lit(0)).alias("tokens"),
     )
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
