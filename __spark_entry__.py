@@ -2271,6 +2271,23 @@ def q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed text-curation pipeline (text analog of
+    image_curation): per-lang median quality gate -> eval-set
+    decontamination (20-char shingles, >= 3 overlaps drop) -> MinHash
+    near-dup clusters with min-id canonicals -> deterministic 90/5/5
+    split. The oracle recomputes EVERY stage from raw text (quality
+    window, shingle sweep, exact all-pairs Jaccard, recursive-CTE
+    closure, hash split)."""
+    _prep(spark)
+    from chronon_spark.operators.corpus import curate_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return curate_corpus(
+        docs.where("doc_id % 50 != 0"), docs.where("doc_id % 50 = 0")
+    )
+
+
 def q_corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language quality gate: keep documents at or above the median
     quality within their language. Quality is rounded to 6dp before
@@ -2371,6 +2388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "image_phash_incremental": q_image_phash_incremental,
         "corpus_quality_gate": q_corpus_quality_gate,
+        "corpus_curation": q_corpus_curation,
         "corpus_stratified_sample": q_corpus_stratified_sample,
         "corpus_weighted_mix": q_corpus_weighted_mix,
         "corpus_pack": q_corpus_pack,
@@ -3722,6 +3740,109 @@ def oracle_sql() -> dict[str, str]:
               FROM c
             )
             SELECT col_name, key_value, cnt FROM r WHERE rk <= 5
+        """,
+        # composed curation pipeline: every stage recomputed from raw
+        # text — quality window over the corpus subset, 20-shingle eval
+        # sweep, exact all-pairs Jaccard (recall-1 banding regime),
+        # recursive-CTE closure, rolling-hash 90/5/5 split.
+        "corpus_curation": f"""
+            WITH RECURSIVE corpus0 AS (
+              SELECT doc_id, lang, text FROM documents WHERE doc_id % 50 != 0
+            ),
+            qbase AS (
+              SELECT doc_id, lang, text,
+                CAST(length(text) AS DOUBLE) AS n,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks,
+                length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS keep_alpha,
+                length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS keep_punct,
+                len(regexp_extract_all(text, '(?i)\\b(the|and|of|to|is|that)\\b')) AS s_en
+              FROM corpus0
+            ),
+            qr AS (
+              SELECT doc_id, lang, text, s_en,
+                CASE WHEN n > 0 THEN (n - keep_alpha) / n ELSE 0.0 END AS alpha_ratio,
+                CASE WHEN n > 0 THEN (n - keep_punct) / n ELSE 0.0 END AS punct_ratio,
+                CAST(toks AS DOUBLE) AS td
+              FROM qbase
+            ),
+            qq AS (
+              SELECT doc_id, lang, text,
+                ROUND((LEAST(td / 20.0, 1.0)
+                       + alpha_ratio
+                       + (1.0 - LEAST(punct_ratio * 4, 1.0))
+                       + LEAST(CAST(s_en AS DOUBLE) / GREATEST(td, 1.0) * 5, 1.0)) / 4
+                      + 1e-9, 6) AS quality
+              FROM qr
+            ),
+            gated AS (
+              SELECT doc_id, lang, text, quality FROM (
+                SELECT *, ROUND(PERCENT_RANK() OVER (
+                    PARTITION BY lang ORDER BY quality) + 1e-9, 6) AS q_rank
+                FROM qq
+              ) WHERE q_rank >= 0.5
+            ),
+            tr_sh AS (
+              SELECT doc_id, UNNEST({_SHINGLE20_SQL}) AS s FROM gated
+            ),
+            ev AS (
+              SELECT DISTINCT UNNEST({_SHINGLE20_SQL}) AS s
+              FROM documents WHERE doc_id % 50 = 0
+            ),
+            hits AS (
+              SELECT t.doc_id, COUNT(*) AS nhit
+              FROM tr_sh t JOIN ev ON t.s = ev.s GROUP BY t.doc_id
+            ),
+            clean AS (
+              SELECT g.doc_id, g.lang, g.text, g.quality,
+                     CAST(COALESCE(h.nhit, 0) AS BIGINT) AS eval_overlap
+              FROM gated g LEFT JOIN hits h ON g.doc_id = h.doc_id
+              WHERE COALESCE(h.nhit, 0) < 3
+            ),
+            docs8 AS (
+              SELECT doc_id AS id,
+                list_distinct(list_transform(
+                  CASE WHEN length(text) >= 8
+                       THEN [substr(text, i, 8) FOR i IN range(1, length(text) - 6)]
+                       ELSE [text] END,
+                  s -> list_reduce(
+                         list_prepend(CAST(0 AS BIGINT),
+                           list_transform(string_split_regex(s, ''),
+                                          ch -> CAST(ascii(ch) AS BIGINT))),
+                         (acc, x) -> (acc * 131 + x) % 1000000007))) AS sh
+              FROM clean
+            ),
+            inv AS (SELECT id, len(sh) AS sz, UNNEST(sh) AS s FROM docs8),
+            co AS (
+              SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+                     COUNT(*) AS inter
+              FROM inv a JOIN inv b ON a.s = b.s AND a.id < b.id
+              GROUP BY 1, 2, 3, 4
+            ),
+            pairs AS (
+              SELECT id_a, id_b FROM co
+              WHERE inter / CAST(sz_a + sz_b - inter AS DOUBLE) >= 0.3
+            ),
+            edges AS (
+              SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ),
+            walk(s, d) AS (
+              SELECT s, d FROM edges
+              UNION
+              SELECT w.s, e.d FROM walk w JOIN edges e ON w.d = e.s
+            ),
+            comp AS (
+              SELECT s AS id, LEAST(s, MIN(d)) AS cluster_id
+              FROM walk GROUP BY s
+            )
+            SELECT c.doc_id, c.lang, c.quality, c.eval_overlap,
+                   COALESCE(comp.cluster_id, c.doc_id) AS cluster_id,
+                   COALESCE(comp.cluster_id, c.doc_id) = c.doc_id AS is_canonical,
+                   CASE WHEN {_fp_bucket_sql('c.doc_id', 'split')} < 9000 THEN 'train'
+                        WHEN {_fp_bucket_sql('c.doc_id', 'split')} < 9500 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM clean c LEFT JOIN comp ON comp.id = c.doc_id
         """,
         # quality gate: the full quality formula + percent_rank window
         # recomputed from raw text (rank runs on the 6dp-rounded value in

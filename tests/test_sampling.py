@@ -200,3 +200,29 @@ def test_sampling_plans_are_scan_stage(spark, docs):
     for name, df in plans.items():
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, (name, plan[:500])
+
+
+def test_curate_corpus_invariants(spark):
+    """Composed pipeline sanity: every cluster has exactly one canonical
+    (the min id), survivors are uncontaminated and above their lang's
+    median quality, and split labels are the deterministic hash cut."""
+    from chronon_spark.operators.corpus import curate_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = curate_corpus(
+        docs.where("doc_id % 50 != 0"), docs.where("doc_id % 50 = 0")
+    ).collect()
+    assert out
+    by_cluster = {}
+    for r in out:
+        assert r["eval_overlap"] < 3
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+        assert r["split"] == (
+            "train" if py_bucket(r["doc_id"], "split") < 9000
+            else "val" if py_bucket(r["doc_id"], "split") < 9500 else "test"
+        )
+    for cid, members in by_cluster.items():
+        canon = [m for m in members if m["is_canonical"]]
+        assert len(canon) == 1 and canon[0]["doc_id"] == cid == min(
+            m["doc_id"] for m in members
+        )
