@@ -1029,6 +1029,51 @@ def q_backfill_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_staging_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StagingQuery.recompute_days (thrift/api.thrift:100-107 — the
+    labeling flow): backfill a per-day label table, rewrite the source in
+    place (labels matured: cents x10), re-run with recompute_days=2. Only
+    the trailing 2 days refresh; the oracle recomputes the mixed final
+    state (stale heads, matured tail) from raw events."""
+    _prep(spark)
+    import tempfile
+
+    from chronon_spark.api import StagingQuery
+    from chronon_spark.plans.backfill import staging_backfill
+    from chronon_spark.sources.catalog import ParquetWarehouse
+
+    wh = ParquetWarehouse(spark, tempfile.mkdtemp(prefix="chronon_sr_"))
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "date_format(cast(ts as timestamp), 'yyyy-MM-dd') AS ds",
+        "CAST(round(value * 100, 0) AS BIGINT) AS cents",
+    ).where("ds <= '2024-01-08'")
+
+    def register(mult: int) -> None:
+        wh.insert_overwrite(
+            ev.selectExpr("ds", f"cents * {mult} AS cents"), "lbl_src"
+        )
+        wh.read("lbl_src").createOrReplaceTempView("lbl_src")
+
+    register(1)
+    sq = StagingQuery(
+        query="SELECT ds, SUM(cents) AS label_cents FROM lbl_src "
+              "WHERE ds BETWEEN '{{ start_date }}' AND '{{ end_date }}' "
+              "GROUP BY ds",
+        name="labels",
+        recompute_days=2,
+    )
+    staging_backfill(spark, wh, sq, "lbl_out", step_days=3).run(
+        "2024-01-01", "2024-01-08"
+    )
+    register(10)  # in-place source rewrite — labels matured
+    rerun = staging_backfill(spark, wh, sq, "lbl_out", step_days=3).run(
+        "2024-01-01", "2024-01-08"
+    )
+    planned = sorted(p for h in rerun.planned for p in h.partitions())
+    assert planned == ["2024-01-07", "2024-01-08"], planned
+    return wh.read("lbl_out").select("ds", "label_cents")
+
+
 def q_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental backfill over snapshot ranges (north rule): backfill a
     7d-sum GroupBy from a warehouse upstream, REWRITE one upstream
@@ -2389,6 +2434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_incremental": q_image_phash_incremental,
         "corpus_quality_gate": q_corpus_quality_gate,
         "corpus_curation": q_corpus_curation,
+        "staging_recompute": q_staging_recompute,
         "corpus_stratified_sample": q_corpus_stratified_sample,
         "corpus_weighted_mix": q_corpus_weighted_mix,
         "corpus_pack": q_corpus_pack,
@@ -3740,6 +3786,21 @@ def oracle_sql() -> dict[str, str]:
               FROM c
             )
             SELECT col_name, key_value, cnt FROM r WHERE rk <= 5
+        """,
+        # recompute_days labeling flow: stale heads (x1 cents) + matured
+        # trailing 2 days (x10) — the oracle recomputes the mixed state.
+        "staging_recompute": """
+            SELECT ds,
+                   CASE WHEN ds >= '2024-01-07'
+                        THEN 10 * SUM(CAST(round(value * 100, 0) AS BIGINT))
+                        ELSE SUM(CAST(round(value * 100, 0) AS BIGINT))
+                   END AS label_cents
+            FROM (
+              SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS ds, value
+              FROM events
+            )
+            WHERE ds <= '2024-01-08'
+            GROUP BY ds
         """,
         # composed curation pipeline: every stage recomputed from raw
         # text — quality window over the corpus subset, 20-shingle eval

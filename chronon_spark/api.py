@@ -385,6 +385,12 @@ class StagingQuery:
     name: str = "staging_query"
     start_partition: Optional[str] = None
     setups: Optional[list[str]] = None
+    # reference thrift/api.thrift:100-107 (recomputeDays): re-materialize
+    # the trailing N output days on every scheduled run — the labeling-flow
+    # contract for in-place source rewrites and partially-mature
+    # aggregations (e.g. a 7d label window computed from day 1 and
+    # refreshed daily until mature). Consumed by plans.backfill.
+    recompute_days: Optional[int] = None
 
 
 def derivation_projection(

@@ -126,6 +126,7 @@ class BackfillJob:
         step_days: int = 15,
         spec: PartitionSpec = DEFAULT_SPEC,
         cluster_by: Optional[Sequence[str]] = None,
+        recompute_days: Optional[int] = None,
     ):
         self.spark = spark
         self.wh = warehouse
@@ -138,6 +139,12 @@ class BackfillJob:
         # columns (e.g. ("user_id", "ts")) so downstream as-of scans prune
         # by footer min/max — the north-rule's explicit repartitionByRange
         self.cluster_by = tuple(cluster_by) if cluster_by else None
+        # reference StagingQuery.recomputeDays (thrift/api.thrift:100-107):
+        # every run re-materializes the trailing N days even if green —
+        # the labeling-flow contract for in-place source rewrites and
+        # partially-mature aggregations (labels that keep maturing for N
+        # days after first computation)
+        self.recompute_days = recompute_days
         self.sem_hash = agg_aware_hash(config) if config is not None else ""
 
     # -- manifest ---------------------------------------------------------
@@ -238,6 +245,11 @@ class BackfillJob:
         existing = self.wh.partitions(self.output_table)
         if additive:
             existing = [p for p in existing if p not in set(additive)]
+        if self.recompute_days:
+            # trailing-window maturation: treat the last N wanted days as
+            # unfilled so they re-plan (and re-overwrite) every run
+            trail_start = self.spec.shift(end, -(self.recompute_days - 1))
+            existing = [p for p in existing if p < trail_start]
         holes = unfilled_ranges(wanted, existing, skip_first_hole, self.spec)
         report = BackfillReport(self.output_table, wanted, holes,
                                 recomputed_for_semantics=recomputed,
@@ -309,6 +321,37 @@ def join_backfill(
 # incremental refresh over snapshot ranges (north rule: "incremental
 # backfill over Iceberg snapshot ranges")
 # ---------------------------------------------------------------------------
+def staging_backfill(
+    spark: SparkSession,
+    warehouse: ParquetWarehouse,
+    staging_query,
+    output_table: str,
+    step_days: int = 15,
+    spec: PartitionSpec = DEFAULT_SPEC,
+    cluster_by: Optional[Sequence[str]] = None,
+) -> BackfillJob:
+    """StagingQuery as a resumable partition-granular job. Honors the
+    query's `recompute_days` (reference thrift/api.thrift:100-107): every
+    run re-materializes the trailing N days even when green — late data
+    and maturing label windows keep refreshing until stable."""
+    from dataclasses import replace
+
+    from chronon_spark.operators.staging import run_staging_query
+
+    return BackfillJob(
+        spark, warehouse, output_table,
+        compute=lambda rng: run_staging_query(
+            spark, staging_query.query, rng, spec, staging_query.setups
+        ),
+        # recompute_days is orchestration metadata, not query semantics —
+        # changing it must not invalidate (archive+recompute) the table
+        config=replace(staging_query, recompute_days=None),
+        job_name=f"staging/{staging_query.name}",
+        step_days=step_days, spec=spec, cluster_by=cluster_by,
+        recompute_days=staging_query.recompute_days,
+    )
+
+
 def groupby_affected_days(group_by: GroupBy) -> Optional[int]:
     """How many output days one changed upstream day can influence: the max
     window length in days (snapshot day d reads upstream (d-w, d]).

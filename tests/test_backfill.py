@@ -208,3 +208,58 @@ def test_archive_on_semantic_change(spark, wh, events_path):
         os.path.join(wh.root, archived[0]))
     assert "value_sum_7d" in adf.columns
     assert "value_sum_3d" in wh.read("ar_out").columns
+
+
+def test_staging_recompute_days_refreshes_trailing_window(spark, tmp_path):
+    """StagingQuery.recompute_days (thrift/api.thrift:100-107): every run
+    re-materializes the trailing N days even when green — the labeling
+    flow for in-place source rewrites / maturing label windows. Older
+    partitions stay untouched; changing recompute_days itself does not
+    invalidate the table."""
+    from chronon_spark.api import StagingQuery
+    from chronon_spark.plans.backfill import staging_backfill
+    from chronon_spark.sources.catalog import ParquetWarehouse
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    src = str(tmp_path / "labels")
+
+    def write_source(mult):
+        spark.createDataFrame(
+            [(f"2024-01-0{d}", float(d * mult)) for d in range(1, 6)],
+            "ds string, label double",
+        ).write.mode("overwrite").parquet(src)
+
+    write_source(1)
+    sq = StagingQuery(
+        query=f"SELECT ds, SUM(label) AS label FROM parquet.`{src}` "
+              "WHERE ds BETWEEN '{{ start_date }}' AND '{{ end_date }}' "
+              "GROUP BY ds",
+        name="labels",
+        recompute_days=2,
+    )
+    job = staging_backfill(spark, wh, sq, "labels_out", step_days=2)
+    rep = job.run("2024-01-01", "2024-01-05")
+    assert [p for p in wh.partitions("labels_out")] == [
+        f"2024-01-0{d}" for d in range(1, 6)
+    ]
+    v1 = {r["ds"]: r["label"] for r in wh.read("labels_out").collect()}
+    assert v1 == {f"2024-01-0{d}": float(d) for d in range(1, 6)}
+
+    # source rewritten in place (labels matured); re-run refreshes ONLY
+    # the trailing 2 days
+    write_source(10)
+    rep2 = staging_backfill(spark, wh, sq, "labels_out", step_days=2).run(
+        "2024-01-01", "2024-01-05"
+    )
+    planned = sorted(p for h in rep2.planned for p in h.partitions())
+    assert planned == ["2024-01-04", "2024-01-05"]
+    v2 = {r["ds"]: r["label"] for r in wh.read("labels_out").collect()}
+    assert v2 == {"2024-01-01": 1.0, "2024-01-02": 2.0, "2024-01-03": 3.0,
+                  "2024-01-04": 40.0, "2024-01-05": 50.0}
+
+    # without recompute_days a re-run is a no-op
+    sq0 = StagingQuery(query=sq.query, name="labels")
+    rep3 = staging_backfill(spark, wh, sq0, "labels_out").run(
+        "2024-01-01", "2024-01-05"
+    )
+    assert rep3.rows_written == 0 and not rep3.recomputed_for_semantics
