@@ -286,9 +286,17 @@ class JoinPart:
     group_by: GroupBy
     key_mapping: Optional[dict[str, str]] = None  # left-col -> groupby-key
     prefix: Optional[str] = None
+    # reference useLongNames (api.thrift:428, Extensions.scala:842-850):
+    # True (legacy default) -> column prefix is the GroupBy name; False ->
+    # the GroupBy's key columns joined by "_". `prefix` always included.
+    use_long_names: bool = True
 
     def full_prefix(self) -> str:
-        base = self.group_by.name.replace(".", "_")
+        base = (
+            self.group_by.name.replace(".", "_")
+            if self.use_long_names
+            else "_".join(self.group_by.key_columns)
+        )
         return f"{self.prefix}_{base}" if self.prefix else base
 
     def right_to_left_keys(self) -> dict[str, str]:

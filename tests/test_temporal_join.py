@@ -307,3 +307,47 @@ def test_multi_part_row_id_merge_flat_payload(spark, data):
                 assert av == pytest.approx(bv), (k, c)
             else:
                 assert av == bv, (k, c)
+
+
+def test_use_long_names_column_convention(spark):
+    """useLongNames (Extensions.scala:842-850): True -> GroupBy-name
+    prefix (legacy default); False -> key-columns prefix; explicit
+    `prefix` always included. Values identical either way."""
+    from chronon_spark.api import (
+        Aggregation, EventSource, GroupBy, Join, JoinPart, Operation,
+        Query, Window,
+    )
+    from chronon_spark.operators.temporal_join import compute_temporal_join
+
+    src = EventSource(
+        "/root/testdata/sf0.001/events.parquet",
+        Query(selects={"user_id": "user_id", "value": "value"},
+              time_column="unix_millis(cast(ts as timestamp))"),
+        topic="t",
+    )
+    gb = GroupBy(sources=[src], key_columns=["user_id"],
+                 aggregations=[Aggregation("value", Operation.SUM,
+                                           windows=[Window(7)])],
+                 name="team.user_feats")
+    left = EventSource(
+        "/root/testdata/sf0.001/events.parquet",
+        Query(selects={"event_id": "event_id", "user_id": "user_id"},
+              time_column="unix_millis(cast(ts as timestamp))"),
+    )
+
+    def cols(jp):
+        j = Join(left=left, join_parts=[jp], name="j")
+        df = compute_temporal_join(spark, j).limit(200)
+        return df
+
+    long_df = cols(JoinPart(gb))
+    assert "team_user_feats_value_sum_7d" in long_df.columns
+    short_df = cols(JoinPart(gb, use_long_names=False))
+    assert "user_id_value_sum_7d" in short_df.columns
+    pfx_df = cols(JoinPart(gb, prefix="p", use_long_names=False))
+    assert "p_user_id_value_sum_7d" in pfx_df.columns
+    a = {(r["event_id"]): r["team_user_feats_value_sum_7d"]
+         for r in long_df.collect()}
+    b = {(r["event_id"]): r["user_id_value_sum_7d"]
+         for r in short_df.collect()}
+    assert a == b
