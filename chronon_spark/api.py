@@ -203,6 +203,12 @@ class Query:
     #: reference consumes it in planner TableDependencies, not in scans);
     #: carried for config parity, unused by the batch scan itself.
     partition_lag_days: Optional[int] = None
+    #: reference api.thrift:17-18 (mutationTimeColumn / reversalColumn):
+    #: expressions on the mutation table yielding the mutation-commit
+    #: epoch-millis and the before-image boolean; normalized at scan time
+    #: to the engine-canonical mutation_ts / is_before.
+    mutation_time_column: Optional[str] = None
+    reversal_column: Optional[str] = None
 
 
 @dataclass

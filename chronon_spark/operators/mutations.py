@@ -590,10 +590,15 @@ def _mutation_scan(
     from chronon_spark.sources.scan import _load_table
 
     q = source.query
+    # Query.mutationTimeColumn / reversalColumn (api.thrift:17-18):
+    # source-side expressions normalized here to the engine-canonical
+    # mutation_ts / is_before names
+    mut_expr = q.mutation_time_column or MUTATION_TIME_COLUMN
+    rev_expr = q.reversal_column or REVERSAL_COLUMN
     if q.selects is not None:
         selects = dict(q.selects)
-        selects.setdefault(MUTATION_TIME_COLUMN, MUTATION_TIME_COLUMN)
-        selects.setdefault(REVERSAL_COLUMN, REVERSAL_COLUMN)
+        selects.setdefault(MUTATION_TIME_COLUMN, mut_expr)
+        selects.setdefault(REVERSAL_COLUMN, rev_expr)
         q = replace(q, selects=selects)
     # Mutation tables partition by MUTATION day, not row-event day: prune
     # on ds only when the table physically has it; otherwise scan unpruned
@@ -602,6 +607,11 @@ def _mutation_scan(
     part_col = q.partition_column or spec.column
     has_ds = part_col in _load_table(spark, source.mutation_table).columns
     df = scan_df(spark, source.mutation_table, q, rng if has_ds else None, spec)
+    if q.selects is None:  # select * — normalize custom names post-scan
+        if mut_expr != MUTATION_TIME_COLUMN:
+            df = df.withColumn(MUTATION_TIME_COLUMN, F.expr(mut_expr))
+        if rev_expr != REVERSAL_COLUMN:
+            df = df.withColumn(REVERSAL_COLUMN, F.expr(rev_expr))
     if rng is not None and not has_ds:
         if rng.start is not None:
             df = df.where(F.col(MUTATION_TIME_COLUMN) >= spec.epoch_millis(rng.start))

@@ -235,3 +235,40 @@ def test_mutation_replay_vs_naive_randomized(spark):
                     key, T, part.output_name, val)
             else:
                 assert val == exp, (key, T, part.output_name)
+
+
+def test_custom_mutation_and_reversal_columns(spark, scenario, tmp_path):
+    """Query.mutationTimeColumn / reversalColumn (api.thrift:17-18): a
+    mutation table with renamed metadata columns produces identical
+    results once the Query declares the expressions."""
+    snap, mut = scenario
+    snap.write.parquet(str(tmp_path / "snap.parquet"))
+    # rename the metadata columns and invert the flag to force real
+    # expression evaluation (NOT is_after == is_before)
+    mut.selectExpr(
+        "user_id", "ts", "value",
+        "mutation_ts AS commit_ms", "NOT is_before AS is_after",
+    ).write.parquet(str(tmp_path / "mut.parquet"))
+    left = spark.createDataFrame(
+        [(1, BASE + 4 * DAY + 9000)], "user_id int, ts long"
+    ).withColumn("ds", F.date_format(F.timestamp_millis("ts"), "yyyy-MM-dd"))
+    gb = GroupBy(
+        sources=[EntitySource(
+            snapshot_table=str(tmp_path / "snap.parquet"),
+            query=Query(selects={"user_id": "user_id", "value": "value"},
+                        time_column="ts",
+                        mutation_time_column="commit_ms",
+                        reversal_column="NOT is_after"),
+            mutation_table=str(tmp_path / "mut.parquet"),
+        )],
+        key_columns=["user_id"],
+        aggregations=[Aggregation("value", Operation.SUM),
+                      Aggregation("value", Operation.COUNT, windows=[Window(2)])],
+        accuracy=Accuracy.TEMPORAL,
+        name="ent",
+    )
+    join = Join(left=DataFrameSource(lambda s: left),
+                join_parts=[JoinPart(gb)], name="j")
+    row = compute_join(spark, join).collect()[0]
+    assert row["ent_value_sum"] == pytest.approx(55.0)
+    assert row["ent_value_count_2d"] == 2
