@@ -127,6 +127,7 @@ class BackfillJob:
         spec: PartitionSpec = DEFAULT_SPEC,
         cluster_by: Optional[Sequence[str]] = None,
         recompute_days: Optional[int] = None,
+        min_start: Optional[str] = None,
     ):
         self.spark = spark
         self.wh = warehouse
@@ -145,6 +146,10 @@ class BackfillJob:
         # partially-mature aggregations (labels that keep maturing for N
         # days after first computation)
         self.recompute_days = recompute_days
+        # GroupBy.backfillStartDate (api.thrift:366): no historical
+        # partitions before this date are ever generated — requested
+        # ranges clamp to it
+        self.min_start = min_start
         self.sem_hash = agg_aware_hash(config) if config is not None else ""
 
     # -- manifest ---------------------------------------------------------
@@ -217,6 +222,8 @@ class BackfillJob:
 
     # -- run --------------------------------------------------------------
     def run(self, start: str, end: str, skip_first_hole: bool = True) -> BackfillReport:
+        if self.min_start is not None and start < self.min_start:
+            start = self.min_start
         wanted = PartitionRange(start, end, self.spec)
         prior = self._prior_hash()
         recomputed = False
@@ -294,6 +301,7 @@ def groupby_backfill(
         compute=lambda rng: compute_snapshot_groupby(spark, group_by, rng, spec, dense),
         config=group_by, job_name=f"groupby/{group_by.name}",
         step_days=step_days, spec=spec, cluster_by=cluster_by,
+        min_start=group_by.backfill_start_date,
     )
 
 

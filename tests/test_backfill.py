@@ -263,3 +263,29 @@ def test_staging_recompute_days_refreshes_trailing_window(spark, tmp_path):
         "2024-01-01", "2024-01-05"
     )
     assert rep3.rows_written == 0 and not rep3.recomputed_for_semantics
+
+
+def test_backfill_start_date_clamps_requested_range(spark, tmp_path):
+    """GroupBy.backfillStartDate (api.thrift:366): requested ranges clamp
+    to it — no historical partitions before the date are generated."""
+    from chronon_spark.api import (
+        Aggregation, EventSource, GroupBy, Operation, Query, Window,
+    )
+    from chronon_spark.plans.backfill import groupby_backfill
+    from chronon_spark.sources.catalog import ParquetWarehouse
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    gb = GroupBy(
+        sources=[EventSource(
+            "/root/testdata/sf0.001/events.parquet",
+            Query(selects={"user_id": "user_id", "value": "value"},
+                  time_column="unix_millis(cast(ts as timestamp))"),
+        )],
+        key_columns=["user_id"],
+        aggregations=[Aggregation("value", Operation.SUM, windows=[Window(3)])],
+        backfill_start_date="2024-01-04",
+        name="clamped",
+    )
+    rep = groupby_backfill(spark, wh, gb, "out").run("2024-01-01", "2024-01-06")
+    assert rep.requested.start == "2024-01-04"
+    assert wh.partitions("out") == ["2024-01-04", "2024-01-05", "2024-01-06"]
