@@ -156,7 +156,6 @@ class ParquetWarehouse:
         if cluster_by:
             cols = [self.spec.column, *cluster_by]
             df = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
-        live_before = self._live_files(table) or []
         stage = os.path.join(self.path(table), "_stage")
         shutil.rmtree(stage, ignore_errors=True)
         df.write.mode("overwrite").partitionBy(self.spec.column).parquet(stage)
@@ -172,8 +171,7 @@ class ParquetWarehouse:
                     added.append(rel)
         shutil.rmtree(stage, ignore_errors=True)
         touched = {p for f in added if (p := self._partition_of(f))}
-        removed = [f for f in live_before if self._partition_of(f) in touched]
-        self._commit_snapshot(table, "overwrite", sorted(added), sorted(removed))
+        self._commit_snapshot(table, "overwrite", sorted(added), touched=touched)
 
     def drop(self, table: str) -> None:
         import shutil
@@ -253,26 +251,61 @@ class ParquetWarehouse:
         return snaps[-1]["snapshot_id"] if snaps else 0
 
     def _commit_snapshot(
-        self, table: str, operation: str, added: list[str], removed: list[str]
+        self,
+        table: str,
+        operation: str,
+        added: list[str],
+        removed: Optional[list[str]] = None,
+        touched: Optional[set] = None,
+        max_retries: int = 50,
     ) -> dict:
-        parts = {p for f in added + removed if (p := self._partition_of(f))}
-        sid = self.latest_snapshot_id(table) + 1
-        snap = {
-            "snapshot_id": sid,
-            "parent_id": sid - 1 if sid > 1 else None,
-            "operation": operation,
-            "added_files": added,
-            "removed_files": removed,
-            "partitions": sorted(parts),
-        }
+        """Optimistic-concurrency commit (Iceberg semantics): the new
+        snapshot file is created EXCLUSIVELY (os.link fails if another
+        writer took the id first); on conflict the commit re-reads the
+        log tip, REBASES — the replaced-file set is recomputed against
+        the files live NOW in the touched partitions, so concurrent
+        writers to different partitions both survive and same-partition
+        races resolve last-writer-wins — and retries with the next id.
+        `removed` is only for callers with a fixed replacement set
+        (adopt); partition overwrites pass `touched` instead."""
         sdir = self._snapshot_dir(table)
         os.makedirs(sdir, exist_ok=True)
-        final = os.path.join(sdir, f"v{sid:08d}.json")
-        tmp = final + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(snap, fh)
-        os.rename(tmp, final)  # atomic commit
-        return snap
+        for _ in range(max_retries):
+            sid = self.latest_snapshot_id(table) + 1
+            if touched is not None:
+                # rebase against the CURRENT tip (never trust a
+                # pre-commit read — the log may have advanced since)
+                removed_now = sorted(
+                    f for f in (self._live_files(table) or [])
+                    if self._partition_of(f) in touched
+                )
+            else:
+                removed_now = sorted(removed or [])
+            parts = {
+                p for f in added + removed_now if (p := self._partition_of(f))
+            }
+            snap = {
+                "snapshot_id": sid,
+                "parent_id": sid - 1 if sid > 1 else None,
+                "operation": operation,
+                "added_files": added,
+                "removed_files": removed_now,
+                "partitions": sorted(parts),
+            }
+            final = os.path.join(sdir, f"v{sid:08d}.json")
+            tmp = final + f".tmp.{os.getpid()}"
+            with open(tmp, "w") as fh:
+                json.dump(snap, fh)
+            try:
+                os.link(tmp, final)  # atomic create-if-absent
+                return snap
+            except FileExistsError:
+                continue  # another writer won this id — rebase + retry
+            finally:
+                os.unlink(tmp)
+        raise RuntimeError(
+            f"snapshot commit contention on {table}: {max_retries} retries"
+        )
 
     def compact(self, table: str, min_files: int = 2) -> dict:
         """Iceberg `rewrite_data_files` analog: partitions fragmented into

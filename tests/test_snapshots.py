@@ -365,3 +365,61 @@ def test_affected_days_helper():
     assert groupby_affected_days(mk([Window(7)])) == 7
     assert groupby_affected_days(mk([Window(7), Window(30)])) == 30
     assert groupby_affected_days(mk(None)) is None
+
+
+def test_commit_conflict_rebases_and_retries(spark, wh, monkeypatch):
+    """Optimistic concurrency: a writer whose pre-commit log read is
+    stale must NOT clobber the interleaved commit — it rebases against
+    the new tip and takes the next snapshot id; nothing is lost."""
+    wh.insert_overwrite(
+        _day_rows(spark, {"2024-01-01": [(1, 1.0)], "2024-01-02": [(2, 2.0)]}),
+        "t",
+    )
+    tip = wh.latest_snapshot_id("t")
+
+    # writer B commits day-2 new content while writer A (below) is
+    # mid-flight with a stale view of the log
+    orig = ParquetWarehouse.latest_snapshot_id
+    state = {"stale_reads": 2}
+
+    def stale(self, table):
+        real = orig(self, table)
+        if state["stale_reads"] > 0:
+            state["stale_reads"] -= 1
+            return real - 1  # pretend the interleaved commit didn't happen
+        return real
+
+    wh.insert_overwrite(_day_rows(spark, {"2024-01-02": [(9, 9.0)]}), "t")
+    b_tip = wh.latest_snapshot_id("t")
+    assert b_tip == tip + 1
+
+    monkeypatch.setattr(ParquetWarehouse, "latest_snapshot_id", stale)
+    wh.insert_overwrite(_day_rows(spark, {"2024-01-01": [(7, 7.0)]}), "t")
+    monkeypatch.setattr(ParquetWarehouse, "latest_snapshot_id", orig)
+
+    # A's commit landed AFTER B's (exclusive create forced the retry)
+    assert wh.latest_snapshot_id("t") == b_tip + 1
+    sids = [s["snapshot_id"] for s in wh.snapshots("t")]
+    assert sids == sorted(set(sids)), "no clobbered/duplicate snapshot ids"
+    got = {(r["ds"], r["user_id"], r["value"])
+           for r in wh.read("t").collect()}
+    # BOTH interleaved writes survive: B's day-2 row and A's day-1 row
+    assert got == {("2024-01-01", 7, 7.0), ("2024-01-02", 9, 9.0)}
+
+
+def test_commit_rebase_preserves_other_partition_writes(spark, wh):
+    """Writers to DIFFERENT partitions never remove each other's files:
+    the replaced set is recomputed against the commit-time tip."""
+    wh.insert_overwrite(
+        _day_rows(spark, {"2024-01-01": [(1, 1.0)], "2024-01-02": [(2, 2.0)]}),
+        "t",
+    )
+    # two sequential overwrites standing in for racers (the rebase path
+    # computes removals at commit time either way)
+    wh.insert_overwrite(_day_rows(spark, {"2024-01-01": [(11, 11.0)]}), "t")
+    wh.insert_overwrite(_day_rows(spark, {"2024-01-02": [(22, 22.0)]}), "t")
+    got = {(r["ds"], r["user_id"]) for r in wh.read("t").collect()}
+    assert got == {("2024-01-01", 11), ("2024-01-02", 22)}
+    last = wh.snapshots("t")[-1]
+    # the day-2 commit replaced ONLY day-2 files
+    assert all("2024-01-02" in f for f in last["removed_files"])
