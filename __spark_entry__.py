@@ -2333,6 +2333,19 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (Lee et al. 2022): maximal per-document
+    spans covered by 50-grams occurring >= 2 times corpus-wide. The
+    engine marks positions by a packed 62-bit double rolling hash; the
+    oracle groups by the ACTUAL substring — a hash match therefore also
+    certifies the fingerprint is collision-free at gate scale."""
+    _prep(spark)
+    from chronon_spark.operators.dedup import duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return duplicate_spans(docs, "doc_id", "text", n=50, min_count=2)
+
+
 def q_corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language quality gate: keep documents at or above the median
     quality within their language. Quality is rounded to 6dp before
@@ -2435,6 +2448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_quality_gate": q_corpus_quality_gate,
         "corpus_curation": q_corpus_curation,
         "staging_recompute": q_staging_recompute,
+        "dedup_substring_spans": q_dedup_substring_spans,
         "corpus_stratified_sample": q_corpus_stratified_sample,
         "corpus_weighted_mix": q_corpus_weighted_mix,
         "corpus_pack": q_corpus_pack,
@@ -3904,6 +3918,47 @@ def oracle_sql() -> dict[str, str]:
                         WHEN {_fp_bucket_sql('c.doc_id', 'split')} < 9500 THEN 'val'
                         ELSE 'test' END AS split
             FROM clean c LEFT JOIN comp ON comp.id = c.doc_id
+        """,
+        # exact substring dedup: the oracle dedups on the ACTUAL substring
+        # (stronger than the engine's 62-bit hash — a match certifies the
+        # fingerprint collision-free at this scale) and replays the same
+        # interval merge with window functions.
+        "dedup_substring_spans": """
+            WITH g AS (
+              SELECT doc_id,
+                     UNNEST([{'pos': i, 's': substr(text, i, 50)}
+                             FOR i IN range(1, length(text) - 48)]) AS u
+              FROM documents WHERE length(text) >= 50
+            ),
+            occ AS (SELECT doc_id, u.pos AS pos, u.s AS s FROM g),
+            d AS (SELECT s FROM occ GROUP BY s HAVING COUNT(*) >= 2),
+            hits AS (
+              SELECT doc_id, pos FROM occ WHERE s IN (SELECT s FROM d)
+            ),
+            flagged AS (
+              SELECT doc_id, pos,
+                     CASE WHEN MAX(pos + 50) OVER (
+                              PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                          ) IS NULL
+                          OR pos > MAX(pos + 50) OVER (
+                              PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                          )
+                          THEN 1 ELSE 0 END AS new_span
+              FROM hits
+            ),
+            grouped AS (
+              SELECT doc_id, pos,
+                     SUM(new_span) OVER (
+                         PARTITION BY doc_id ORDER BY pos
+                     ) AS span_id
+              FROM flagged
+            )
+            SELECT doc_id, MIN(pos) AS span_start,
+                   MAX(pos) + 50 AS span_end,
+                   COUNT(*) AS dup_grams
+            FROM grouped GROUP BY doc_id, span_id
         """,
         # quality gate: the full quality formula + percent_rank window
         # recomputed from raw text (rank runs on the 6dp-rounded value in

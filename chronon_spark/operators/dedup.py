@@ -897,3 +897,98 @@ def hamming_pairs_incremental(
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup (duplicated-span detection)
+# ---------------------------------------------------------------------------
+FP_MOD2 = 1_000_000_009  # second independent modulus for the packed hash
+
+
+def positional_fps_np(text: Optional[str], n: int) -> np.ndarray:
+    """Packed double rolling hash of EVERY n-gram position (1-based
+    order, duplicates kept): h1 * 2^31 + h2 with independent moduli —
+    62 bits, because positional dedup compares hashes corpus-wide with
+    no exact-verify step (a single 2^30 modulus collides at ~100k grams;
+    the packed pair pushes expected collisions at 10^10 grams to ~single
+    digits, and a collision only ever OVER-marks a span — no false
+    negatives, Rabin-Karp style)."""
+    if not text or len(text) < n:
+        return np.empty(0, dtype=np.int64)
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    windows = np.lib.stride_tricks.sliding_window_view(codes, n)
+    h1 = np.zeros(len(windows), dtype=np.int64)
+    h2 = np.zeros(len(windows), dtype=np.int64)
+    for j in range(n):
+        h1 = (h1 * FP_BASE + windows[:, j]) % FP_MOD
+        h2 = (h2 * FP_BASE + windows[:, j]) % FP_MOD2
+    return h1 * (1 << 31) + h2
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact substring dedup (the Lee et al. 2022 'Deduplicating Training
+    Data' primitive): every position whose n-gram occurs >= `min_count`
+    times ANYWHERE in the corpus, merged into maximal per-document spans
+    [span_start, span_end) (1-based, end-exclusive). Cutting the spans
+    out of the training text removes verbatim boilerplate/quotation
+    duplication that document-level near-dup misses.
+
+    Shape at 100 TB: one Arrow pass emits (id, pos, gram_fp) — ~len(text)
+    rows per doc, the op's intrinsic cost; one shuffle counts gram
+    occurrences; the dup-gram join is shuffle-on-fp (AQE may broadcast
+    the usually-tiny dup set); the interval merge is a native window per
+    doc. No per-row Python anywhere.
+    """
+    from typing import Iterator
+
+    from pyspark.sql.window import Window as W
+
+    def part(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            ids, poss, gs = [], [], []
+            for i, t in zip(pdf["id"], pdf["txt"]):
+                fps = positional_fps_np(t, n)
+                if len(fps):
+                    ids.append(np.full(len(fps), i, dtype=np.int64))
+                    poss.append(np.arange(1, len(fps) + 1, dtype=np.int64))
+                    gs.append(fps)
+            if ids:
+                yield pd.DataFrame({
+                    "id": np.concatenate(ids),
+                    "pos": np.concatenate(poss),
+                    "g": np.concatenate(gs),
+                })
+
+    grams = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("txt")
+    ).mapInPandas(part, schema="id long, pos long, g long")
+    dup = grams.groupBy("g").count().where(F.col("count") >= min_count)
+    hits = grams.join(dup.select("g"), "g")
+
+    w = W.partitionBy("id").orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + n).over(
+        w.rowsBetween(W.unboundedPreceding, -1)
+    )
+    spans = (
+        hits.withColumn(
+            "new_span",
+            (prev_max_end.isNull() | (F.col("pos") > prev_max_end)).cast("int"),
+        )
+        .withColumn("span_id", F.sum("new_span").over(w))
+        .groupBy("id", "span_id")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + n).alias("span_end"),
+            F.count(F.lit(1)).alias("dup_grams"),
+        )
+        .select(
+            F.col("id").alias(id_col), "span_start", "span_end", "dup_grams"
+        )
+    )
+    return spans

@@ -483,3 +483,69 @@ def test_incremental_hamming_matches_brute_force(spark):
         if bin((ha ^ hb) & (2**64 - 1)).count("1") <= 2
     )
     assert got == want and len(want) >= 2
+
+
+def test_duplicate_spans_planted(spark):
+    """Exact substring dedup: planted verbatim boilerplate is found as
+    merged maximal spans; unique text yields none; within-doc repeats
+    count toward min_count."""
+    from chronon_spark.operators.dedup import duplicate_spans
+
+    boiler = "SUBSCRIBE TO OUR NEWSLETTER FOR DAILY UPDATES AND MORE!"  # 55
+    docs = spark.createDataFrame(
+        [
+            (0, "a" * 10 + boiler + "unique tail zero 0000"),
+            (1, "prefix one 11111 " + boiler + " done"),
+            (2, "totally unique text with no duplication at all here xyz"),
+            (3, "selfrep " + boiler + " mid " + boiler),  # two hits, one doc
+        ],
+        "doc_id long, text string",
+    )
+    out = duplicate_spans(docs, "doc_id", "text", n=50, min_count=2)
+    rows = {r["doc_id"]: (r["span_start"], r["span_end"], r["dup_grams"])
+            for r in out.collect()}
+    assert 2 not in rows
+    # doc 0: boiler starts at pos 11 (1-based); 55-char boiler has 6
+    # positions of 50-grams -> merged span [11, 11+5+50) = [11, 66)
+    assert rows[0] == (11, 66, 6)
+    # doc 1's span starts at the space BEFORE the boiler (the space-
+    # prefixed gram also occurs in doc 3's second occurrence)
+    assert rows[1][0] == 17
+    # doc 3 has two separated occurrences -> two spans
+    d3 = [r for r in out.collect() if r["doc_id"] == 3]
+    assert len(d3) == 2
+
+    # sanity vs brute force on the corpus fixture
+    real = duplicate_spans(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+        "doc_id", "text", n=50,
+    )
+    grams = {}
+    for r in spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).collect():
+        t = r["text"] or ""
+        for i in range(len(t) - 49):
+            grams.setdefault(t[i:i + 50], []).append((r["doc_id"], i + 1))
+    marked = {}
+    for g, occ in grams.items():
+        if len(occ) >= 2:
+            for d, p in occ:
+                marked.setdefault(d, set()).add(p)
+    want = {}
+    for d, ps in marked.items():
+        spans, cur = [], None
+        for p in sorted(ps):
+            if cur and p <= cur[1]:
+                cur[1] = max(cur[1], p + 50)
+                cur[2] += 1
+            else:
+                cur = [p, p + 50, 1]
+                spans.append(cur)
+        want[d] = {tuple(sp) for sp in spans}
+    got = {}
+    for r in real.collect():
+        got.setdefault(r["doc_id"], set()).add(
+            (r["span_start"], r["span_end"], r["dup_grams"])
+        )
+    assert got == want
