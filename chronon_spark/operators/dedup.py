@@ -931,6 +931,7 @@ def duplicate_spans(
     text_col: str,
     n: int = 50,
     min_count: int = 2,
+    keep_first: bool = False,
 ) -> DataFrame:
     """Exact substring dedup (the Lee et al. 2022 'Deduplicating Training
     Data' primitive): every position whose n-gram occurs >= `min_count`
@@ -968,8 +969,21 @@ def duplicate_spans(
     grams = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("txt")
     ).mapInPandas(part, schema="id long, pos long, g long")
-    dup = grams.groupBy("g").count().where(F.col("count") >= min_count)
-    hits = grams.join(dup.select("g"), "g")
+    if keep_first:
+        # the Lee et al. removal policy: the globally FIRST occurrence of
+        # each duplicated gram (by (id, pos)) stays clean; only later
+        # occurrences are marked for cutting. One extra window over the
+        # gram groups.
+        gw = W.partitionBy("g").orderBy("id", "pos")
+        ranked = grams.withColumn("rn", F.row_number().over(gw)).withColumn(
+            "cnt", F.count(F.lit(1)).over(W.partitionBy("g"))
+        )
+        hits = ranked.where(
+            (F.col("cnt") >= min_count) & (F.col("rn") > 1)
+        ).select("id", "pos")
+    else:
+        dup = grams.groupBy("g").count().where(F.col("count") >= min_count)
+        hits = grams.join(dup.select("g"), "g")
 
     w = W.partitionBy("id").orderBy("pos")
     prev_max_end = F.max(F.col("pos") + n).over(

@@ -549,3 +549,25 @@ def test_duplicate_spans_planted(spark):
             (r["span_start"], r["span_end"], r["dup_grams"])
         )
     assert got == want
+
+
+def test_duplicate_spans_keep_first(spark):
+    """keep_first: the globally first occurrence of each duplicated gram
+    (by id, pos) stays unmarked; only later occurrences become spans."""
+    from chronon_spark.operators.dedup import duplicate_spans
+
+    boiler = "REPEATED BOILERPLATE SEGMENT THAT IS FIFTY CHARS X"  # 50
+    assert len(boiler) == 50
+    docs = spark.createDataFrame(
+        [(0, "A" * 5 + boiler), (1, "B" * 9 + boiler), (2, "C" * 3 + boiler)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["span_start"], r["span_end"])
+           for r in duplicate_spans(docs, "doc_id", "text", n=50,
+                                    keep_first=True).collect()}
+    assert 0 not in out          # first occurrence kept clean
+    assert out[1] == (10, 60) and out[2] == (4, 54)
+    # default policy marks all three
+    allm = {r["doc_id"] for r in
+            duplicate_spans(docs, "doc_id", "text", n=50).collect()}
+    assert allm == {0, 1, 2}
