@@ -1006,3 +1006,63 @@ def duplicate_spans(
         )
     )
     return spans
+
+
+def remove_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Apply substring-dedup surgery: cut every [span_start, span_end)
+    range (1-based, end-exclusive — duplicate_spans output) out of the
+    document text. Returns all original rows with `text` rewritten and
+    `removed_chars` counted; docs with no spans pass through untouched.
+
+    One shuffle groups a doc's spans into an array (spans per doc are
+    few — bounded by len/n); the cut itself is a native aggregate over
+    substring slices, no Python in the path.
+    """
+    agg = spans.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("_spans")
+    )
+    joined = df.join(agg, id_col, "left")
+    # fold the sorted spans: keep [cursor, start) slices, jump to end
+    init = F.struct(
+        F.lit(1).cast("long").alias("cursor"), F.lit("").alias("acc")
+    )
+    step = lambda acc, sp: F.struct(  # noqa: E731
+        sp["span_end"].cast("long").alias("cursor"),
+        F.concat(
+            acc["acc"],
+            F.substring(
+                F.col(text_col),
+                acc["cursor"].cast("int"),
+                F.greatest(
+                    (sp["span_start"] - acc["cursor"]).cast("int"), F.lit(0)
+                ),
+            ),
+        ).alias("acc"),
+    )
+    folded = F.aggregate(
+        F.col("_spans"),
+        init,
+        step,
+        lambda acc: F.concat(
+            acc["acc"],
+            F.col(text_col).substr(
+                acc["cursor"].cast("int"),
+                F.length(text_col) - acc["cursor"].cast("int") + 1,
+            ),
+        ),
+    )
+    cleaned = F.when(F.col("_spans").isNull(), F.col(text_col)).otherwise(folded)
+    return (
+        joined.withColumn(
+            "removed_chars", F.length(text_col) - F.length(cleaned)
+        )
+        .withColumn(text_col, cleaned)
+        .drop("_spans")
+    )

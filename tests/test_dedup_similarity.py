@@ -571,3 +571,29 @@ def test_duplicate_spans_keep_first(spark):
     allm = {r["doc_id"] for r in
             duplicate_spans(docs, "doc_id", "text", n=50).collect()}
     assert allm == {0, 1, 2}
+
+
+def test_remove_spans_surgery(spark):
+    """remove_spans cuts exactly the [start, end) ranges; untouched docs
+    pass through; removed_chars accounts the surgery."""
+    from chronon_spark.operators.dedup import duplicate_spans, remove_spans
+
+    boiler = "REPEATED BOILERPLATE SEGMENT THAT IS FIFTY CHARS X"
+    docs = spark.createDataFrame(
+        [(0, "head " + boiler + " tail"),
+         (1, boiler + "-middle-" + boiler),
+         (2, "clean document")],
+        "doc_id long, text string",
+    )
+    spans = duplicate_spans(docs, "doc_id", "text", n=50, min_count=2)
+    out = {r["doc_id"]: (r["text"], r["removed_chars"])
+           for r in remove_spans(docs, spans, "doc_id", "text").collect()}
+    assert out[2] == ("clean document", 0)
+    assert boiler not in out[0][0] and out[0][0].startswith("head ")
+    assert out[0][0].endswith(" tail")
+    assert boiler not in out[1][0] and "-middle-" in out[1][0]
+    for d in (0, 1):
+        orig = {0: "head " + boiler + " tail",
+                1: boiler + "-middle-" + boiler}[d]
+        assert out[d][1] == len(orig) - len(out[d][0])
+        assert out[d][1] > 0
