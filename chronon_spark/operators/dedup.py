@@ -951,20 +951,40 @@ def duplicate_spans(
     from pyspark.sql.window import Window as W
 
     def part(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        # whole-batch vectorization: hash the CONCATENATION of all docs in
+        # one strided pass and mask windows that cross doc boundaries —
+        # per-doc numpy calls would drown in per-array overhead (tiny
+        # docs x n loop iterations), this runs the n-column mod loop once
+        # over millions of windows instead.
         for pdf in batches:
-            ids, poss, gs = [], [], []
-            for i, t in zip(pdf["id"], pdf["txt"]):
-                fps = positional_fps_np(t, n)
-                if len(fps):
-                    ids.append(np.full(len(fps), i, dtype=np.int64))
-                    poss.append(np.arange(1, len(fps) + 1, dtype=np.int64))
-                    gs.append(fps)
-            if ids:
-                yield pd.DataFrame({
-                    "id": np.concatenate(ids),
-                    "pos": np.concatenate(poss),
-                    "g": np.concatenate(gs),
-                })
+            texts = [t if t else "" for t in pdf["txt"]]
+            doc_ids = pdf["id"].to_numpy()
+            lens = np.array([len(t) for t in texts], dtype=np.int64)
+            total = int(lens.sum())
+            if total < n:
+                continue
+            codes = np.frombuffer(
+                "".join(texts).encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            windows = np.lib.stride_tricks.sliding_window_view(codes, n)
+            h1 = np.zeros(len(windows), dtype=np.int64)
+            h2 = np.zeros(len(windows), dtype=np.int64)
+            for j in range(n):
+                col = windows[:, j]
+                h1 = (h1 * FP_BASE + col) % FP_MOD
+                h2 = (h2 * FP_BASE + col) % FP_MOD2
+            gidx = np.arange(len(windows), dtype=np.int64)
+            doc = np.searchsorted(starts, gidx, side="right") - 1
+            off = gidx - starts[doc]
+            valid = off <= lens[doc] - n
+            if not valid.any():
+                continue
+            yield pd.DataFrame({
+                "id": doc_ids[doc[valid]],
+                "pos": off[valid] + 1,
+                "g": (h1 * (1 << 31) + h2)[valid],
+            })
 
     grams = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("txt")
