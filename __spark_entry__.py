@@ -2346,6 +2346,32 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(docs, "doc_id", "text", n=50, min_count=2)
 
 
+def q_corpus_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style PII scrub cascade (email -> ip -> phone, counts taken on
+    each stage's input). The oracle replays the identical regex cascade
+    in RE2 — hash equality over the full redacted text pins both the
+    pattern semantics and the cascade order cross-engine."""
+    _prep(spark)
+    from chronon_spark.operators.text import redact_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return redact_pii(docs).select(
+        "doc_id", "n_email", "n_ip", "n_phone", "text_redacted"
+    )
+
+
+def q_corpus_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition-removal signals (Rae et al. 2021 Table A1):
+    per-doc repeated-n-gram character coverage (n=2..4), duplicate
+    5-gram occurrence fraction, and the published-threshold flag. The
+    oracle recomputes every gram count from raw text with list slices."""
+    _prep(spark)
+    from chronon_spark.operators.text import repetition_metrics
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_metrics(docs, "doc_id", "text")
+
+
 def q_corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language quality gate: keep documents at or above the median
     quality within their language. Quality is rounded to 6dp before
@@ -2449,6 +2475,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": q_corpus_curation,
         "staging_recompute": q_staging_recompute,
         "dedup_substring_spans": q_dedup_substring_spans,
+        "corpus_repetition": q_corpus_repetition,
+        "corpus_redact_pii": q_corpus_redact_pii,
         "corpus_stratified_sample": q_corpus_stratified_sample,
         "corpus_weighted_mix": q_corpus_weighted_mix,
         "corpus_pack": q_corpus_pack,
@@ -3959,6 +3987,90 @@ def oracle_sql() -> dict[str, str]:
                    MAX(pos) + 50 AS span_end,
                    COUNT(*) AS dup_grams
             FROM grouped GROUP BY doc_id, span_id
+        """,
+        # PII scrub: the same regex cascade replayed in RE2; the hash over
+        # the full redacted text pins pattern semantics + cascade order.
+        "corpus_redact_pii": r"""
+            WITH s1 AS (
+              SELECT doc_id, text,
+                CAST(len(regexp_extract_all(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                    AS n_email,
+                regexp_replace(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                    '<EMAIL>', 'g') AS t1
+              FROM documents
+            ),
+            s2 AS (
+              SELECT doc_id, n_email,
+                CAST(len(regexp_extract_all(t1,
+                    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+                regexp_replace(t1,
+                    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+              FROM s1
+            )
+            SELECT doc_id, n_email, n_ip,
+                CAST(len(regexp_extract_all(t2,
+                    '\+?\d{1,3}[- ]\(?\d{2,4}\)?[- ]\d{3,4}[- ]?\d{2,4}\b'))
+                    AS BIGINT) AS n_phone,
+                regexp_replace(t2,
+                    '\+?\d{1,3}[- ]\(?\d{2,4}\)?[- ]\d{3,4}[- ]?\d{2,4}\b',
+                    '<PHONE>', 'g') AS text_redacted
+            FROM s2
+        """,
+        # Gopher repetition metrics: gram counts recomputed from raw text
+        # (list slices + group-by), coverage restricted to repeats.
+        "corpus_repetition": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN []
+                          ELSE string_split_regex(trim(text), '\s+') END AS ws,
+                     GREATEST(length(text), 1) AS L
+              FROM documents
+            ),
+            g2 AS (SELECT doc_id, L, UNNEST([array_to_string(ws[i:i+1], ' ')
+                          FOR i IN range(1, len(ws))]) AS g
+                   FROM w WHERE len(ws) >= 2),
+            g3 AS (SELECT doc_id, L, UNNEST([array_to_string(ws[i:i+2], ' ')
+                          FOR i IN range(1, len(ws) - 1)]) AS g
+                   FROM w WHERE len(ws) >= 3),
+            g4 AS (SELECT doc_id, L, UNNEST([array_to_string(ws[i:i+3], ' ')
+                          FOR i IN range(1, len(ws) - 2)]) AS g
+                   FROM w WHERE len(ws) >= 4),
+            g5 AS (SELECT doc_id, UNNEST([array_to_string(ws[i:i+4], ' ')
+                          FOR i IN range(1, len(ws) - 3)]) AS g
+                   FROM w WHERE len(ws) >= 5),
+            t2 AS (SELECT doc_id, MAX(cnt * gl) / ANY_VALUE(L) AS v FROM (
+                     SELECT doc_id, ANY_VALUE(L) AS L, length(g) AS gl,
+                            COUNT(*) AS cnt
+                     FROM g2 GROUP BY doc_id, g HAVING COUNT(*) >= 2
+                   ) GROUP BY doc_id),
+            t3 AS (SELECT doc_id, MAX(cnt * gl) / ANY_VALUE(L) AS v FROM (
+                     SELECT doc_id, ANY_VALUE(L) AS L, length(g) AS gl,
+                            COUNT(*) AS cnt
+                     FROM g3 GROUP BY doc_id, g HAVING COUNT(*) >= 2
+                   ) GROUP BY doc_id),
+            t4 AS (SELECT doc_id, MAX(cnt * gl) / ANY_VALUE(L) AS v FROM (
+                     SELECT doc_id, ANY_VALUE(L) AS L, length(g) AS gl,
+                            COUNT(*) AS cnt
+                     FROM g4 GROUP BY doc_id, g HAVING COUNT(*) >= 2
+                   ) GROUP BY doc_id),
+            d5 AS (SELECT doc_id,
+                          (COUNT(*) - COUNT(DISTINCT g)) / CAST(COUNT(*) AS DOUBLE) AS v
+                   FROM g5 GROUP BY doc_id)
+            SELECT d.doc_id,
+                   ROUND(COALESCE(t2.v, 0) + 1e-9, 6) AS top2_char_frac,
+                   ROUND(COALESCE(t3.v, 0) + 1e-9, 6) AS top3_char_frac,
+                   ROUND(COALESCE(t4.v, 0) + 1e-9, 6) AS top4_char_frac,
+                   ROUND(COALESCE(d5.v, 0) + 1e-9, 6) AS dup5_frac,
+                   (COALESCE(t2.v, 0) > 0.20 OR COALESCE(t3.v, 0) > 0.18
+                    OR COALESCE(t4.v, 0) > 0.16 OR COALESCE(d5.v, 0) > 0.15)
+                       AS repetitive
+            FROM documents d
+            LEFT JOIN t2 ON d.doc_id = t2.doc_id
+            LEFT JOIN t3 ON d.doc_id = t3.doc_id
+            LEFT JOIN t4 ON d.doc_id = t4.doc_id
+            LEFT JOIN d5 ON d.doc_id = d5.doc_id
         """,
         # quality gate: the full quality formula + percent_rank window
         # recomputed from raw text (rank runs on the 6dp-rounded value in

@@ -160,3 +160,126 @@ def quality_percentile_gate(
         .withColumn("q_rank", F.round(F.percent_rank().over(w) + F.lit(1e-9), 6))
         .where(F.col("q_rank") >= min_percentile)
     )
+
+
+def repetition_metrics(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    Table A1 'repetition removal'):
+
+      * top{2,3,4}_char_frac — the largest character coverage achieved by
+        any single REPEATED word n-gram: max over grams with count >= 2 of
+        count * len(gram), divided by len(text); 0 when nothing repeats.
+        Defined via the MAX of the product (not "the most frequent gram")
+        so ties cannot make engines disagree, and restricted to repeats so
+        one long unique gram in a short doc never fires the flag.
+      * dup5_frac — fraction of word 5-gram occurrences that are repeats:
+        (occurrences - distinct) / occurrences.
+      * repetitive — the published-threshold flag (0.20 / 0.18 / 0.16 for
+        top-2/3/4, 0.15 for dup5): the corpus-filter predicate.
+
+    One Arrow pass; per-doc counting is np.unique over that doc's gram
+    array (bounded by doc length, no corpus-wide state). The DuckDB
+    oracle recomputes everything from raw text with window slices.
+    """
+    import numpy as np
+    from typing import Iterator
+
+    import pandas as pd
+
+    def part(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = {"id": [], "top2": [], "top3": [], "top4": [], "dup5": []}
+            for i, t in zip(pdf["id"], pdf["txt"]):
+                t = t or ""
+                words = t.split()
+                L = max(len(t), 1)
+                # factorize words -> int ids; n-gram counting is then
+                # np.unique over the strided id matrix — exact and fully
+                # vectorized, no per-gram string building
+                _, ids = np.unique(np.array(words, dtype=object),
+                                   return_inverse=True)
+                wl = np.fromiter((len(w) for w in words), dtype=np.int64,
+                                 count=len(words))
+                cum = np.concatenate(([0], np.cumsum(wl)))
+                tops = {}
+                for n in (2, 3, 4):
+                    if len(words) < n:
+                        tops[n] = 0.0
+                        continue
+                    M = np.lib.stride_tricks.sliding_window_view(ids, n)
+                    _, first, counts = np.unique(
+                        M, axis=0, return_index=True, return_counts=True
+                    )
+                    rep = counts >= 2
+                    if not rep.any():
+                        tops[n] = 0.0
+                        continue
+                    glen = cum[first + n] - cum[first] + (n - 1)
+                    tops[n] = float((counts[rep] * glen[rep]).max()) / L
+                if len(words) < 5:
+                    dup5 = 0.0
+                else:
+                    M5 = np.lib.stride_tricks.sliding_window_view(ids, 5)
+                    total = len(M5)
+                    dup5 = (total - len(np.unique(M5, axis=0))) / total
+                rows["id"].append(i)
+                rows["top2"].append(tops[2])
+                rows["top3"].append(tops[3])
+                rows["top4"].append(tops[4])
+                rows["dup5"].append(dup5)
+            if rows["id"]:
+                yield pd.DataFrame(rows)
+
+    out = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("txt")
+    ).mapInPandas(
+        part, schema="id long, top2 double, top3 double, top4 double, dup5 double"
+    )
+    r = lambda c: F.round(F.col(c) + F.lit(1e-9), 6)  # noqa: E731
+    return out.select(
+        F.col("id").alias(id_col),
+        r("top2").alias("top2_char_frac"),
+        r("top3").alias("top3_char_frac"),
+        r("top4").alias("top4_char_frac"),
+        r("dup5").alias("dup5_frac"),
+        (
+            (F.col("top2") > 0.20) | (F.col("top3") > 0.18)
+            | (F.col("top4") > 0.16) | (F.col("dup5") > 0.15)
+        ).alias("repetitive"),
+    )
+
+
+# PII patterns chosen to parse identically under Java regex (Spark) and
+# RE2 (DuckDB oracle): no lookaround, no backreferences.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d{1,3}[- ]\(?\d{2,4}\)?[- ]\d{3,4}[- ]?\d{2,4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4-style PII scrub: emails, IPv4s and phone-shaped numbers replaced
+    by typed placeholder tokens, applied as a fixed cascade (email -> ip
+    -> phone, each counted on the text the previous stage produced so
+    counts sum to replacements made). Pure codegen regexp expressions —
+    scan-stage, zero shuffles, composable into any corpus projection.
+
+    Deliberately conservative patterns (precision over recall — a false
+    redaction destroys clean training text); the pattern list is the
+    extension point."""
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(
+            F.coalesce(F.regexp_count(cur, F.lit(pat)), F.lit(0))
+            .cast("long").alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, pat, token)
+    return df.select(
+        "*", *counts, cur.alias(f"{text_col}_redacted")
+    )

@@ -72,3 +72,74 @@ def test_ratios_and_quality_bounds(spark, docs):
     by_id = {r["doc_id"]: r for r in out}
     assert by_id[2]["d"] > 0.5  # digit-heavy doc
     assert by_id[0]["q"] > by_id[2]["q"]  # prose beats number noise
+
+
+def test_repetition_metrics_gopher_rules(spark):
+    """Gopher repetition signals vs a direct python reference; the
+    published-threshold flag fires on planted repetitive docs only."""
+    from chronon_spark.operators.text import repetition_metrics
+
+    docs = spark.createDataFrame(
+        [
+            (0, "buy now " * 30),                      # extreme repetition
+            (1, "a genuinely varied sentence with many distinct words "
+                "covering different topics and no repeats at all"),
+            (2, "alpha beta gamma " + "delta epsilon " * 12),
+            (3, ""),
+            (4, "one two"),                            # shorter than 5-gram
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           repetition_metrics(docs, "doc_id", "text").collect()}
+
+    def ref(t):
+        words = t.split()
+        L = max(len(t), 1)
+        vals = {}
+        for n in (2, 3, 4):
+            grams = [" ".join(words[j:j + n])
+                     for j in range(max(len(words) - n + 1, 0))]
+            if not grams:
+                vals[n] = 0.0
+                continue
+            from collections import Counter
+            c = Counter(grams)
+            reps = [cnt * len(g) for g, cnt in c.items() if cnt >= 2]
+            vals[n] = (max(reps) / L) if reps else 0.0
+        g5 = [" ".join(words[j:j + 5])
+              for j in range(max(len(words) - 4, 0))]
+        dup5 = 0.0 if not g5 else (len(g5) - len(set(g5))) / len(g5)
+        return vals[2], vals[3], vals[4], dup5
+
+    for r in docs.collect():
+        e2, e3, e4, e5 = ref(r["text"])
+        got = out[r["doc_id"]]
+        assert got["top2_char_frac"] == round(e2 + 1e-9, 6), r["doc_id"]
+        assert got["top3_char_frac"] == round(e3 + 1e-9, 6)
+        assert got["top4_char_frac"] == round(e4 + 1e-9, 6)
+        assert got["dup5_frac"] == round(e5 + 1e-9, 6)
+    assert out[0]["repetitive"] and out[2]["repetitive"]
+    assert not out[1]["repetitive"] and not out[3]["repetitive"]
+
+
+def test_redact_pii_planted(spark):
+    from chronon_spark.operators.text import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (0, "contact john.doe+spam@example.co.uk or call +1-415 555-0199"),
+            (1, "server at 192.168.1.254 responded"),
+            (2, "clean text with number 42 and nothing private"),
+            (3, "two mails: a@b.io c.d@e-f.org; ip 10.0.0.1"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert out[0]["n_email"] == 1 and "<EMAIL>" in out[0]["text_redacted"]
+    assert out[0]["n_phone"] == 1 and "<PHONE>" in out[0]["text_redacted"]
+    assert "john.doe" not in out[0]["text_redacted"]
+    assert out[1]["n_ip"] == 1 and "<IP>" in out[1]["text_redacted"]
+    assert out[2]["text_redacted"] == out[2]["text"]
+    assert (out[2]["n_email"], out[2]["n_ip"], out[2]["n_phone"]) == (0, 0, 0)
+    assert out[3]["n_email"] == 2 and out[3]["n_ip"] == 1
