@@ -345,28 +345,52 @@ class ParquetWarehouse:
             "files_after": sum(after.values()),
         }
 
-    def expire_snapshots(self, table: str) -> int:
-        """Garbage-collect: physically delete files no longer live and
-        collapse the log to one snapshot (Iceberg expire_snapshots — time
-        travel before the expiry point is gone, current reads unchanged).
-        Returns the number of files deleted."""
+    def expire_snapshots(self, table: str, retain_last: int = 1) -> int:
+        """Garbage-collect with retention (Iceberg expire_snapshots
+        retain-last semantics): keep the newest `retain_last` snapshots
+        time-travelable; every data file referenced by any retained
+        version survives, everything older is physically deleted and the
+        log is rebased onto a baseline snapshot carrying the oldest
+        retained version's live set (so replay of the retained deltas
+        still reconstructs each kept version exactly). retain_last=1 is
+        the classic collapse-to-current. Returns files deleted."""
         snaps = self.snapshots(table)
         if not snaps:
             return 0
-        live = set(self._live_files(table) or [])
-        dead = sorted(self._data_files(table) - live)
+        retain_last = max(1, retain_last)
+        retained = snaps[-retain_last:]
+        cut_sid = retained[0]["snapshot_id"]
         root = self.path(table)
+
+        def live_at(sid: int) -> set:
+            live: set = set()
+            for s in snaps:
+                if s["snapshot_id"] > sid:
+                    break
+                live.update(s["added_files"])
+                live.difference_update(s["removed_files"])
+            return live
+
+        keep: set = set()
+        for s in retained:
+            keep |= live_at(s["snapshot_id"])
+        keep = {f for f in keep if os.path.exists(os.path.join(root, f))}
+        dead = sorted(self._data_files(table) - keep)
         for f in dead:
             try:
                 os.remove(os.path.join(root, f))
             except FileNotFoundError:
                 pass
         sdir = self._snapshot_dir(table)
-        sid = self.latest_snapshot_id(table)
         for f in os.listdir(sdir):
             if f.startswith("v") and f.endswith(".json"):
-                os.remove(os.path.join(sdir, f))
-        self._commit_snapshot_with_id(table, sid, "expire", sorted(live))
+                if int(f[1:-5]) <= cut_sid:
+                    os.remove(os.path.join(sdir, f))
+        baseline = sorted(
+            f for f in live_at(cut_sid)
+            if os.path.exists(os.path.join(root, f))
+        )
+        self._commit_snapshot_with_id(table, cut_sid, "expire", baseline)
         return len(dead)
 
     def _commit_snapshot_with_id(

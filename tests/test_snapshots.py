@@ -423,3 +423,32 @@ def test_commit_rebase_preserves_other_partition_writes(spark, wh):
     last = wh.snapshots("t")[-1]
     # the day-2 commit replaced ONLY day-2 files
     assert all("2024-01-02" in f for f in last["removed_files"])
+
+
+def test_expire_retain_last_keeps_recent_versions(spark, wh):
+    """expire_snapshots(retain_last=2): the newest two versions stay
+    byte-identical via time travel, older versions' exclusive files are
+    physically gone, and current reads are untouched."""
+    for v in (1.0, 2.0, 3.0):
+        wh.insert_overwrite(
+            _day_rows(spark, {"2024-01-01": [(int(v), v)]}), "t")
+    snaps = wh.snapshots("t")
+    assert len(snaps) >= 3
+    sid_v2, sid_v3 = snaps[-2]["snapshot_id"], snaps[-1]["snapshot_id"]
+    v2_rows = {(r["user_id"], r["value"])
+               for r in wh.read_at("t", sid_v2).collect()}
+    v3_rows = {(r["user_id"], r["value"])
+               for r in wh.read_at("t", sid_v3).collect()}
+
+    deleted = wh.expire_snapshots("t", retain_last=2)
+    assert deleted >= 1  # v1's exclusive file gone
+    assert {(r["user_id"], r["value"]) for r in wh.read("t").collect()} == v3_rows
+    assert {(r["user_id"], r["value"])
+            for r in wh.read_at("t", sid_v2).collect()} == v2_rows
+    assert {(r["user_id"], r["value"])
+            for r in wh.read_at("t", sid_v3).collect()} == v3_rows
+    # log rebased: oldest entry is the baseline at v2's id
+    assert wh.snapshots("t")[0]["snapshot_id"] == sid_v2
+    assert wh.snapshots("t")[0]["operation"] == "expire"
+    # idempotent second expire with same retention deletes nothing
+    assert wh.expire_snapshots("t", retain_last=2) == 0
