@@ -120,6 +120,13 @@ def weighted_mix(
     for name, df, epochs in sources:
         if epochs < 0:
             raise ValueError(f"negative epochs for {name}")
+        if epochs > 32:
+            # each full copy is one more unioned scan branch in the plan;
+            # past a few dozen the planner cost outweighs any mixing value
+            raise ValueError(
+                f"epochs {epochs} for {name} exceeds 32 — repeat at the "
+                "training-loader level instead of the plan level"
+            )
         full = int(epochs)
         frac = epochs - full
         copies = []

@@ -226,3 +226,8 @@ def test_curate_corpus_invariants(spark):
         assert len(canon) == 1 and canon[0]["doc_id"] == cid == min(
             m["doc_id"] for m in members
         )
+
+
+def test_weighted_mix_rejects_plan_blowup_epochs(docs):
+    with pytest.raises(ValueError):
+        weighted_mix([("a", docs, 33.0)], "doc_id")
