@@ -431,6 +431,14 @@ class ParquetWarehouse:
         snaps = self.snapshots(table)
         if not snaps:  # logless table: only the current version exists
             return self.read(table)
+        if snapshot_id < snaps[0]["snapshot_id"]:
+            # after retention-expiry the log starts at the rebased
+            # baseline — older versions are GONE; failing loudly beats a
+            # silently-empty frame (Iceberg raises for expired snapshots)
+            raise ValueError(
+                f"snapshot {snapshot_id} of {table} has been expired "
+                f"(oldest retained: {snaps[0]['snapshot_id']})"
+            )
         live: set[str] = set()
         for s in snaps:
             if s["snapshot_id"] > snapshot_id:

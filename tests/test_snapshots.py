@@ -452,3 +452,13 @@ def test_expire_retain_last_keeps_recent_versions(spark, wh):
     assert wh.snapshots("t")[0]["operation"] == "expire"
     # idempotent second expire with same retention deletes nothing
     assert wh.expire_snapshots("t", retain_last=2) == 0
+
+
+def test_read_at_expired_snapshot_raises(spark, wh):
+    for v in (1.0, 2.0, 3.0):
+        wh.insert_overwrite(
+            _day_rows(spark, {"2024-01-01": [(int(v), v)]}), "t")
+    sid_v1 = wh.snapshots("t")[0]["snapshot_id"]
+    wh.expire_snapshots("t", retain_last=2)
+    with pytest.raises(ValueError, match="expired"):
+        wh.read_at("t", sid_v1)
