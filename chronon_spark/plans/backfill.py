@@ -87,6 +87,26 @@ def semantic_hash(config) -> str:
     return hashlib.sha1(blob.encode()).hexdigest()[:16]
 
 
+def column_hashes(group_by: GroupBy) -> dict[str, str]:
+    """MetaData.columnHashes analog (api.thrift:308-311): output column
+    name -> semantic hash covering the GroupBy CORE (sources: expressions,
+    tables, filters, keys, time columns) plus that column's aggregation —
+    exactly the per-aggregation decomposition agg_aware_hash uses for
+    additive schema evolution, exposed per OUTPUT column for column-level
+    lineage/change detection. Aggregation op/window/bucket affect only the
+    NAME, so (per the thrift contract) two columns share a hash iff they
+    aggregate the same input under the same scan."""
+    from dataclasses import replace
+
+    core = semantic_hash(replace(group_by, aggregations=None))
+    out: dict[str, str] = {}
+    for agg in group_by.aggregations or []:
+        h = f"{core}+{semantic_hash(agg)}"
+        for part in agg.unpack():
+            out[part.output_name] = hashlib.sha1(h.encode()).hexdigest()[:16]
+    return out
+
+
 @dataclass
 class StepResult:
     rng: PartitionRange

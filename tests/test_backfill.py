@@ -289,3 +289,34 @@ def test_backfill_start_date_clamps_requested_range(spark, tmp_path):
     rep = groupby_backfill(spark, wh, gb, "out").run("2024-01-01", "2024-01-06")
     assert rep.requested.start == "2024-01-04"
     assert wh.partitions("out") == ["2024-01-04", "2024-01-05", "2024-01-06"]
+
+
+def test_column_hashes_contract(spark):
+    """MetaData.columnHashes analog: windows/op variants of the same
+    (input, scan) share or split hashes per the thrift contract; source
+    expression or filter changes flip every column's hash."""
+    from chronon_spark.api import (
+        Aggregation, EventSource, GroupBy, Operation, Query, Window,
+    )
+    from chronon_spark.plans.backfill import column_hashes
+
+    def mk(expr="value", where=None):
+        return GroupBy(
+            sources=[EventSource("t", Query(
+                selects={"u": "u", "v": expr}, wheres=where, time_column="ts"))],
+            key_columns=["u"],
+            aggregations=[
+                Aggregation("v", Operation.SUM, windows=[Window(7), None]),
+                Aggregation("v", Operation.MAX, windows=[Window(7)]),
+            ],
+            name="g",
+        )
+
+    base = column_hashes(mk())
+    assert set(base) == {"v_sum_7d", "v_sum", "v_max_7d"}
+    # window variants of one aggregation share; different op splits
+    assert base["v_sum_7d"] == base["v_sum"] != base["v_max_7d"]
+    # source-expression change flips ALL columns
+    assert set(column_hashes(mk("value * 2")).values()).isdisjoint(base.values())
+    # filter change flips too
+    assert set(column_hashes(mk(where=["v > 0"])).values()).isdisjoint(base.values())
