@@ -149,6 +149,11 @@ def quality_percentile_gate(
     two-pass variant (approx threshold per group, then a scan-stage
     filter) if a full per-group sort is too hot — the exact window form
     is the verification baseline.
+
+    Edge semantics (identical in Spark and DuckDB, pinned by the oracle):
+    a singleton group's only row has percent_rank 0.0 and is DROPPED for
+    any min_percentile > 0 — percentile gating needs a population; route
+    tiny groups around the gate if they must survive.
     """
     from pyspark.sql.window import Window as W
 
