@@ -45,6 +45,7 @@ import os
 import re
 from typing import Optional, Sequence
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from chronon_spark.partitions import DEFAULT_SPEC, PartitionRange, PartitionSpec
@@ -572,3 +573,48 @@ class Catalog:
         except Exception:
             pass
         return ParquetWarehouse(spark, root)
+
+
+def zorder_column(
+    cols: Sequence[tuple[str, float, float]], bits: int = 16
+):
+    """Z-order (Morton) key over up to 4 numeric columns — the multi-
+    column layout complement to linear `cluster_by`: linear clustering
+    prunes footer min/max only on the LEADING column; range-partitioning
+    on the interleaved key gives every listed column narrow per-file
+    ranges, so scans filtering on ANY of them skip files.
+
+    cols: (column, lo, hi) with the scaling bounds (from partition_stats'
+    footer walk — no data scan needed); values clamp to [lo, hi] and
+    scale to `bits` levels before bit interleaving. One Arrow-batched
+    pandas UDF, vectorized interleave, flat plan at any width.
+
+    Usage: df.withColumn("__z", zorder_column([...]));
+           warehouse.insert_overwrite(df, t, cluster_by=("__z",)).
+    """
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    if not 1 <= len(cols) <= 4:
+        raise ValueError("zorder supports 1-4 columns")
+    names = [c for c, _, _ in cols]
+    bounds = [(float(lo), float(hi)) for _, lo, hi in cols]
+    k = len(cols)
+
+    @pandas_udf("long")
+    def _z(struct: pd.DataFrame) -> pd.Series:
+        out = np.zeros(len(struct), dtype=np.int64)
+        quant = []
+        for (lo, hi), name in zip(bounds, names):
+            v = struct[name].to_numpy(dtype=np.float64, na_value=lo)
+            span = max(hi - lo, 1e-12)
+            q = np.clip((v - lo) / span, 0.0, 1.0)
+            quant.append((q * ((1 << bits) - 1)).astype(np.int64))
+        # interleave: bit b of column j lands at position b*k + j
+        for b in range(bits):
+            for j, q in enumerate(quant):
+                out |= ((q >> b) & 1) << (b * k + j)
+        return pd.Series(out)
+
+    return _z(F.struct(*[F.col(c).alias(c) for c in names]))

@@ -104,3 +104,56 @@ def test_backfill_cluster_by_threads_through(spark, wh):
                           columns=["user_id"]).to_pandas()
         vals = t["user_id"].tolist()
         assert vals == sorted(vals)
+
+
+def test_zorder_prunes_both_dimensions(spark, wh):
+    """Z-order clustering: with two independent columns, every data file
+    covers a NARROW slice of BOTH (footer min/max), whereas linear
+    cluster_by only narrows the leading column."""
+    import numpy as np
+
+    from chronon_spark.sources.catalog import zorder_column
+
+    rng = np.random.RandomState(5)
+    n = 20_000
+    df = spark.createDataFrame(
+        [(int(x), int(y), "2024-01-01") for x, y in
+         zip(rng.randint(0, 10_000, n), rng.randint(0, 10_000, n))],
+        "x long, y long, ds string",
+    )
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        wh.insert_overwrite(
+            df.withColumn("__z", zorder_column([("x", 0, 10_000), ("y", 0, 10_000)])),
+            "tz", cluster_by=("__z",),
+        )
+        wh.insert_overwrite(df, "tl", cluster_by=("x", "y"))
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+
+    def widths(table, col):
+        out = []
+        for rel in wh._live_files(table):
+            md = pq.read_metadata(os.path.join(wh.path(table), rel))
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            lo = min(md.row_group(g).column(idx[col]).statistics.min
+                     for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(idx[col]).statistics.max
+                     for g in range(md.num_row_groups))
+            out.append((hi - lo) / 10_000)
+        return out
+
+    def mean(xs):
+        return sum(xs) / len(xs)
+
+    assert len(widths("tz", "x")) >= 6
+    # z-order: BOTH dimensions narrow on average per file (range-sampled
+    # key boundaries mean an occasional straddler, hence mean not max)
+    assert mean(widths("tz", "x")) < 0.7 and mean(widths("tz", "y")) < 0.7
+    # linear: leading column narrow, second column spans ~everything
+    assert mean(widths("tl", "x")) < 0.35
+    assert mean(widths("tl", "y")) > 0.9
+    # rows identical either way
+    assert wh.read("tz").count() == wh.read("tl").count() == 20_000
