@@ -52,10 +52,20 @@ def curate_corpus(
         docs, text_col, group_col=group_col,
         min_percentile=min_quality_percentile,
     )
-    clean = decontaminate(
-        gated, eval_df, id_col, text_col,
-        n=decontaminate_n, min_overlap=decontaminate_min_overlap,
-    ).where(~F.col("contaminated"))
+    # `clean` feeds THREE consumers (signature pass, cluster join, output
+    # projection) — persist it so the quality window + decontamination
+    # sweep run once, not once per consumer. Survivors are a fraction of
+    # the corpus and spill to disk if they don't fit; a production-scale
+    # run materializes each stage through the warehouse (BackfillJob)
+    # instead, which also buys resume.
+    clean = (
+        decontaminate(
+            gated, eval_df, id_col, text_col,
+            n=decontaminate_n, min_overlap=decontaminate_min_overlap,
+        )
+        .where(~F.col("contaminated"))
+        .persist()
+    )
     pairs = minhash_lsh_pairs(
         clean, id_col, text_col, n=dedup_n, threshold=dedup_threshold
     )
