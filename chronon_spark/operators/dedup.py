@@ -1002,8 +1002,17 @@ def duplicate_spans(
             (F.col("cnt") >= min_count) & (F.col("rn") > 1)
         ).select("id", "pos")
     else:
-        dup = grams.groupBy("g").count().where(F.col("count") >= min_count)
-        hits = grams.join(dup.select("g"), "g")
+        # count-over-window instead of groupBy+join-back: ONE scan of the
+        # gram pass and ONE shuffle on the gram hash (the join shape would
+        # re-run the Arrow hashing pass for the probe side and shuffle the
+        # gram table twice)
+        hits = (
+            grams.withColumn(
+                "cnt", F.count(F.lit(1)).over(W.partitionBy("g"))
+            )
+            .where(F.col("cnt") >= min_count)
+            .select("id", "pos")
+        )
 
     w = W.partitionBy("id").orderBy("pos")
     prev_max_end = F.max(F.col("pos") + n).over(
