@@ -101,9 +101,11 @@ def ngram_jaccard_pairs(
     `max_df` drops shingles appearing in more than that many docs before
     the join (recall tradeoff documented at call sites).
     """
+    # cache: the inverted index self-joins (a x b) — without it the Arrow
+    # shingle pass executes once per join side
     docs = with_shingle_fps_arrow(df, id_col, text_col, n).withColumn(
         "sz", F.size("sh")
-    )
+    ).cache()
     inv = docs.select("id", "sz", F.explode("sh").alias("s"))
     if max_df is not None:
         hot = inv.groupBy("s").count().where(F.col("count") > max_df).select("s")
@@ -452,7 +454,11 @@ def embedding_neardup_pairs(
     docs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if dim is None:
         dim = len(docs.select("v").first()["v"])
-    sketch = docs.withColumn("bits", hyperplane_bits(F.col("v"), dim, planes))
+    # cache: the bucket self-join (a x b) would otherwise run the Arrow
+    # sketch matmul once per side (plus once for the bucket-size cap)
+    sketch = docs.withColumn(
+        "bits", hyperplane_bits(F.col("v"), dim, planes)
+    ).cache()
     if max_bucket is not None:
         hot = (
             sketch.groupBy("bits").count()
