@@ -597,3 +597,46 @@ def test_remove_spans_surgery(spark):
                 1: boiler + "-middle-" + boiler}[d]
         assert out[d][1] == len(orig) - len(out[d][0])
         assert out[d][1] > 0
+
+
+def test_duplicate_spans_randomized_high_collision(spark):
+    """Randomized sweep on a 3-letter alphabet with n=5: heavy genuine
+    duplication, overlapping merges, whole-doc dups — engine must equal
+    the string-exact brute force on every doc."""
+    import numpy as np
+
+    from chronon_spark.operators.dedup import duplicate_spans
+
+    rng = np.random.RandomState(17)
+    alphabet = np.array(list("ab "))
+    docs = [(i, "".join(rng.choice(alphabet, size=rng.randint(0, 40))))
+            for i in range(40)]
+    docs += [(100, docs[3][1]), (101, docs[3][1])]  # whole-doc dups
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    n = 5
+    got = {}
+    for r in duplicate_spans(df, "doc_id", "text", n=n).collect():
+        got.setdefault(r["doc_id"], set()).add(
+            (r["span_start"], r["span_end"], r["dup_grams"]))
+
+    grams = {}
+    for d, t in docs:
+        for i in range(len(t) - n + 1):
+            grams.setdefault(t[i:i + n], []).append((d, i + 1))
+    marked = {}
+    for g, occ in grams.items():
+        if len(occ) >= 2:
+            for d, p in occ:
+                marked.setdefault(d, set()).add(p)
+    want = {}
+    for d, ps in marked.items():
+        spans, cur = [], None
+        for p in sorted(ps):
+            if cur and p <= cur[1]:
+                cur[1] = max(cur[1], p + n)
+                cur[2] += 1
+            else:
+                cur = [p, p + n, 1]
+                spans.append(cur)
+        want[d] = {tuple(sp) for sp in spans}
+    assert got == want
