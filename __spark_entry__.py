@@ -1544,7 +1544,24 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.writeStream.format("memory").queryName(qname)
         .outputMode("update").trigger(availableNow=True).start()
     )
-    q.awaitTermination(300)
+    # availableNow terminates on its own, but on a loaded driver the single
+    # 300s wait can return False with the stream still running — reading the
+    # memory sink then yields PARTIAL per-key state (rows match, hashes
+    # don't). Loop until the query actually stops and fail loudly otherwise.
+    import time as _time
+
+    deadline = _time.monotonic() + 540
+    while q.isActive:
+        if q.awaitTermination(30):
+            break
+        if _time.monotonic() > deadline:
+            q.stop()
+            raise TimeoutError(
+                "stream_stateful_features: availableNow stream did not "
+                "terminate within 540s; refusing to read a partial sink"
+            )
+    if q.exception() is not None:
+        raise q.exception()
     from pyspark.sql.window import Window as W
 
     final = (
@@ -2404,7 +2421,289 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# composite suites
+#
+# The driver's correctness gate records the FIRST 50 entries of queries() in
+# registry order; the registry grew past that in round 3, leaving whole
+# operator families (join variants, corpus curation, observability) without a
+# driver row.  Each suite below tag-unions several already-green granular
+# query/oracle pairs into ONE gate row: every granular column `c` of part `p`
+# becomes `p__c`, rows are unioned by name with NULL padding (Spark
+# unionByName(allowMissingColumns=True) == DuckDB UNION ALL BY NAME), so the
+# suite hash-matches iff every member hash-matches.  The granular entries stay
+# registered after position 50 — tools/check_oracle.py still validates each
+# one individually.
+# ---------------------------------------------------------------------------
+
+_COMPOSITE_SPECS: dict[str, list[str]] = {
+    "scan_dsl_setups": ["scan_query_dsl", "scan_udf_setups"],
+    "groupby_snapshot_suite": [
+        "groupby_snapshot_windows",
+        "groupby_snapshot_moments",
+        "groupby_snapshot_distinct_firstlast",
+    ],
+    "groupby_snapshot_rank": [
+        "groupby_snapshot_percentile",
+        "groupby_snapshot_histogram",
+        "groupby_snapshot_topk",
+        "groupby_approx_unique",
+        "groupby_frequent_k",
+        "groupby_unique_topk_struct",
+    ],
+    "temporal_rank_suite": [
+        "temporal_lastk",
+        "temporal_topk",
+        "temporal_histogram",
+        "temporal_percentile",
+    ],
+    "staging_suite": [
+        "staging_query",
+        "staging_orders_summary",
+        "staging_revenue_by_nation",
+    ],
+    "join_variants_suite": [
+        "temporal_join_salted",
+        "temporal_join_smallmode",
+        "temporal_join_midsize",
+        "temporal_join_skewfilter",
+        "join_noagg_passthrough",
+        "join_derivations",
+    ],
+    "observability_suite": [
+        "feature_stats",
+        "analyze_skew_keys",
+        "compare_tables",
+        "drift_metrics",
+        "analyze_join_schema",
+    ],
+    "corpus_sampling_suite": [
+        "corpus_split",
+        "corpus_stratified_sample",
+        "corpus_weighted_mix",
+        "corpus_pack",
+    ],
+    "corpus_filters_suite": [
+        "corpus_quality_gate",
+        "corpus_repetition",
+        "corpus_redact_pii",
+        "corpus_decontaminate",
+    ],
+    "dedup_incremental_suite": ["dedup_incremental", "image_phash_incremental"],
+}
+
+# Output columns of every granular query a suite unions (bool columns are
+# CAST to BIGINT on both sides: NULL-padded pandas booleans normalize
+# differently per engine).  Kept in sync with the granular projections above;
+# tools/check_oracle.py fails loudly on drift (column sets are compared).
+_QCOLS: dict[str, list[str]] = {
+    "scan_query_dsl": ["event_id", "user_id", "ts", "value_cents"],
+    "scan_udf_setups": ["event_id", "usd", "tier"],
+    "groupby_snapshot_windows": [
+        "user_id", "ds", "value_sum_7d", "value_sum", "value_count_7d",
+        "value_average_7d", "value_min_7d", "value_max_7d",
+    ],
+    "groupby_snapshot_moments": [
+        "user_id", "ds", "value_variance_7d", "value_skew_7d",
+        "value_kurtosis_7d",
+    ],
+    "groupby_snapshot_distinct_firstlast": [
+        "user_id", "ds", "event_type_unique_count_3d", "value_first_7d",
+        "value_last_7d",
+    ],
+    "groupby_snapshot_percentile": ["user_id", "ds", "p50_3d", "p90_3d"],
+    "groupby_snapshot_histogram": ["user_id", "ds", "uniq_3d", "etype", "cnt"],
+    "groupby_snapshot_topk": ["user_id", "ds", "top3", "bottom3", "utop3"],
+    "groupby_approx_unique": ["user_id", "ds", "approx_uniq_7d"],
+    "groupby_frequent_k": ["user_id", "ds", "freq2", "hh2"],
+    "groupby_unique_topk_struct": ["user_id", "ds", "utk3"],
+    "temporal_lastk": ["event_id", "user_id", "ts", "last3_types"],
+    "temporal_topk": ["event_id", "user_id", "ts", "top3_cents"],
+    "temporal_histogram": ["event_id", "user_id", "ts", "etype", "cnt"],
+    "temporal_percentile": ["event_id", "user_id", "ts", "p50_7d", "p95_7d"],
+    "staging_query": [
+        "l_returnflag", "l_linestatus", "sum_qty", "sum_disc_price",
+        "avg_price", "count_order",
+    ],
+    "staging_orders_summary": [
+        "priority", "status", "n_orders", "n_custs", "total_price",
+    ],
+    "staging_revenue_by_nation": ["nation", "revenue", "n_items"],
+    "temporal_join_salted": [
+        "event_id", "user_id", "ts", "count_1d", "count_life", "sum_7d",
+    ],
+    "temporal_join_smallmode": [
+        "event_id", "user_id", "ts", "count_1d", "count_life", "sum_7d",
+    ],
+    "temporal_join_midsize": [
+        "event_id", "user_id", "ts", "count_1d", "count_life", "sum_7d",
+    ],
+    "temporal_join_skewfilter": [
+        "event_id", "user_id", "ts", "count_1d", "count_life", "sum_7d",
+    ],
+    "join_noagg_passthrough": ["event_id", "cust", "ts", "bal_cents"],
+    "join_derivations": [
+        "event_id", "user_id", "ts", "count_1d", "lifetime_count", "usd_7d",
+        "spend_rate_1d",
+    ],
+    "feature_stats": [
+        "ds", "column", "total", "null_count", "null_rate", "unique_count",
+        "zero_count", "min_value", "max_value", "avg_value", "variance",
+        "p05", "p25", "p50", "p75", "p95",
+    ],
+    "analyze_skew_keys": ["col_name", "key_value", "cnt"],
+    "compare_tables": [
+        "column", "total", "both_null", "left_null", "right_null",
+        "mismatch", "smape", "diff_p05", "diff_p50", "diff_p95",
+    ],
+    "drift_metrics": ["column", "kind", "metric", "score", "severity"],
+    "analyze_join_schema": [
+        "name", "column_type", "operation", "window", "input_column",
+        "group_by",
+    ],
+    "corpus_split": ["doc_id", "bucket", "split"],
+    "corpus_stratified_sample": ["doc_id", "lang", "source"],
+    "corpus_weighted_mix": ["doc_id", "mix_source", "mix_copy"],
+    "corpus_pack": ["pack_key", "id", "tokens", "bin"],
+    "corpus_quality_gate": ["doc_id", "lang", "quality", "q_rank"],
+    "corpus_repetition": [
+        "doc_id", "top2_char_frac", "top3_char_frac", "top4_char_frac",
+        "dup5_frac", "repetitive",
+    ],
+    "corpus_redact_pii": [
+        "doc_id", "n_email", "n_ip", "n_phone", "text_redacted",
+    ],
+    "corpus_decontaminate": ["doc_id", "eval_overlap", "contaminated"],
+    "dedup_incremental": ["new_id", "corpus_id", "jaccard"],
+    "image_phash_incremental": ["new_id", "corpus_id", "hamming"],
+}
+
+_BOOL_COLS: dict[str, set[str]] = {
+    "corpus_repetition": {"repetitive"},
+    "corpus_decontaminate": {"contaminated"},
+}
+
+
+def _composite_sql(base: dict[str, str], spec: list[str]) -> str:
+    """UNION ALL BY NAME over the members' oracle SQL, columns tag-prefixed."""
+    selects = []
+    for name in spec:
+        bools = _BOOL_COLS.get(name, set())
+        proj = ", ".join(
+            f'CAST("{c}" AS BIGINT) AS "{name}__{c}"' if c in bools
+            else f'"{c}" AS "{name}__{c}"'
+            for c in _QCOLS[name]
+        )
+        selects.append(f"SELECT {proj} FROM ({base[name]})")
+    return "\nUNION ALL BY NAME\n".join(selects)
+
+
+def _composite_df(parts: list[tuple[str, DataFrame]]) -> DataFrame:
+    dfs = []
+    for name, df in parts:
+        cols = []
+        for fld in df.schema.fields:
+            c = F.col(fld.name)
+            if fld.dataType.simpleString() == "boolean":
+                c = c.cast("long")
+            cols.append(c.alias(f"{name}__{fld.name}"))
+        dfs.append(df.select(cols))
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out
+
+
+def _make_composite(spec: list[str]) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        granular = _granular_queries()
+        return _composite_df([(n, granular[n](spark, sf_dir)) for n in spec])
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry, ordered so the driver's 50-row gate window covers every
+    SURVEY.md §2 family and every LLM-pipeline operator: composite suites
+    stand in for their members inside the window; the granular members
+    follow after position 50 for local-gate coverage."""
+    granular = _granular_queries()
+    suites = {n: _make_composite(s) for n, s in _COMPOSITE_SPECS.items()}
+    in_suite = {m for spec in _COMPOSITE_SPECS.values() for m in spec}
+    window = [
+        # scans / sources
+        "scan_dsl_setups",
+        "cumulative_source",
+        "groupby_multisource_union",
+        # snapshot groupby
+        "groupby_snapshot_suite",
+        "groupby_snapshot_rank",
+        "groupby_bucketed",
+        "groupby_autoexplode",
+        "groupby_mapcol",
+        "entity_groupby",
+        # temporal
+        "temporal_join_asof",
+        "temporal_rank_suite",
+        "temporal_entity_mutations",
+        "temporal_groupby_self",
+        # joins
+        "snapshot_join_yesterday",
+        "join_variants_suite",
+        "mixed_accuracy_join",
+        "joinsource_chained",
+        "bootstrap_covered",
+        # analytics
+        "sessionize",
+        "lag_lead",
+        # staging / orchestration
+        "staging_suite",
+        "staging_recompute",
+        "backfill_resume",
+        "incremental_refresh",
+        "partition_stats",
+        "sketch_ir_quantiles",
+        "model_transform_score",
+        # streaming
+        "stream_stateful_features",
+        # observability
+        "observability_suite",
+        # text / corpus pipeline
+        "text_features",
+        "corpus_filters_suite",
+        "corpus_sampling_suite",
+        "corpus_curation",
+        # dedup family
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "dedup_minhash",
+        "dedup_simhash",
+        "dedup_substring_spans",
+        "dedup_clusters",
+        "dedup_incremental_suite",
+        # embeddings / ANN
+        "embedding_topk",
+        "embedding_lsh_topk",
+        "embedding_neardup",
+        "embedding_ivf_topk",
+        # multimodal
+        "image_pixel_features",
+        "image_asof_features",
+        "image_phash_neardup",
+        "image_curation",
+        "video_frame_features",
+        "audio_clip_features",
+    ]
+    assert len(window) == 50, len(window)
+    merged = {**granular, **suites}
+    out = {n: merged[n] for n in window}
+    for n, fn in granular.items():
+        if n not in out:
+            out[n] = fn
+    return out
+
+
+def _granular_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_query_dsl": q_scan_query_dsl,
         "scan_udf_setups": q_scan_udf_setups,
@@ -2505,6 +2804,14 @@ def _snap_window(n_days: int) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    base = _oracle_sql_granular()
+    for name, spec in _COMPOSITE_SPECS.items():
+        if all(part in base for part in spec):
+            base[name] = _composite_sql(base, spec)
+    return base
+
+
+def _oracle_sql_granular() -> dict[str, str]:
     _image_fixture_path()  # the image oracles read the fixture parquet
     _video_fixture_path()  # ditto video
     _audio_fixture_path()  # ditto audio
