@@ -807,10 +807,23 @@ def minhash_lsh_pairs_incremental(
     new_docs = with_shingles_and_signature(
         new_df, id_col, text_col, n, num_hashes
     ).cache()
-    corpus_docs = (
-        corpus if corpus_is_index
-        else with_shingles_and_signature(corpus, id_col, text_col, n, num_hashes)
-    ).cache()
+    if corpus_is_index:
+        # A persisted index built with a DIFFERENT num_hashes would make
+        # F.slice run past the signature end: every band key degenerates
+        # to the same short/empty array on both sides and the band join
+        # silently tends toward all-pairs. Probe one row and fail loudly.
+        probe = corpus.select(F.size("sig").alias("m")).limit(1).collect()
+        if probe and probe[0]["m"] != num_hashes:
+            raise ValueError(
+                f"persisted signature index has {probe[0]['m']} hashes per "
+                f"signature but num_hashes={num_hashes}; rebuild the index "
+                "or pass the matching num_hashes/bands"
+            )
+        corpus_docs = corpus.cache()
+    else:
+        corpus_docs = with_shingles_and_signature(
+            corpus, id_col, text_col, n, num_hashes
+        ).cache()
 
     nb = _banded(new_docs, bands, rows_per_band)
     cb = _banded(corpus_docs, bands, rows_per_band)

@@ -172,9 +172,13 @@ def pack_sequences(
     """
     import pandas as pd
 
+    # keep the id at its ORIGINAL type: casting e.g. 'img_0001' to long
+    # yields NULL for every row, collapsing the id-order walk to an
+    # arbitrary order and destroying the returned identifier
+    id_type = df.schema[id_col].dataType.simpleString()
     keyed = df.select(
         (F.col(key_col) if key_col else F.lit("__all__")).alias("pack_key"),
-        F.col(id_col).cast("long").alias("id"),
+        F.col(id_col).alias("id"),
         # NULL token counts pack as 0 (doc rides along free) rather than
         # poisoning the cumulative sums with NaN
         F.coalesce(F.col(token_col).cast("long"), F.lit(0)).alias("tokens"),
@@ -203,5 +207,5 @@ def pack_sequences(
         return pdf
 
     return keyed.groupBy("pack_key").applyInPandas(
-        fold, schema="pack_key string, id long, tokens long, bin long"
+        fold, schema=f"pack_key string, id {id_type}, tokens long, bin long"
     )

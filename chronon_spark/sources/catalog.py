@@ -43,6 +43,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import time
 from typing import Optional, Sequence
 
 import pandas as pd
@@ -157,7 +158,16 @@ class ParquetWarehouse:
         if cluster_by:
             cols = [self.spec.column, *cluster_by]
             df = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
-        stage = os.path.join(self.path(table), "_stage")
+        # Per-writer staging dir: concurrent insert_overwrite calls must
+        # never share staging state, or one writer's cleanup deletes
+        # another's in-flight files and the survivor commits a partial
+        # added-list. pid+uuid gives each writer its own namespace; the
+        # optimistic-concurrency guarantee in _commit_snapshot then holds.
+        import uuid
+
+        stage = os.path.join(
+            self.path(table), f"_stage.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+        )
         shutil.rmtree(stage, ignore_errors=True)
         df.write.mode("overwrite").partitionBy(self.spec.column).parquet(stage)
         added: list[str] = []
@@ -346,7 +356,9 @@ class ParquetWarehouse:
             "files_after": sum(after.values()),
         }
 
-    def expire_snapshots(self, table: str, retain_last: int = 1) -> int:
+    def expire_snapshots(
+        self, table: str, retain_last: int = 1, grace_seconds: float = 3600.0
+    ) -> int:
         """Garbage-collect with retention (Iceberg expire_snapshots
         retain-last semantics): keep the newest `retain_last` snapshots
         time-travelable; every data file referenced by any retained
@@ -354,7 +366,14 @@ class ParquetWarehouse:
         log is rebased onto a baseline snapshot carrying the oldest
         retained version's live set (so replay of the retained deltas
         still reconstructs each kept version exactly). retain_last=1 is
-        the classic collapse-to-current. Returns files deleted."""
+        the classic collapse-to-current. Returns files deleted.
+
+        `grace_seconds`: data files younger than this are never deleted
+        even if unreferenced — a concurrent insert_overwrite moves files
+        into the table dir BEFORE its snapshot commit lands, and without
+        the grace window expiry would reap that in-flight commit's files
+        (Iceberg's remove_orphan_files has the same `older_than` guard).
+        Pass 0 only when the caller holds exclusive access."""
         snaps = self.snapshots(table)
         if not snaps:
             return 0
@@ -376,7 +395,27 @@ class ParquetWarehouse:
         for s in retained:
             keep |= live_at(s["snapshot_id"])
         keep = {f for f in keep if os.path.exists(os.path.join(root, f))}
-        dead = sorted(self._data_files(table) - keep)
+        now = time.time()
+        # Files referenced by SOME snapshot but no retained one are provably
+        # dead (the log shows them committed and superseded).  Files no
+        # snapshot references are either true orphans or a concurrent
+        # writer's moved-but-not-yet-committed files — only those get the
+        # age guard.
+        referenced: set = set()
+        for s in snaps:
+            referenced.update(s["added_files"])
+
+        def _reapable(f: str) -> bool:
+            if f in referenced:
+                return True
+            try:
+                return now - os.path.getmtime(os.path.join(root, f)) >= grace_seconds
+            except OSError:
+                return False
+
+        dead = sorted(
+            f for f in self._data_files(table) - keep if _reapable(f)
+        )
         for f in dead:
             try:
                 os.remove(os.path.join(root, f))
@@ -601,6 +640,10 @@ def zorder_column(
     names = [c for c, _, _ in cols]
     bounds = [(float(lo), float(hi)) for _, lo, hi in cols]
     k = len(cols)
+    # keep every interleaved bit below the int64 sign bit: at 4 cols ×
+    # bits=16 the top bit would land at position 63 and keys wrap negative,
+    # rotating the repartitionByRange sort order across the sign boundary
+    bits = min(bits, 63 // k)
 
     @pandas_udf("long")
     def _z(struct: pd.DataFrame) -> pd.Series:
