@@ -196,3 +196,39 @@ def test_percentile_and_approx_unique_vs_naive():
                 assert [round(x, 9) for x in f] == [round(x, 9) for x in s]
             else:
                 assert _close(f, s), f"{p.output_name}[{i}]"
+
+
+def test_range_kth_matches_naive_sort_randomized():
+    """Wavelet-tree range-kth vs brute-force sorted-slice indexing, with
+    duplicates, NaNs, empty windows, and multi-percentile k's."""
+    import numpy as np
+
+    from chronon_spark.operators.sawtooth import _range_kth
+
+    rng = np.random.default_rng(42)
+    for trial in range(5):
+        n = int(rng.integers(1, 400))
+        vals = rng.choice([1.0, 2.0, 2.0, 7.5, np.nan, -3.0, 100.0], size=n)
+        nq = 200
+        s = rng.integers(0, n + 1, nq)
+        e = np.minimum(n, s + rng.integers(0, n + 1, nq))
+        pct = [0.25, 0.5, 0.9, 1.0]
+        nn = np.concatenate(([0], np.cumsum(~np.isnan(vals))))
+        m = nn[e] - nn[s]
+        P = len(pct)
+        m_rep = np.repeat(m, P)
+        p_tile = np.tile(np.array(pct), nq)
+        ks = np.maximum(1, np.ceil(p_tile * m_rep)).astype(np.int64) - 1
+        ks = np.where(m_rep > 0, np.minimum(ks, m_rep - 1), -1)
+        got = _range_kth(
+            vals, np.repeat(s, P), np.repeat(e, P), ks
+        ).reshape(nq, P)
+        for i in range(nq):
+            seg = vals[s[i]:e[i]]
+            seg = np.sort(seg[~np.isnan(seg)])
+            for j, p in enumerate(pct):
+                if len(seg) == 0:
+                    assert np.isnan(got[i, j])
+                else:
+                    exp = seg[max(1, int(np.ceil(p * len(seg)))) - 1]
+                    assert got[i, j] == exp, (trial, i, p, exp, got[i, j])
