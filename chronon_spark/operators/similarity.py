@@ -212,6 +212,101 @@ def kmeans_centroids(
     return C
 
 
+def kmeans_centroids_distributed(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    train_n: int = 10_000,
+    iters: int = 10,
+    seed: int = 7,
+) -> np.ndarray:
+    """Spherical k-means trained WITHOUT collecting the sample: the
+    driver only ever sees (a) n_centroids init rows and (b) one
+    (partitions x n_centroids) partial-sum frame per Lloyd iteration.
+
+    * training set: deterministic hash sample (salted xxhash64 of the id
+      modulo 1e6 under train_n/|corpus|) — no global sort, no 100k-row
+      collect; at any corpus size the sampled frame stays ~train_n rows.
+    * init: the n_centroids sample rows with the smallest salted hash
+      (tiny deterministic collect).
+    * each Lloyd step is one Arrow pass emitting per-partition
+      (cell, count, vec_sum) partials; the driver merges partitions x
+      n_centroids rows in a fixed (cell, partition) order, so centroids
+      are reproducible for a fixed input partitioning.
+    """
+    spark = corpus.sparkSession
+    total = corpus.count()
+    if total == 0:
+        raise ValueError("cannot train IVF on an empty corpus")
+    h = F.pmod(
+        F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.lit(1_000_000)
+    )
+    sample = corpus.select(id_col, vec_col).withColumn("__h", h)
+    if total > train_n:
+        sample = sample.where(
+            F.col("__h") < int(np.ceil(train_n / total * 1_000_000))
+        )
+    sample = sample.persist()
+    init_rows = (
+        sample.orderBy("__h", id_col).limit(n_centroids).collect()
+    )
+    X0 = np.array([list(r[vec_col]) for r in init_rows], dtype=np.float64)
+    C = X0 / np.maximum(np.linalg.norm(X0, axis=1, keepdims=True), 1e-12)
+    k = len(C)
+
+    for _ in range(iters):
+        Cb = C.copy()
+
+        def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+            dim = Cb.shape[1]
+            sums = np.zeros((k, dim), dtype=np.float64)
+            cnts = np.zeros(k, dtype=np.int64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                M = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                Mn = M / np.maximum(
+                    np.linalg.norm(M, axis=1, keepdims=True), 1e-12
+                )
+                a = np.argmax(Mn @ Cb.T, axis=1)
+                order = np.argsort(a, kind="stable")
+                bounds = np.searchsorted(a[order], np.arange(k + 1))
+                np.add.at(cnts, np.arange(k), bounds[1:] - bounds[:-1])
+                cum = np.vstack(
+                    [np.zeros(dim), np.cumsum(Mn[order], axis=0)]
+                )
+                sums += cum[bounds[1:]] - cum[bounds[:-1]]
+            nz = np.flatnonzero(cnts)
+            yield pd.DataFrame(
+                {
+                    "pid": np.full(len(nz), pid, dtype=np.int64),
+                    "cell": nz.astype(np.int32),
+                    "cnt": cnts[nz],
+                    "vsum": list(sums[nz]),
+                }
+            )
+
+        partials = sample.mapInPandas(
+            part, schema="pid long, cell int, cnt long, vsum array<double>"
+        ).collect()
+        sums = np.zeros_like(C)
+        cnts = np.zeros(k, dtype=np.int64)
+        for r in sorted(partials, key=lambda r: (r["cell"], r["pid"])):
+            sums[r["cell"]] += np.asarray(r["vsum"])
+            cnts[r["cell"]] += r["cnt"]
+        for c in range(k):
+            if cnts[c]:
+                norm = np.linalg.norm(sums[c])
+                if norm > 1e-12:
+                    C[c] = sums[c] / norm
+    sample.unpersist()
+    return C
+
+
 def ivf_assign_cells(
     corpus: DataFrame, centroids: np.ndarray, id_col: str, vec_col: str
 ) -> DataFrame:
@@ -247,27 +342,28 @@ def ivf_topk(
     k: int = 10,
     n_centroids: int = 64,
     nprobe: int = 8,
-    train_n: int = 100_000,
+    train_n: int = 10_000,
     iters: int = 10,
     seed: int = 7,
 ) -> DataFrame:
     """IVF ANN top-k: coarse spherical-k-means quantizer + probe the
     nprobe nearest cells per query, exact cosine only on probed rows.
 
-    The scale path alongside lsh_topk: training reads a BOUNDED sample
-    (orderBy(id).limit(train_n) — deterministic), cell assignment is one
-    scan-shaped Arrow matmul pass, and the probe is a broadcast join on
-    the cell id, so a query touches ~|corpus| * nprobe / n_centroids
-    rows. With nprobe >= n_centroids every cell is probed and the result
-    is EXACTLY brute_force_topk — the driver oracle pins that regime;
-    recall at nprobe << n_centroids is pytest-measured.
+    The scale path alongside lsh_topk: training is fully distributed
+    (kmeans_centroids_distributed — hash-sampled training set, driver
+    sees only n_centroids init rows and partition x cell partial sums),
+    cell assignment is one scan-shaped Arrow matmul pass, and the probe
+    is a broadcast join on the cell id, so a query touches
+    ~|corpus| * nprobe / n_centroids rows. With nprobe >= n_centroids
+    every cell is probed and the result is EXACTLY brute_force_topk —
+    the driver oracle pins that regime; recall at nprobe << n_centroids
+    is pytest-measured.
     """
     spark = corpus.sparkSession
-    sample = (
-        corpus.select(id_col, vec_col).orderBy(id_col).limit(train_n).collect()
+    C = kmeans_centroids_distributed(
+        corpus, id_col, vec_col, n_centroids,
+        train_n=train_n, iters=iters, seed=seed,
     )
-    X = np.array([list(r[vec_col]) for r in sample], dtype=np.float64)
-    C = kmeans_centroids(X, n_centroids, iters=iters, seed=seed)
 
     cells = ivf_assign_cells(corpus, C, id_col, vec_col)
 
