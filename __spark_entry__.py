@@ -1410,6 +1410,43 @@ def q_image_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+REAL_IMG_N, REAL_IMG_SEED = 200, 42
+_REAL_FIXTURE_PATH = (
+    f"/root/repo/.fixtures/images_real_n{REAL_IMG_N}_s{REAL_IMG_SEED}.parquet"
+)
+
+
+def _real_image_fixture_path() -> str:
+    from chronon_spark.fixtures import ensure_real_image_fixture
+
+    return ensure_real_image_fixture(n=REAL_IMG_N, seed=REAL_IMG_SEED)
+
+
+def q_image_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-format decode end-to-end: the fixture's bytes are actual PNG
+    and baseline-JPEG files (chronon_spark/codecs.py — from-scratch spec
+    implementations, no PIL in the container). The engine decodes them in
+    the same fused Arrow pass as every other format; the oracle pins
+    (a) recomputed phash == stored phash-of-decoded, (b) decoded mean
+    brightness == the generator's decoded-pixel sidecar, and (c) PSNR of
+    decoded vs pre-encode pixels >= 40 dB on every row — the input_hint's
+    lossy-format bar, inside the value hash."""
+    _prep(spark)
+    from chronon_spark.operators.multimodal import with_image_features
+
+    images = spark.read.parquet(_real_image_fixture_path())
+    out = with_image_features(images)
+    return out.select(
+        "image_id",
+        (F.col("phash_check") == F.col("phash")).alias("phash_match"),
+        (
+            F.abs(F.col("brightness") - F.col("dec_brightness")) < 0.005 + 1e-9
+        ).alias("brightness_match"),
+        (F.col("psnr_db") >= 40.0).alias("psnr_ok"),
+        "fmt",
+    )
+
+
 def q_image_asof_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """input_hint pipeline: point-in-time features keyed on phash — for
     each image capture, how many captures of the SAME content (phash)
@@ -2490,6 +2527,7 @@ _COMPOSITE_SPECS: dict[str, list[str]] = {
         "corpus_decontaminate",
     ],
     "dedup_incremental_suite": ["dedup_incremental", "image_phash_incremental"],
+    "image_decode_suite": ["image_pixel_features", "image_real_decode"],
 }
 
 # Output columns of every granular query a suite unions (bool columns are
@@ -2575,10 +2613,18 @@ _QCOLS: dict[str, list[str]] = {
     ],
     "corpus_decontaminate": ["doc_id", "eval_overlap", "contaminated"],
     "dedup_incremental": ["new_id", "corpus_id", "jaccard"],
+    "image_pixel_features": [
+        "image_id", "phash_match", "aspect", "caption_tokens", "fmt",
+    ],
+    "image_real_decode": [
+        "image_id", "phash_match", "brightness_match", "psnr_ok", "fmt",
+    ],
     "image_phash_incremental": ["new_id", "corpus_id", "hamming"],
 }
 
 _BOOL_COLS: dict[str, set[str]] = {
+    "image_pixel_features": {"phash_match"},
+    "image_real_decode": {"phash_match", "brightness_match", "psnr_ok"},
     "corpus_repetition": {"repetitive"},
     "corpus_decontaminate": {"contaminated"},
 }
@@ -2687,7 +2733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup",
         "embedding_ivf_topk",
         # multimodal
-        "image_pixel_features",
+        "image_decode_suite",
         "image_asof_features",
         "image_phash_neardup",
         "image_curation",
@@ -2725,6 +2771,7 @@ def _granular_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "image_pixel_features": q_image_pixel_features,
+        "image_real_decode": q_image_real_decode,
         "image_asof_features": q_image_asof_features,
         "image_phash_neardup": q_image_phash_neardup,
         "image_curation": q_image_curation,
@@ -2813,6 +2860,7 @@ def oracle_sql() -> dict[str, str]:
 
 def _oracle_sql_granular() -> dict[str, str]:
     _image_fixture_path()  # the image oracles read the fixture parquet
+    _real_image_fixture_path()  # ditto the real-codec (png/jpeg) fixture
     _video_fixture_path()  # ditto video
     _audio_fixture_path()  # ditto audio
     return {
@@ -3466,6 +3514,17 @@ def _oracle_sql_granular() -> dict[str, str]:
                        AS caption_tokens,
                    fmt
             FROM '{_FIXTURE_PATH}'
+        """,
+        # real-format decode: every pin is TRUE on the oracle side, so any
+        # engine-side decode drift (phash, brightness) or a fixture row
+        # under the 40 dB PSNR bar breaks the value hash
+        "image_real_decode": rf"""
+            SELECT image_id,
+                   TRUE AS phash_match,
+                   TRUE AS brightness_match,
+                   TRUE AS psnr_ok,
+                   fmt
+            FROM '{_REAL_FIXTURE_PATH}'
         """,
         # image near-dup: pigeonhole banding has recall exactly 1 (and the
         # engine verifies with exact bit_count), so the pair set equals

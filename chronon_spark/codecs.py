@@ -1,0 +1,621 @@
+"""From-scratch PNG and baseline-JPEG codecs (pure Python + numpy +
+stdlib zlib) — the real-format decode path for the image payload axis.
+
+The container ships no PIL/libjpeg, so the engine's image pipeline
+previously decoded only the synthetic 'rgb8'/'half' layouts.  These two
+codecs close that gap with REAL interchange formats, built solely from
+the public specifications:
+
+  * PNG  (RFC 2083 / W3C PNG spec): 8-bit truecolor, all five scanline
+    filters on decode (None/Sub/Up/Average/Paeth), filter-0 + zlib on
+    encode.  Lossless — decoded pixels are bit-identical.
+  * JPEG (ITU-T T.81 baseline sequential DCT, JFIF YCbCr, 4:4:4):
+    encoder emits SOI/APP0/DQT/SOF0/DHT/SOS with libjpeg-style
+    quality-scaled quantization tables and per-image canonical Huffman
+    tables built by the spec's own Annex-K code-size procedure (so the
+    decoder exercises real DQT/DHT parsing, not baked-in tables);
+    decoder does marker parse -> Huffman -> dequant -> IDCT -> color.
+    Lossy — smooth content at quality>=85 lands PSNR >= 40dB (tested).
+
+Throughput note: entropy decode is a per-symbol Python loop (the honest
+cost of a no-C-extension container); everything block-shaped (DCT/IDCT,
+quantization, color transforms, PNG unfiltering of filter-0 rows) is
+vectorized numpy.  Production deployments swap `decode_jpeg` for
+libjpeg-turbo behind the same signature; the Spark-side plumbing
+(schema, Arrow batching, fused decode pass) is identical either way.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pix: np.ndarray) -> bytes:
+    """8-bit truecolor PNG, filter type 0 per scanline."""
+    h, w, c = pix.shape
+    assert c == 3 and pix.dtype == np.uint8
+    raw = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), pix.reshape(h, w * 3)], axis=1
+    ).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode 8-bit truecolor (colour type 2) PNG to (h, w, 3) uint8.
+
+    Handles every scanline filter type so externally-produced PNGs (which
+    usually mix Sub/Up/Average/Paeth) decode too, not just our own
+    filter-0 output.  Malformed input raises ValueError (the decode
+    pipeline's integrity gate turns that into a decode_ok=false row)."""
+    try:
+        return _decode_png_inner(data)
+    except (IndexError, struct.error, zlib.error, ValueError) as e:
+        raise ValueError(f"corrupt PNG: {e}") from e
+
+
+def _decode_png_inner(data: bytes) -> np.ndarray:
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        typ = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    f"unsupported PNG layout depth={depth} ctype={ctype} "
+                    f"interlace={interlace} (8-bit truecolor only)"
+                )
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = w * 3
+    rows = raw.reshape(h, stride + 1)
+    filters = rows[:, 0]
+    cur = rows[:, 1:].astype(np.int64)
+    out = np.zeros((h, stride), dtype=np.int64)
+    bpp = 3
+    for r in range(h):
+        f = filters[r]
+        line = cur[r].copy()
+        up = out[r - 1] if r else np.zeros(stride, dtype=np.int64)
+        if f == 0:
+            pass
+        elif f == 2:  # Up — no intra-row dependency, vectorized
+            line = (line + up) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                b = up[x]
+                if f == 1:
+                    line[x] = (line[x] + a) & 0xFF
+                elif f == 3:
+                    line[x] = (line[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    cdiag = up[x - bpp] if x >= bpp else 0
+                    p = a + b - cdiag
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cdiag)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else cdiag
+                    )
+                    line[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[r] = line
+    return out.astype(np.uint8).reshape(h, w, 3)
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline sequential, 4:4:4)
+# ---------------------------------------------------------------------------
+
+# Annex-K base quantization tables (the spec's example tables, the ones
+# every libjpeg-compatible encoder scales by quality)
+_QY = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.float64)
+_QC = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+], dtype=np.float64)
+
+_ZZ = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+_UNZZ = np.argsort(_ZZ)
+
+_DCT_M = np.zeros((8, 8))
+for _u in range(8):
+    _cu = np.sqrt(0.125) if _u == 0 else 0.5
+    for _x in range(8):
+        _DCT_M[_u, _x] = _cu * np.cos((2 * _x + 1) * _u * np.pi / 16)
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    quality = min(100, max(1, quality))
+    scale = 5000 / quality if quality < 50 else 200 - 2 * quality
+    qy = np.clip(np.floor((_QY * scale + 50) / 100), 1, 255)
+    qc = np.clip(np.floor((_QC * scale + 50) / 100), 1, 255)
+    return qy, qc
+
+
+def _rgb_to_ycbcr(pix: np.ndarray) -> np.ndarray:
+    p = pix.astype(np.float64)
+    r, g, b = p[..., 0], p[..., 1], p[..., 2]
+    return np.stack([
+        0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+    ], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    rgb = np.stack([
+        y + 1.402 * cr,
+        y - 0.344136 * cb - 0.714136 * cr,
+        y + 1.772 * cb,
+    ], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _blockify(chan: np.ndarray) -> np.ndarray:
+    """(H, W) -> (H//8 * W//8, 8, 8) in raster block order."""
+    hh, ww = chan.shape
+    return (
+        chan.reshape(hh // 8, 8, ww // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+    )
+
+
+def _unblockify(blocks: np.ndarray, hh: int, ww: int) -> np.ndarray:
+    return (
+        blocks.reshape(hh // 8, ww // 8, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(hh, ww)
+    )
+
+
+def _magnitude_category(v: np.ndarray) -> np.ndarray:
+    """JPEG size category: number of bits of |v| (0 for v == 0)."""
+    out = np.zeros(v.shape, dtype=np.int64)
+    nz = v != 0
+    out[nz] = np.floor(np.log2(np.abs(v[nz]))).astype(np.int64) + 1
+    return out
+
+
+def _huffman_lengths(freq: np.ndarray) -> dict[int, int]:
+    """Code lengths per T.81 Annex K.2 (CODE_SIZE with reserved symbol
+    256 — guarantees no all-ones code) + K.3 ADJUST_BITS (cap at 16)."""
+    freq = freq.astype(np.int64).copy()
+    freq = np.append(freq, 1)  # the reserved symbol
+    others = np.full(len(freq), -1, dtype=np.int64)
+    codesize = np.zeros(len(freq), dtype=np.int64)
+    while True:
+        nz = np.flatnonzero(freq > 0)
+        if len(nz) <= 1:
+            break
+        order = nz[np.lexsort((-nz, freq[nz]))]
+        v1, v2 = int(order[0]), int(order[1])
+        freq[v1] += freq[v2]
+        freq[v2] = 0
+        codesize[v1] += 1
+        while others[v1] != -1:
+            v1 = int(others[v1])
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] != -1:
+            v2 = int(others[v2])
+            codesize[v2] += 1
+    bits = np.zeros(60, dtype=np.int64)
+    for s in codesize[codesize > 0]:
+        bits[s] += 1
+    i = len(bits) - 1
+    while i > 16:  # ADJUST_BITS fold-back
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    # drop the reserved symbol's code (the longest one)
+    for s in range(16, 0, -1):
+        if bits[s] > 0:
+            bits[s] -= 1
+            break
+    # canonical: symbols sorted by (codesize, symbol), reserved excluded
+    real = [
+        (int(codesize[s]), s) for s in range(len(freq) - 1) if codesize[s] > 0
+    ]
+    real.sort()
+    lengths: dict[int, int] = {}
+    counts = list(bits[1:17])
+    li, taken = 0, 0
+    for _, sym in real:
+        while li < 16 and taken >= counts[li]:
+            li += 1
+            taken = 0
+        if li >= 16:
+            li = 15  # safety: should not happen after ADJUST_BITS
+        lengths[sym] = li + 1
+        taken += 1
+    return lengths
+
+
+def _canonical_codes(lengths: dict[int, int]):
+    """(bits[1..16], symbol list, symbol -> (code, length)) canonical."""
+    by_len: list[list[int]] = [[] for _ in range(17)]
+    for sym, ln in lengths.items():
+        by_len[ln].append(sym)
+    for ln in range(17):
+        by_len[ln].sort()
+    code, table = 0, {}
+    bits, vals = [], []
+    for ln in range(1, 17):
+        bits.append(len(by_len[ln]))
+        for sym in by_len[ln]:
+            table[sym] = (code, ln)
+            vals.append(sym)
+            code += 1
+        code <<= 1
+    return bits, vals, table
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+
+
+def _component_symbols(qblocks: np.ndarray):
+    """Per-block (dc_symbols, dc_extra, ac_symbol_runs) for one component.
+    qblocks: (nb, 64) zigzagged quantized ints."""
+    dc = qblocks[:, 0]
+    dc_diff = np.diff(dc, prepend=0)
+    dc_size = _magnitude_category(dc_diff)
+    per_block = []
+    for b in range(len(qblocks)):
+        ac = qblocks[b, 1:]
+        syms = []
+        run = 0
+        nz = np.flatnonzero(ac)
+        last = nz[-1] if len(nz) else -1
+        for i in range(last + 1):
+            v = int(ac[i])
+            if v == 0:
+                run += 1
+                if run == 16:
+                    syms.append((0xF0, 0, 0))  # ZRL
+                    run = 0
+            else:
+                size = int(_magnitude_category(np.array([v]))[0])
+                syms.append(((run << 4) | size, v, size))
+                run = 0
+        if last < 62:
+            syms.append((0x00, 0, 0))  # EOB
+        per_block.append(syms)
+    return dc_diff, dc_size, per_block
+
+
+def _encode_magnitude(v: int, size: int) -> int:
+    return v if v >= 0 else v + (1 << size) - 1
+
+
+def encode_jpeg(pix: np.ndarray, quality: int = 90) -> bytes:
+    """Baseline sequential JFIF JPEG, 4:4:4, per-image Huffman tables."""
+    h, w, _ = pix.shape
+    qy, qc = _quality_tables(quality)
+    ph = (-h) % 8
+    pw = (-w) % 8
+    padded = np.pad(pix, ((0, ph), (0, pw), (0, 0)), mode="edge")
+    ycc = _rgb_to_ycbcr(padded) - 128.0
+    hh, ww = padded.shape[:2]
+
+    comp_q = []
+    for ci in range(3):
+        blocks = _blockify(ycc[:, :, ci])
+        coef = np.einsum("ux,nxy,vy->nuv", _DCT_M, blocks, _DCT_M)
+        q = qy if ci == 0 else qc
+        qb = np.round(coef / q).astype(np.int64)
+        comp_q.append(qb.reshape(-1, 64)[:, _ZZ])
+
+    # two passes: frequencies -> Huffman tables -> bitstream
+    enc = [_component_symbols(cq) for cq in comp_q]
+    freq_dc = [np.zeros(17), np.zeros(17)]
+    freq_ac = [np.zeros(256), np.zeros(256)]
+    for ci in range(3):
+        t = 0 if ci == 0 else 1
+        _, dc_size, per_block = enc[ci]
+        for s in dc_size:
+            freq_dc[t][s] += 1
+        for syms in per_block:
+            for sym, _, _ in syms:
+                freq_ac[t][sym] += 1
+    tables = {}
+    for t in range(2):
+        tables[("dc", t)] = _canonical_codes(_huffman_lengths(freq_dc[t]))
+        tables[("ac", t)] = _canonical_codes(_huffman_lengths(freq_ac[t]))
+
+    bw = _BitWriter()
+    nb = len(comp_q[0])
+    for b in range(nb):  # interleaved MCU = (Y, Cb, Cr) blocks at 4:4:4
+        for ci in range(3):
+            t = 0 if ci == 0 else 1
+            dc_diff, dc_size, per_block = enc[ci]
+            dct = tables[("dc", t)][2]
+            act = tables[("ac", t)][2]
+            size = int(dc_size[b])
+            code, ln = dct[size]
+            bw.write(code, ln)
+            if size:
+                bw.write(_encode_magnitude(int(dc_diff[b]), size), size)
+            for sym, v, vsize in per_block[b]:
+                code, ln = act[sym]
+                bw.write(code, ln)
+                if vsize:
+                    bw.write(_encode_magnitude(v, vsize), vsize)
+    bw.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # APP0/JFIF: version 1.1, no density units, 1x1 density, no thumbnail
+    app0 = b"JFIF\x00" + b"\x01\x01" + b"\x00" + b"\x00\x01\x00\x01" + b"\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+    for tid, q in ((0, qy), (1, qc)):
+        body = bytes([tid]) + bytes(
+            int(x) for x in q.reshape(64)[_ZZ]
+        )
+        out += b"\xff\xdb" + struct.pack(">H", 2 + len(body)) + body
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for ci in range(3):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for (kind, t), (bits, vals, _) in tables.items():
+        tc = 0 if kind == "dc" else 1
+        body = bytes([(tc << 4) | t]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    sos = bytes([3])
+    for ci in range(3):
+        t = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream truncated")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                if self.pos < len(self.data) and self.data[self.pos] == 0x00:
+                    self.pos += 1  # destuff
+                else:
+                    raise ValueError("unexpected marker in entropy data")
+            self.acc = byte
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _decode_magnitude(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline sequential JPEG (4:4:4, 8-bit, interleaved scan) to
+    (h, w, 3) uint8 — marker parse, DHT/DQT from the stream.  Malformed
+    input raises ValueError (integrity gate -> decode_ok=false row)."""
+    try:
+        return _decode_jpeg_inner(data)
+    except (IndexError, KeyError, struct.error, ValueError) as e:
+        raise ValueError(f"corrupt JPEG: {e}") from e
+
+
+def _decode_jpeg_inner(data: bytes) -> np.ndarray:
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    h = w = None
+    comp_info = []
+    scan_comp = []
+    entropy_start = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        body = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            bpos = 0
+            while bpos < len(body):
+                pq, tq = body[bpos] >> 4, body[bpos] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                tbl = np.frombuffer(
+                    body[bpos + 1 : bpos + 65], dtype=np.uint8
+                ).astype(np.float64)[_UNZZ].reshape(8, 8)
+                qt[tq] = tbl
+                bpos += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            _, h, w, nc = struct.unpack(">BHHB", body[:6])
+            for ci in range(nc):
+                cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                if samp != 0x11:
+                    raise ValueError("only 4:4:4 (1x1 sampling) supported")
+                comp_info.append((cid, tq))
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xC4:  # DHT
+            bpos = 0
+            while bpos < len(body):
+                tc, th = body[bpos] >> 4, body[bpos] & 0xF
+                counts = list(body[bpos + 1 : bpos + 17])
+                nsyms = sum(counts)
+                vals = list(body[bpos + 17 : bpos + 17 + nsyms])
+                table: dict[tuple[int, int], int] = {}
+                code, vi = 0, 0
+                for ln in range(1, 17):
+                    for _ in range(counts[ln - 1]):
+                        table[(ln, code)] = vals[vi]
+                        code += 1
+                        vi += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+                bpos += 17 + nsyms
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            for ci in range(ns):
+                cid = body[1 + 2 * ci]
+                tdc = body[2 + 2 * ci] >> 4
+                tac = body[2 + 2 * ci] & 0xF
+                scan_comp.append((cid, tdc, tac))
+            entropy_start = pos + seglen
+            break
+        pos += seglen
+    if entropy_start is None or h is None:
+        raise ValueError("JPEG missing SOS/SOF0")
+    end = data.rfind(b"\xff\xd9")
+    br = _BitReader(data[entropy_start : end if end > 0 else len(data)])
+
+    def read_symbol(table: dict[tuple[int, int], int]) -> int:
+        code, ln = 0, 0
+        while ln < 16:
+            code = (code << 1) | br.read_bit()
+            ln += 1
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("bad Huffman code")
+
+    hh, ww = h + ((-h) % 8), w + ((-w) % 8)
+    nblocks = (hh // 8) * (ww // 8)
+    coefs = [np.zeros((nblocks, 64), dtype=np.float64) for _ in range(3)]
+    pred = [0, 0, 0]
+    for b in range(nblocks):
+        for ci, (cid, tdc, tac) in enumerate(scan_comp):
+            dct = huff[(0, tdc)]
+            act = huff[(1, tac)]
+            size = read_symbol(dct)
+            diff = _decode_magnitude(br.read_bits(size), size) if size else 0
+            pred[ci] += diff
+            blk = coefs[ci][b]
+            blk[0] = pred[ci]
+            k = 1
+            while k < 64:
+                sym = read_symbol(act)
+                if sym == 0x00:  # EOB
+                    break
+                run, size = sym >> 4, sym & 0xF
+                if size == 0:
+                    if run == 15:
+                        k += 16  # ZRL
+                        continue
+                    break
+                k += run
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                blk[k] = _decode_magnitude(br.read_bits(size), size)
+                k += 1
+
+    chans = []
+    for ci, (cid, _, _) in enumerate(scan_comp):
+        tq = dict(comp_info)[cid]
+        dz = coefs[ci][:, _UNZZ].reshape(-1, 8, 8) * qt[tq]
+        spatial = np.einsum("xu,nuv,yv->nxy", _DCT_M.T, dz, _DCT_M.T)
+        chans.append(_unblockify(spatial, hh, ww) + 128.0)
+    ycc = np.stack(chans, axis=-1)[:h, :w]
+    return _ycbcr_to_rgb(ycc)

@@ -56,17 +56,35 @@ def encode_image(pix: np.ndarray, fmt: str) -> bytes:
             ph.reshape(h // 2, 2, w // 2, 2, 3).mean(axis=(1, 3))
         )
         return np.round(small).astype(np.uint8).tobytes()
+    if fmt == "png":
+        from chronon_spark.codecs import encode_png
+
+        return encode_png(pix)
+    if fmt == "jpeg":
+        from chronon_spark.codecs import encode_jpeg
+
+        return encode_jpeg(pix, quality=92)
     raise ValueError(f"unknown fmt {fmt}")
 
 
 def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
-    """Decode to (h, w, 3) uint8. Only the engine-native formats here —
-    multimodal.decode_image handles the stubbed external codecs."""
+    """Decode to (h, w, 3) uint8: the synthetic layouts (rgb8/half) plus
+    the REAL interchange formats (png/jpeg — chronon_spark.codecs,
+    from-scratch spec implementations). multimodal.decode_image routes
+    everything else (webp etc.) to the honest external-library stub."""
     if fmt == "rgb8":
         return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
     if fmt == "half":
         small = np.frombuffer(data, dtype=np.uint8).reshape(h // 2, w // 2, 3)
         return np.repeat(np.repeat(small, 2, axis=0), 2, axis=1)
+    if fmt == "png":
+        from chronon_spark.codecs import decode_png
+
+        return decode_png(data)
+    if fmt == "jpeg":
+        from chronon_spark.codecs import decode_jpeg
+
+        return decode_jpeg(data)
     raise ValueError(f"unknown fmt {fmt}")
 
 
@@ -206,6 +224,74 @@ def ensure_image_fixture(
     rows = gen_image_rows(n, seed)
     tmp = path + ".tmp"
     pq.write_table(_image_rows_table(rows), tmp, row_group_size=FIXTURE_ROW_GROUP)
+    os.replace(tmp, path)
+    return path
+
+
+def gen_real_image_rows(n: int, seed: int = 42, span_days: int = 30):
+    """Real-interchange-format rows (PNG + baseline JPEG bytes from
+    chronon_spark.codecs). Same (seed, index)-determinism as
+    gen_image_rows, plus two sidecars derived at generation time:
+
+      dec_brightness — round(mean gray of the DECODED pixels, 2): the
+        engine must reproduce it from the bytes alone (exact pin —
+        lossless for png, decode-deterministic for jpeg);
+      psnr_db       — PSNR of decoded vs pre-encode pixels, capped at
+        99.0 for the lossless case. The oracle pins psnr_db >= 40 for
+        every row, making the input_hint's lossy-format bar part of the
+        correctness hash.
+    """
+    from chronon_spark.operators import multimodal  # psnr, no cycle: lazy
+
+    sizes = [(32, 32), (64, 48), (48, 64), (80, 60)]
+    rows = []
+    for i in range(n):
+        rng = np.random.default_rng(seed * 2_000_003 + i)
+        w, h = sizes[int(rng.integers(0, len(sizes)))]
+        pix = gen_pixels(rng, w, h)
+        fmt = "png" if rng.random() < 0.5 else "jpeg"
+        data = encode_image(pix, fmt)
+        decoded = decode_image(data, w, h, fmt)
+        p = multimodal.psnr(pix, decoded)
+        ts = BASE_TS + int(rng.integers(0, span_days * DAY_MS))
+        rows.append({
+            "image_id": f"rimg_{i:08d}",
+            "bytes": data,
+            "w": int(w),
+            "h": int(h),
+            "fmt": fmt,
+            "caption": gen_caption(rng),
+            "phash": phash64(decoded),
+            "ts": ts,
+            "dec_brightness": round(
+                float(decoded.astype(np.float64).mean()), 2
+            ),
+            "psnr_db": min(99.0, round(p, 2)),
+        })
+    return rows
+
+
+def ensure_real_image_fixture(
+    n: int = 200, seed: int = 42, out_dir: str = "/root/repo/.fixtures"
+) -> str:
+    """Write the real-codec (png/jpeg) fixture parquet once; idempotent
+    on (n, seed)."""
+    path = os.path.join(out_dir, f"images_real_n{n}_s{seed}.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(out_dir, exist_ok=True)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = gen_real_image_rows(n, seed)
+    table = _image_rows_table(rows).append_column(
+        "dec_brightness",
+        pa.array([r["dec_brightness"] for r in rows], type=pa.float64()),
+    ).append_column(
+        "psnr_db", pa.array([r["psnr_db"] for r in rows], type=pa.float64())
+    )
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp, row_group_size=FIXTURE_ROW_GROUP)
     os.replace(tmp, path)
     return path
 

@@ -5,11 +5,13 @@ decode / feature-extract / resize run as Arrow-batched pandas UDFs over
 `mapInPandas` — binary never round-trips through Python row objects, and
 the per-batch loop is numpy-vectorized per image.
 
-Engine-native codecs ('rgb8', 'half' — see fixtures.py) decode for real.
-External codecs (jpeg/png/webp, audio, video) are STUBBED behind
-`NotImplementedError` — the container ships no PIL/libjpeg/ffmpeg — but
-the Spark-side plumbing (schema, batching, partitioning, UDF signatures)
-is identical to what a real decoder drops into.
+Decodable codecs: the synthetic layouts ('rgb8', 'half' — fixtures.py)
+plus REAL interchange formats 'png' and 'jpeg' (chronon_spark/codecs.py,
+from-scratch spec implementations — the container ships no PIL/libjpeg).
+Remaining external codecs (webp/h264/mp3/...) stay honestly STUBBED
+behind `NotImplementedError`; corrupt payloads of known formats raise
+ValueError — both turn into decode_ok=false rows (the integrity gate),
+never a failed job.
 
 Scale notes: feature extraction is scan-shaped (no shuffle); Arrow batch
 size is bounded via spark.sql.execution.arrow.maxRecordsPerBatch so a
@@ -30,16 +32,20 @@ from chronon_spark.fixtures import decode_image as _decode_native
 from chronon_spark.fixtures import decode_video as _decode_video_native
 from chronon_spark.fixtures import phash64
 
-NATIVE_FORMATS = ("rgb8", "half")
+NATIVE_FORMATS = ("rgb8", "half", "png", "jpeg")
 
 
 def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
-    """Decode one image to (h, w, 3) uint8."""
+    """Decode one image to (h, w, 3) uint8. 'png' and 'jpeg' are REAL
+    interchange formats decoded by the from-scratch spec implementations
+    in chronon_spark.codecs (stdlib zlib inflate for PNG; marker parse +
+    Huffman + IDCT for baseline JPEG)."""
     if fmt in NATIVE_FORMATS:
         return _decode_native(data, w, h, fmt)
-    # STUB: external codecs need PIL/libjpeg — not present in this
-    # container. A real deployment implements this branch with
-    # PIL.Image.open(io.BytesIO(data)); everything downstream is unchanged.
+    # STUB: remaining codecs (webp, tiff, ...) need an external image
+    # library not present in this container. A real deployment implements
+    # this branch with PIL.Image.open(io.BytesIO(data)); everything
+    # downstream is unchanged.
     raise NotImplementedError(
         f"codec '{fmt}' requires an external image library (PIL) — "
         f"not available in this environment"
@@ -94,7 +100,7 @@ def extract_pixel_features(
                 out["image_id"].append(iid)
                 try:
                     pix = decode_image(data, int(w), int(h), fmt)
-                except NotImplementedError:
+                except (NotImplementedError, ValueError):
                     for k in ("phash_check",):
                         out[k].append(None)
                     for k in ("brightness", "contrast", "r_mean", "g_mean",
@@ -195,7 +201,7 @@ def sample_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
             ):
                 try:
                     frames = decode_video(data, int(w), int(h), int(nf), fmt)
-                except NotImplementedError:
+                except (NotImplementedError, ValueError):
                     rows["video_id"].append(vid)
                     rows["frame_idx"].append(None)
                     rows["bytes"].append(None)
@@ -254,7 +260,7 @@ def extract_video_features(
                 out["video_id"].append(vid)
                 try:
                     frames = decode_video(data, int(w), int(h), int(nf), fmt)
-                except NotImplementedError:
+                except (NotImplementedError, ValueError):
                     out["phash0_check"].append(None)
                     out["n_frames_read"].append(None)
                     out["brightness"].append(None)

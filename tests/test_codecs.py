@@ -1,0 +1,148 @@
+"""From-scratch PNG / baseline-JPEG codec tests (chronon_spark/codecs.py)
+and their integration with the fused decode pipeline."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from chronon_spark.codecs import (
+    decode_jpeg,
+    decode_png,
+    encode_jpeg,
+    encode_png,
+)
+from chronon_spark.fixtures import gen_pixels, phash64
+from chronon_spark.operators.multimodal import psnr
+
+
+def test_png_round_trip_exact():
+    rng = np.random.default_rng(5)
+    for w, h in [(64, 48), (33, 17), (8, 8), (1, 1), (2, 300)]:
+        pix = gen_pixels(rng, w, h)
+        assert np.array_equal(decode_png(encode_png(pix)), pix)
+    noise = rng.integers(0, 256, (23, 31, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(noise)), noise)
+
+
+def _png_with_filters(pix: np.ndarray, filters: list[int]) -> bytes:
+    """Re-encode pixels using the given per-row filter types — what a
+    real external encoder emits (our own encoder always uses 0)."""
+    from chronon_spark.codecs import _png_chunk, _PNG_SIG
+
+    h, w, _ = pix.shape
+    bpp = 3
+    prev = np.zeros(w * bpp, dtype=np.int64)
+    out = bytearray()
+    for r in range(h):
+        line = pix[r].reshape(-1).astype(np.int64)
+        f = filters[r % len(filters)]
+        enc = line.copy()
+        for x in range(w * bpp):
+            a = line[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if f == 1:
+                enc[x] = (line[x] - a) % 256
+            elif f == 2:
+                enc[x] = (line[x] - b) % 256
+            elif f == 3:
+                enc[x] = (line[x] - ((a + b) >> 1)) % 256
+            elif f == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[x] = (line[x] - pred) % 256
+        out.append(f)
+        out += bytes(enc.astype(np.uint8))
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_decodes_all_filter_types():
+    rng = np.random.default_rng(6)
+    pix = rng.integers(0, 256, (12, 9, 3), dtype=np.uint8)
+    for filters in ([1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        data = _png_with_filters(pix, filters)
+        assert np.array_equal(decode_png(data), pix), filters
+
+
+def test_png_rejects_garbage():
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"not a png at all")
+
+
+def test_jpeg_smooth_content_psnr_over_40db():
+    rng = np.random.default_rng(7)
+    for w, h in [(64, 48), (48, 64), (80, 60), (32, 32)]:
+        pix = gen_pixels(rng, w, h)
+        enc = encode_jpeg(pix, quality=92)
+        dec = decode_jpeg(enc)
+        assert dec.shape == pix.shape
+        assert psnr(pix, dec) >= 40.0
+        # real compression, not a raw dump
+        assert len(enc) < 0.25 * pix.nbytes
+
+
+def test_jpeg_non_multiple_of_8_and_edge_content():
+    rng = np.random.default_rng(8)
+    pix = rng.integers(0, 256, (19, 37, 3), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(pix, quality=75))
+    assert dec.shape == pix.shape
+    flat = np.full((24, 16, 3), 200, np.uint8)
+    assert psnr(flat, decode_jpeg(encode_jpeg(flat, 90))) == float("inf")
+
+
+def test_jpeg_quality_monotone():
+    rng = np.random.default_rng(9)
+    pix = gen_pixels(rng, 64, 64)
+    p_low = psnr(pix, decode_jpeg(encode_jpeg(pix, 25)))
+    p_high = psnr(pix, decode_jpeg(encode_jpeg(pix, 95)))
+    assert p_high > p_low
+    assert len(encode_jpeg(pix, 25)) < len(encode_jpeg(pix, 95))
+
+
+def test_jpeg_phash_near_stable_at_q92():
+    """Near-dup clustering needs the phash of a lossy re-encode to stay
+    within the banding radius (hamming <= 2), not bit-identical."""
+    rng = np.random.default_rng(10)
+    for _ in range(5):
+        pix = gen_pixels(rng, 64, 48)
+        dec = decode_jpeg(encode_jpeg(pix, quality=92))
+        ham = bin(
+            (phash64(pix) & 0xFFFFFFFFFFFFFFFF)
+            ^ (phash64(dec) & 0xFFFFFFFFFFFFFFFF)
+        ).count("1")
+        assert ham <= 2, ham
+
+
+def test_real_fixture_pipeline_decodes(spark):
+    """png/jpeg flow through the fused Arrow decode pass: every row
+    decode_ok, phash integrity holds, PSNR sidecar >= 40."""
+    from chronon_spark.fixtures import ensure_real_image_fixture
+    from chronon_spark.operators.multimodal import with_image_features
+
+    from pyspark.sql import functions as F
+
+    path = ensure_real_image_fixture(n=40, seed=11)
+    images = spark.read.parquet(path)
+    out = with_image_features(images).select(
+        "decode_ok",
+        (F.col("phash_check") == F.col("phash")).alias("pm"),
+        (F.col("psnr_db") >= 40.0).alias("ok40"),
+        "fmt",
+    )
+    rows = out.collect()
+    assert len(rows) == 40
+    assert all(r.decode_ok for r in rows)
+    assert all(r.pm for r in rows)
+    assert all(r.ok40 for r in rows)
+    fmts = {r.fmt for r in rows}
+    assert fmts == {"png", "jpeg"}
