@@ -111,6 +111,17 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def steal_jiffies() -> int:
+    """Host CPU-steal counter (same source as tools/scaling_worker.py) —
+    this is a shared-host sandbox, so sub-second timings are only
+    interpretable next to the steal that occurred while they ran."""
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+    except (OSError, ValueError, IndexError):
+        return 0
+
+
 def run_bench(sf_dir: str, cpus: str, names: list[str], runs: int = 1) -> dict:
     import __spark_entry__ as entry
     from chronon_spark.session import build_session
@@ -126,6 +137,7 @@ def run_bench(sf_dir: str, cpus: str, names: list[str], runs: int = 1) -> dict:
 
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
+    steal: dict[str, int] = {}
     for name in names:
         run_q = (
             (lambda s, _sf, f=LOCAL_WORKLOADS[name]: f(s))
@@ -133,11 +145,13 @@ def run_bench(sf_dir: str, cpus: str, names: list[str], runs: int = 1) -> dict:
             else qs[name]
         )
         best = None
+        st0 = steal_jiffies()
         for _ in range(runs):
             t0 = time.perf_counter()
             materialize(run_q(spark, sf_dir))
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+        steal[name] = steal_jiffies() - st0
         timings[name] = round(best, 3)
         rows[name] = run_q(spark, sf_dir).count()  # untimed
 
@@ -152,6 +166,7 @@ def run_bench(sf_dir: str, cpus: str, names: list[str], runs: int = 1) -> dict:
         "queries": timings,
         "rows": rows,
         "rows_per_sec": rps,
+        "steal_jiffies": steal,
         "headline_rows_per_sec": rps.get("temporal_join_asof"),
         "north_image_rows_per_sec": rps.get("image_asof_fused"),
         "sf": sf_dir,

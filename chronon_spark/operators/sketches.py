@@ -192,6 +192,136 @@ class KLL:
             sk.levels = [np.empty(0)]
         return sk
 
+    # -- Apache DataSketches wire format -----------------------------------
+    # Byte-level layout of the DataSketches KLL *doubles* sketch (the
+    # format the reference's upload path persists via `KllSketch` serde,
+    # SimpleAggregators.scala:545-585). Public spec: datasketches-java
+    # KllPreambleUtil.java / datasketches-cpp kll_sketch_impl.hpp
+    # (Apache-2.0; layout reproduced in the field comments below). The
+    # container ships no datasketches bindings, so the fixtures in
+    # tests/test_sketch_ir.py are hand-assembled field-by-field from that
+    # spec rather than emitted by the reference library — the strongest
+    # check available in this environment.
+    #
+    #   byte 0   preamble_ints   2 (empty / single item)  |  5 (full)
+    #   byte 1   serial_version  1 (empty / full)         |  2 (single)
+    #   byte 2   family id       15 (KLL)
+    #   byte 3   flags           bit0 EMPTY, bit1 LEVEL_ZERO_SORTED,
+    #                            bit2 SINGLE_ITEM
+    #   byte 4-5 k               uint16 LE
+    #   byte 6   m               min level width, always 8
+    #   byte 7   unused
+    #  full format only:
+    #   byte 8-15  n             uint64 LE
+    #   byte 16-17 min_k         uint16 LE (smallest k seen across merges)
+    #   byte 18    num_levels    uint8
+    #   byte 19    unused
+    #   then       levels array  uint32 * num_levels — offsets of each
+    #              level's start in the items region; the final entry
+    #              levels[num_levels] is NOT serialized (derived:
+    #              levels[0] + retained_items)
+    #   then       min_item, max_item   two float64
+    #   then       retained items       float64 * retained, level 0 first,
+    #              each level ascending (level 0 only if flag bit1)
+    #  single-item format: bytes 0-7 as above, then the one float64 item.
+    _DS_FAMILY = 15
+    _DS_M = 8
+    _DS_FLAG_EMPTY = 1
+    _DS_FLAG_L0_SORTED = 2
+    _DS_FLAG_SINGLE = 4
+
+    def to_datasketches_bytes(self) -> bytes:
+        """Serialize into the Apache DataSketches KLL-doubles layout so the
+        IR column can be ingested by a datasketches-enabled engine."""
+        self._flush()
+        levels = list(self.levels)
+        while len(levels) > 1 and len(levels[-1]) == 0:
+            levels.pop()  # DS requires a non-empty top level
+        retained = sum(len(l) for l in levels)
+        if self.n == 0:
+            return struct.pack(
+                "<BBBBHBB", 2, 1, self._DS_FAMILY,
+                self._DS_FLAG_EMPTY | self._DS_FLAG_L0_SORTED,
+                self.k, self._DS_M, 0,
+            )
+        if self.n == 1 and retained == 1:
+            item = float(np.concatenate(levels)[0])
+            return struct.pack(
+                "<BBBBHBB", 2, 2, self._DS_FAMILY,
+                self._DS_FLAG_SINGLE | self._DS_FLAG_L0_SORTED,
+                self.k, self._DS_M, 0,
+            ) + struct.pack("<d", item)
+        num_levels = len(levels)
+        offsets = np.zeros(num_levels, dtype="<u4")
+        for i in range(1, num_levels):
+            offsets[i] = offsets[i - 1] + len(levels[i - 1])
+        flat = np.concatenate([l for l in levels if len(l)])
+        weights = np.concatenate(
+            [np.full(len(l), 1 << i) for i, l in enumerate(levels) if len(l)]
+        )
+        # min/max track the true stream extremes; after compression only
+        # the surviving items are known — use them (standard when
+        # rebuilding from a partial, and exact whenever level buffers
+        # never overflowed)
+        lo, hi = float(flat.min()), float(flat.max())
+        del weights
+        return (
+            struct.pack(
+                "<BBBBHBB", 5, 1, self._DS_FAMILY,
+                self._DS_FLAG_L0_SORTED, self.k, self._DS_M, 0,
+            )
+            + struct.pack("<QHBB", self.n, self.k, num_levels, 0)
+            + offsets.tobytes()
+            + struct.pack("<dd", lo, hi)
+            + flat.astype("<f8").tobytes()
+        )
+
+    @classmethod
+    def from_datasketches_bytes(cls, data: bytes) -> "KLL":
+        """Ingest an Apache DataSketches KLL-doubles payload (any producer:
+        datasketches-java/cpp/python or this module) into a mergeable KLL."""
+        pre, ser, fam, flags, k, m, _ = struct.unpack_from("<BBBBHBB", data, 0)
+        if fam != cls._DS_FAMILY:
+            raise ValueError(f"not a DataSketches KLL payload (family={fam})")
+        if m != cls._DS_M:
+            raise ValueError(f"unsupported KLL m={m} (engine supports m=8)")
+        sk = cls(k)
+        if flags & cls._DS_FLAG_EMPTY:
+            return sk
+        if flags & cls._DS_FLAG_SINGLE:
+            (item,) = struct.unpack_from("<d", data, 8)
+            sk.levels = [np.array([item])]
+            sk.n = 1
+            return sk
+        if pre != 5 or ser != 1:
+            raise ValueError(f"unsupported KLL preamble (ints={pre}, ver={ser})")
+        n, _min_k, num_levels, _ = struct.unpack_from("<QHBB", data, 8)
+        off = 20
+        offsets = np.frombuffer(data, dtype="<u4", count=num_levels, offset=off)
+        off += 4 * num_levels
+        off += 16  # min_item, max_item — quantiles here derive from items
+        items = np.frombuffer(data, dtype="<f8", offset=off)
+        base = int(offsets[0])
+        bounds = [int(o) - base for o in offsets] + [len(items)]
+        sk.levels = [
+            np.array(items[bounds[i]: bounds[i + 1]])
+            for i in range(num_levels)
+        ]
+        if sk.levels and not (flags & cls._DS_FLAG_L0_SORTED):
+            sk.levels[0] = np.sort(sk.levels[0])
+        sk.n = n
+        return sk
+
+    @classmethod
+    def from_any_bytes(cls, data: bytes) -> "KLL":
+        """Sniff the payload format: byte 0 of the engine layout is 0x4C
+        ('L' of the u16-LE magic 0x4B4C); DataSketches payloads start with
+        preamble_ints (2 or 5) — disjoint, so IR tables produced by
+        different engines union and merge transparently."""
+        if len(data) >= 2 and data[0] == (_MAGIC & 0xFF) and data[1] == (_MAGIC >> 8):
+            return cls.from_bytes(data)
+        return cls.from_datasketches_bytes(data)
+
 
 # -- IR tables ------------------------------------------------------------
 
@@ -202,13 +332,21 @@ def write_quantile_ir(
     ds_col: str = "ds",
     k: int = 200,
     out_col: str = "kll_ir",
+    wire_format: str = "engine",
 ) -> DataFrame:
     """One bounded binary KLL payload per (keys..., ds).
 
     Scan-shaped + one shuffle on (keys, ds); the payload is O(k) bytes no
     matter how many events the day holds — the IR table stays tiny next
     to the event table. Output schema: keys + ds + `out_col` binary.
+
+    wire_format: "engine" (this module's layout) or "datasketches"
+    (Apache DataSketches KLL-doubles layout — what the reference's
+    upload path persists, SimpleAggregators.scala:545-585). Mergers
+    sniff per-payload, so tables in either format union freely.
     """
+    if wire_format not in ("engine", "datasketches"):
+        raise ValueError(f"unknown wire_format {wire_format!r}")
     out_schema = ", ".join(
         [f"`{c}` {t}" for c, t in df.select(*keys, ds_col).dtypes]
         + [f"`{out_col}` binary"]
@@ -219,7 +357,10 @@ def write_quantile_ir(
         sk = KLL(k)
         sk.update_many(pdf[value_col].to_numpy(dtype=np.float64, na_value=np.nan))
         head = pdf.iloc[:1][group_cols].reset_index(drop=True)
-        head[out_col] = [sk.to_bytes()]
+        head[out_col] = [
+            sk.to_bytes() if wire_format == "engine"
+            else sk.to_datasketches_bytes()
+        ]
         return head
 
     return (
@@ -247,7 +388,7 @@ def merge_quantile_irs(
     def combine(pdf: pd.DataFrame) -> pd.DataFrame:
         acc: Optional[KLL] = None
         for payload in pdf[ir_col]:
-            sk = KLL.from_bytes(bytes(payload))
+            sk = KLL.from_any_bytes(bytes(payload))
             acc = sk if acc is None else acc.merge(sk)
         head = pdf.iloc[:1][list(keys)].reset_index(drop=True)
         for p in percentiles:

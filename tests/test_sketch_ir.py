@@ -139,3 +139,111 @@ class TestUniqueIRTable:
         for _, row in got.iterrows():
             t = truth[row.user_id]
             assert abs(row.unique_estimate - t) / t < 0.1, (row.user_id, row.unique_estimate, t)
+
+
+class TestDataSketchesWireFormat:
+    """Apache DataSketches KLL-doubles layout (the reference's `KllSketch`
+    IR serde, SimpleAggregators.scala:545-585). No datasketches bindings
+    ship in this container, so the known-good fixtures below are assembled
+    byte-by-byte from the published layout (datasketches-java
+    KllPreambleUtil.java) — every field spelled out."""
+
+    def test_parse_handbuilt_full_fixture(self):
+        import struct
+
+        # full format: k=200, n=4, one level holding [1,2,3,4]
+        payload = (
+            struct.pack(
+                "<BBBBHBB",
+                5,    # preamble_ints (full)
+                1,    # serial_version (empty/full)
+                15,   # family id = KLL
+                2,    # flags: LEVEL_ZERO_SORTED
+                200,  # k
+                8,    # m
+                0,    # unused
+            )
+            + struct.pack("<QHBB", 4, 200, 1, 0)  # n, min_k, num_levels, unused
+            + struct.pack("<I", 0)                # levels[0] offset
+            + struct.pack("<dd", 1.0, 4.0)        # min_item, max_item
+            + struct.pack("<4d", 1.0, 2.0, 3.0, 4.0)
+        )
+        sk = KLL.from_datasketches_bytes(payload)
+        assert sk.n == 4 and sk.k == 200
+        assert sk.quantile(0.5) == 2.0 and sk.quantile(1.0) == 4.0
+
+    def test_parse_handbuilt_two_level_fixture(self):
+        import struct
+
+        # two levels: level0=[5.0] (weight 1), level1=[1.0, 9.0] (weight 2)
+        # -> weighted stream of n=5: {1,1,5,9,9}
+        payload = (
+            struct.pack("<BBBBHBB", 5, 1, 15, 2, 128, 8, 0)
+            + struct.pack("<QHBB", 5, 128, 2, 0)
+            + struct.pack("<II", 7, 8)  # nonzero base offset: free space at front
+            + struct.pack("<dd", 1.0, 9.0)
+            + struct.pack("<3d", 5.0, 1.0, 9.0)
+        )
+        sk = KLL.from_datasketches_bytes(payload)
+        assert sk.n == 5
+        assert [len(l) for l in sk.levels] == [1, 2]
+        assert sk.quantile(0.5) == 5.0  # rank 3 of {1,1,5,9,9}
+        assert sk.quantile(0.2) == 1.0
+
+    def test_parse_handbuilt_empty_and_single(self):
+        import struct
+
+        empty = struct.pack("<BBBBHBB", 2, 1, 15, 1 | 2, 200, 8, 0)
+        sk = KLL.from_datasketches_bytes(empty)
+        assert sk.n == 0 and sk.quantile(0.5) is None
+
+        single = struct.pack("<BBBBHBB", 2, 2, 15, 4 | 2, 200, 8, 0) + struct.pack("<d", 7.5)
+        sk = KLL.from_datasketches_bytes(single)
+        assert sk.n == 1 and sk.quantile(0.5) == 7.5
+
+    def test_roundtrip_preserves_quantiles(self):
+        rng = np.random.default_rng(23)
+        sk = KLL(k=128)
+        sk.update_many(rng.lognormal(0, 2, size=50_000))
+        rt = KLL.from_datasketches_bytes(sk.to_datasketches_bytes())
+        assert rt.n == sk.n and rt.k == sk.k
+        for p in (0.05, 0.5, 0.95):
+            assert rt.quantile(p) == sk.quantile(p)
+        # emitted payload is itself a valid full-format frame
+        blob = sk.to_datasketches_bytes()
+        assert blob[0] == 5 and blob[1] == 1 and blob[2] == 15
+
+    def test_roundtrip_empty_and_single(self):
+        assert KLL.from_datasketches_bytes(KLL(64).to_datasketches_bytes()).n == 0
+        one = KLL(64)
+        one.update(3.25)
+        rt = KLL.from_datasketches_bytes(one.to_datasketches_bytes())
+        assert rt.n == 1 and rt.quantile(0.5) == 3.25
+
+    def test_format_sniffing_merges_mixed_tables(self, spark, events):
+        """An IR table written in the DataSketches layout unions with an
+        engine-layout table; merge_quantile_irs sniffs per payload."""
+        df, pdf = events
+        job1 = write_quantile_ir(
+            df.where(F.col("ds") < "2024-01-05"), ["user_id"], "value",
+            k=256, wire_format="datasketches",
+        )
+        job2 = write_quantile_ir(
+            df.where(F.col("ds") >= "2024-01-05"), ["user_id"], "value",
+            k=256, wire_format="engine",
+        )
+        merged = merge_quantile_irs(
+            job1.unionByName(job2), ["user_id"], [0.5]
+        ).toPandas()
+        assert len(merged) == pdf["user_id"].nunique()
+        for _, row in merged.iterrows():
+            vals = np.sort(pdf.loc[pdf.user_id == row.user_id, "value"].to_numpy())
+            rank = np.searchsorted(vals, row.p50, side="right") / len(vals)
+            assert abs(rank - 0.5) < 0.05, (row.user_id, rank)
+
+    def test_rejects_foreign_family(self):
+        import struct
+
+        hll = struct.pack("<BBBBHBB", 2, 1, 6, 1, 200, 8, 0)  # family 6 = HLL
+        with pytest.raises(ValueError, match="family"):
+            KLL.from_datasketches_bytes(hll)
