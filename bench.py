@@ -144,6 +144,12 @@ def run_bench(sf_dir: str, cpus: str, names: list[str], runs: int = 1) -> dict:
             if name in LOCAL_WORKLOADS
             else qs[name]
         )
+        # isolate queries from each other: a previous query's cached
+        # frames (and the executor-memory pressure they hold) must not
+        # leak into this one's timing. Caches BUILT BY this query still
+        # persist across its own passes — a long-running backfill reuses
+        # its own caches, so best-of-N keeps that steady-state benefit.
+        spark.catalog.clearCache()
         best = None
         st0 = steal_jiffies()
         for _ in range(runs):
