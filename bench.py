@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "temporal_entity_mutations",  # r2: mutation replay
     "image_asof_fused",        # r3: north-star image+caption backfill
     "curate_images_48k",       # r3: decode-gate-cluster curation path
+    "real_decode_24k",         # r4: from-scratch PNG/JPEG decode throughput
     "corpus_decontaminate",    # r3: eval-set shingle sweep (text corpus)
     "dedup_incremental",       # r3: batch-vs-corpus minhash probe
 ]
@@ -96,9 +97,24 @@ def run_curate_images(spark):
     )
 
 
+def run_real_decode(spark):
+    """Real-format decode throughput: 24k PNG (RFC 2083 inflate+unfilter)
+    / baseline-JPEG (Huffman+IDCT) images through the fused pixel-feature
+    Arrow pass — the from-scratch codecs under timing, not just under
+    correctness. Images/s is the figure of merit."""
+    from chronon_spark.fixtures import ensure_real_image_fixture
+    from chronon_spark.operators.multimodal import extract_pixel_features
+
+    path = ensure_real_image_fixture(n=24_000, seed=7)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+    images = spark.read.parquet(path)
+    return extract_pixel_features(images, passthrough=("fmt",))
+
+
 LOCAL_WORKLOADS = {
     "image_asof_fused": run_image_asof_fused,
     "curate_images_48k": run_curate_images,
+    "real_decode_24k": run_real_decode,
 }
 
 

@@ -386,7 +386,7 @@ def encode_jpeg(pix: np.ndarray, quality: int = 90) -> bytes:
     comp_q = []
     for ci in range(3):
         blocks = _blockify(ycc[:, :, ci])
-        coef = np.einsum("ux,nxy,vy->nuv", _DCT_M, blocks, _DCT_M)
+        coef = np.matmul(_DCT_M, np.matmul(blocks, _DCT_M.T))
         q = qy if ci == 0 else qc
         qb = np.round(coef / q).astype(np.int64)
         comp_q.append(qb.reshape(-1, 64)[:, _ZZ])
@@ -456,38 +456,49 @@ def encode_jpeg(pix: np.ndarray, quality: int = 90) -> bytes:
     return bytes(out)
 
 
-class _BitReader:
-    def __init__(self, data: bytes) -> None:
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.nbits = 0
+def _entropy_windows(seg: bytes) -> tuple[list[int], int]:
+    """De-stuff the entropy segment ONCE (0xFF00 -> 0xFF, any other 0xFF
+    is a stray marker -> error) and precompute, for every bit offset p,
+    the next 16 bits as an integer. Decoding then never touches bytes:
+    a Huffman symbol is one window lookup + one table lookup, an n-bit
+    magnitude is `win[p] >> (16 - n)`. Returns (windows, real_bit_count)
+    — windows past the end are padded with 1s (the encoder's own byte
+    padding), and the caller bounds-checks against real_bit_count."""
+    arr = np.frombuffer(seg, dtype=np.uint8)
+    ff = np.flatnonzero(arr == 0xFF)
+    if len(ff):
+        nxt = ff + 1
+        if nxt[-1] >= len(arr) or not np.all(arr[nxt] == 0x00):
+            raise ValueError("unexpected marker in entropy data")
+        arr = np.delete(arr, nxt)
+    bits = np.unpackbits(arr)
+    nbits = len(bits)
+    padded = np.concatenate([bits, np.ones(16, dtype=np.uint8)])
+    powers = (1 << np.arange(15, -1, -1)).astype(np.uint32)
+    win = (
+        np.lib.stride_tricks.sliding_window_view(padded, 16)[: nbits + 1]
+        .astype(np.uint32)
+        @ powers
+    )
+    # plain list: scalar indexing in the per-symbol loop is ~3x faster
+    # than numpy scalar indexing
+    return win.tolist(), nbits
 
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("JPEG entropy stream truncated")
-            byte = self.data[self.pos]
-            self.pos += 1
-            if byte == 0xFF:
-                if self.pos < len(self.data) and self.data[self.pos] == 0x00:
-                    self.pos += 1  # destuff
-                else:
-                    raise ValueError("unexpected marker in entropy data")
-            self.acc = byte
-            self.nbits = 8
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
 
-    def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
-
-
-def _decode_magnitude(v: int, size: int) -> int:
-    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+def _primary_lut(table: dict[tuple[int, int], int]) -> tuple[list[int], list[int]]:
+    """9-bit first-level Huffman LUT (sym, length per 9-bit prefix;
+    length 0 = code longer than 9 bits -> dict walk fallback). 512
+    entries keeps the per-image build cost trivial even though this
+    encoder emits per-image tables."""
+    sym = [0] * 512
+    ln_ = [0] * 512
+    for (ln, code), s in table.items():
+        if ln <= 9:
+            start = code << (9 - ln)
+            for i in range(start, start + (1 << (9 - ln))):
+                sym[i] = s
+                ln_[i] = ln
+    return sym, ln_
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
@@ -569,34 +580,61 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
     if entropy_start is None or h is None:
         raise ValueError("JPEG missing SOS/SOF0")
     end = data.rfind(b"\xff\xd9")
-    br = _BitReader(data[entropy_start : end if end > 0 else len(data)])
-
-    def read_symbol(table: dict[tuple[int, int], int]) -> int:
-        code, ln = 0, 0
-        while ln < 16:
-            code = (code << 1) | br.read_bit()
-            ln += 1
-            sym = table.get((ln, code))
-            if sym is not None:
-                return sym
-        raise ValueError("bad Huffman code")
+    win, nbits = _entropy_windows(
+        data[entropy_start : end if end > 0 else len(data)]
+    )
+    luts = {key: _primary_lut(tbl) for key, tbl in huff.items()}
+    pos = 0
 
     hh, ww = h + ((-h) % 8), w + ((-w) % 8)
     nblocks = (hh // 8) * (ww // 8)
     coefs = [np.zeros((nblocks, 64), dtype=np.float64) for _ in range(3)]
     pred = [0, 0, 0]
+    comp_tables = [
+        (huff[(0, tdc)], *luts[(0, tdc)], huff[(1, tac)], *luts[(1, tac)])
+        for (cid, tdc, tac) in scan_comp
+    ]
     for b in range(nblocks):
-        for ci, (cid, tdc, tac) in enumerate(scan_comp):
-            dct = huff[(0, tdc)]
-            act = huff[(1, tac)]
-            size = read_symbol(dct)
-            diff = _decode_magnitude(br.read_bits(size), size) if size else 0
-            pred[ci] += diff
+        for ci in range(len(scan_comp)):
+            dct, dsym9, dlen9, act, asym9, alen9 = comp_tables[ci]
+            if pos >= nbits:
+                raise ValueError("JPEG entropy stream truncated")
+            wv = win[pos]
+            ln = dlen9[wv >> 7]
+            if ln:
+                size = dsym9[wv >> 7]
+            else:  # code longer than 9 bits
+                for ln in range(10, 17):
+                    size = dct.get((ln, wv >> (16 - ln)))
+                    if size is not None:
+                        break
+                else:
+                    raise ValueError("bad Huffman code")
+            pos += ln
+            if size:
+                v = win[pos] >> (16 - size)
+                pos += size
+                pred[ci] += (
+                    v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+                )
             blk = coefs[ci][b]
             blk[0] = pred[ci]
             k = 1
             while k < 64:
-                sym = read_symbol(act)
+                if pos >= nbits:
+                    raise ValueError("JPEG entropy stream truncated")
+                wv = win[pos]
+                ln = alen9[wv >> 7]
+                if ln:
+                    sym = asym9[wv >> 7]
+                else:
+                    for ln in range(10, 17):
+                        sym = act.get((ln, wv >> (16 - ln)))
+                        if sym is not None:
+                            break
+                    else:
+                        raise ValueError("bad Huffman code")
+                pos += ln
                 if sym == 0x00:  # EOB
                     break
                 run, size = sym >> 4, sym & 0xF
@@ -608,14 +646,18 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
                 k += run
                 if k > 63:
                     raise ValueError("AC run past block end")
-                blk[k] = _decode_magnitude(br.read_bits(size), size)
+                v = win[pos] >> (16 - size)
+                pos += size
+                blk[k] = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
                 k += 1
 
     chans = []
     for ci, (cid, _, _) in enumerate(scan_comp):
         tq = dict(comp_info)[cid]
         dz = coefs[ci][:, _UNZZ].reshape(-1, 8, 8) * qt[tq]
-        spatial = np.einsum("xu,nuv,yv->nxy", _DCT_M.T, dz, _DCT_M.T)
+        # spatial[n] = Mᵀ · dz[n] · M as two batched BLAS matmuls — the
+        # 3-operand einsum contracts pairwise anyway but ~20x slower here
+        spatial = np.matmul(_DCT_M.T, np.matmul(dz, _DCT_M))
         chans.append(_unblockify(spatial, hh, ww) + 128.0)
     ycc = np.stack(chans, axis=-1)[:h, :w]
     return _ycbcr_to_rgb(ycc)

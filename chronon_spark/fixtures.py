@@ -228,7 +228,8 @@ def ensure_image_fixture(
     return path
 
 
-def gen_real_image_rows(n: int, seed: int = 42, span_days: int = 30):
+def gen_real_image_rows(n: int, seed: int = 42, span_days: int = 30,
+                        offset: int = 0):
     """Real-interchange-format rows (PNG + baseline JPEG bytes from
     chronon_spark.codecs). Same (seed, index)-determinism as
     gen_image_rows, plus two sidecars derived at generation time:
@@ -245,7 +246,7 @@ def gen_real_image_rows(n: int, seed: int = 42, span_days: int = 30):
 
     sizes = [(32, 32), (64, 48), (48, 64), (80, 60)]
     rows = []
-    for i in range(n):
+    for i in range(offset, offset + n):
         rng = np.random.default_rng(seed * 2_000_003 + i)
         w, h = sizes[int(rng.integers(0, len(sizes)))]
         pix = gen_pixels(rng, w, h)
@@ -271,27 +272,62 @@ def gen_real_image_rows(n: int, seed: int = 42, span_days: int = 30):
     return rows
 
 
-def ensure_real_image_fixture(
-    n: int = 200, seed: int = 42, out_dir: str = "/root/repo/.fixtures"
-) -> str:
-    """Write the real-codec (png/jpeg) fixture parquet once; idempotent
-    on (n, seed)."""
-    path = os.path.join(out_dir, f"images_real_n{n}_s{seed}.parquet")
-    if os.path.exists(path):
-        return path
-    os.makedirs(out_dir, exist_ok=True)
+def _real_rows_table(rows):
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
-    rows = gen_real_image_rows(n, seed)
-    table = _image_rows_table(rows).append_column(
+    return _image_rows_table(rows).append_column(
         "dec_brightness",
         pa.array([r["dec_brightness"] for r in rows], type=pa.float64()),
     ).append_column(
         "psnr_db", pa.array([r["psnr_db"] for r in rows], type=pa.float64())
     )
+
+
+def _real_chunk_writer(task):
+    """(dir_path, seed, chunk_idx, lo, count) -> writes one part file."""
+    import pyarrow.parquet as pq
+
+    dir_path, seed, chunk_idx, lo, count = task
+    part = os.path.join(dir_path, f"part-{chunk_idx:05d}.parquet")
+    rows = gen_real_image_rows(count, seed, offset=lo)
+    pq.write_table(_real_rows_table(rows), part, row_group_size=FIXTURE_ROW_GROUP)
+    return part
+
+
+def ensure_real_image_fixture(
+    n: int = 200, seed: int = 42, out_dir: str = "/root/repo/.fixtures",
+    n_jobs: int | None = None,
+) -> str:
+    """Write the real-codec (png/jpeg) fixture parquet once; idempotent
+    on (n, seed). The pure-python JPEG ENCODER costs ~7ms/row, so large
+    n is generated in parallel as a directory of part parquets on fixed
+    2k-row chunk boundaries — per-row RNG seeds on the absolute row
+    index, so bytes are identical regardless of worker count."""
+    path = os.path.join(out_dir, f"images_real_n{n}_s{seed}.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(out_dir, exist_ok=True)
+    import pyarrow.parquet as pq
+
+    if n >= 2_000:
+        chunk = 2_000
+        tmp_dir = path + ".tmp"
+        os.makedirs(tmp_dir, exist_ok=True)
+        tasks = [
+            (tmp_dir, seed, ci, lo, min(chunk, n - lo))
+            for ci, lo in enumerate(range(0, n, chunk))
+        ]
+        import multiprocessing as mp
+
+        jobs = n_jobs or min(16, mp.cpu_count())
+        with mp.get_context("spawn").Pool(jobs) as pool:
+            pool.map(_real_chunk_writer, tasks)
+        os.replace(tmp_dir, path)
+        return path
+
+    rows = gen_real_image_rows(n, seed)
     tmp = path + ".tmp"
-    pq.write_table(table, tmp, row_group_size=FIXTURE_ROW_GROUP)
+    pq.write_table(_real_rows_table(rows), tmp, row_group_size=FIXTURE_ROW_GROUP)
     os.replace(tmp, path)
     return path
 
