@@ -22,7 +22,7 @@ def main() -> None:
     ap.add_argument("--input", required=True)
     ap.add_argument("--workload",
                     choices=["join", "groupby", "image", "image_fused",
-                             "video_fused", "curate"],
+                             "video_fused", "curate", "real_decode"],
                     default="join")
     ap.add_argument("--passes", type=int, default=2)
     args = ap.parse_args()
@@ -142,6 +142,23 @@ def main() -> None:
             # unreferenced output expressions on native-agg plans)
             out.write.format("noop").mode("overwrite").save()
             return n_rows
+    elif args.workload == "real_decode":
+        # the from-scratch PNG/JPEG codecs under the scaling rule: decode
+        # every real-format payload (zlib inflate + unfilter for PNG,
+        # Huffman + batched-BLAS IDCT for JPEG) and extract pixel features
+        # in one Arrow pass — pure per-row python/numpy, zero shuffles,
+        # the embarrassingly-parallel regime that MUST scale ~linearly if
+        # the Arrow batching and scan splits are right.
+        from chronon_spark.operators.multimodal import extract_pixel_features
+
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+        images = spark.read.parquet(args.input).cache()
+        input_rows = images.count()
+
+        def run():
+            extract_pixel_features(images, passthrough=("fmt",)).write.format(
+                "noop").mode("overwrite").save()
+            return input_rows
     elif args.workload == "curate":
         # corpus curation at scale: decode EVERY image (the dominant,
         # embarrassingly-parallel stage), quality-gate, then phash
