@@ -1131,6 +1131,84 @@ def q_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _wire_format_warehouse(spark: SparkSession, sf_dir: str, kind: str):
+    """Two-commit warehouse for the wire-format providers: snapshot 1 =
+    full events history, snapshot 2 = overwrite of day 2024-01-05 (even
+    users only, cents tripled) — so current state, time travel AND the
+    incremental diff are all distinguishable and oracle-expressible."""
+    import tempfile
+
+    from chronon_spark.sources.catalog import ParquetWarehouse
+
+    wh = ParquetWarehouse(spark, tempfile.mkdtemp(prefix=f"chronon_{kind}_"))
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd").alias("ds"),
+    )
+    wh.insert_overwrite(raw, "ev")  # snapshot 1
+    mutated = raw.where(
+        (F.col("ds") == "2024-01-05") & (F.col("user_id") % 2 == 0)
+    ).withColumn("cents", F.col("cents") * 3)
+    wh.insert_overwrite(mutated, "ev")  # snapshot 2
+    return wh
+
+
+def _wire_format_report(parts: list[tuple[str, DataFrame]]) -> DataFrame:
+    out = None
+    for version, df in parts:
+        agg = df.groupBy("ds").agg(
+            F.count("*").alias("n_rows"),
+            F.sum("cents").alias("cents_total"),
+        ).select(F.lit(version).alias("version"), "ds", "n_rows", "cents_total")
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
+def q_iceberg_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real Iceberg v2 wire format end-to-end (iceberg.py; reference
+    catalog/Iceberg.scala:21-85): mirror the warehouse's snapshot log to
+    spec metadata (metadata.json + Avro manifest list + manifests via the
+    from-scratch avro_io codec), then plan every read FROM THAT METADATA
+    — current state, VERSION AS OF snapshot 1, and the incremental
+    added-files diff. The oracle recomputes all three states from raw
+    events; partition listing from manifests is pinned against the
+    directory walk."""
+    _prep(spark)
+    from chronon_spark.sources.iceberg import IcebergTable, mirror_to_iceberg
+
+    wh = _wire_format_warehouse(spark, sf_dir, "ice")
+    mirror_to_iceberg(wh, "ev")
+    t = IcebergTable(wh.path("ev"))
+    assert t.partitions() == wh.partitions("ev"), "manifest partition drift"
+    return _wire_format_report([
+        ("current", t.read(spark)),
+        ("v1", t.read(spark, snapshot_id=1)),
+        ("inc", t.read_incremental(spark, 1, 2)),
+    ])
+
+
+def q_delta_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta Lake transaction log end-to-end (delta_log.py; reference
+    catalog/DeltaLake.scala): mirror the snapshot log to a real
+    _delta_log with checkpoint_interval=1 so the CURRENT read exercises
+    the checkpoint-plus-tail replay path (not just JSON replay), plus
+    VERSION AS OF 0 and the CDF-style incremental diff. Same derived
+    oracle as the Iceberg scan."""
+    _prep(spark)
+    from chronon_spark.sources.delta_log import DeltaTable, mirror_to_delta
+
+    wh = _wire_format_warehouse(spark, sf_dir, "delta")
+    mirror_to_delta(wh, "ev", spark, checkpoint_interval=1)
+    dt = DeltaTable(wh.path("ev"))
+    assert dt.partitions() == wh.partitions("ev"), "delta partition drift"
+    return _wire_format_report([
+        ("current", dt.read(spark)),
+        ("v1", dt.read(spark, version=0)),
+        ("inc", dt.read_incremental(spark, 0, 1)),
+    ])
+
+
 def q_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-partition column stats from parquet FOOTERS only (zero data
     scan — the parquet analog of the reference's Iceberg manifest walk,
@@ -2528,6 +2606,8 @@ _COMPOSITE_SPECS: dict[str, list[str]] = {
     ],
     "dedup_incremental_suite": ["dedup_incremental", "image_phash_incremental"],
     "image_decode_suite": ["image_pixel_features", "image_real_decode"],
+    "sources_suite": ["cumulative_source", "groupby_multisource_union"],
+    "wire_formats_suite": ["iceberg_scan", "delta_scan"],
 }
 
 # Output columns of every granular query a suite unions (bool columns are
@@ -2536,6 +2616,10 @@ _COMPOSITE_SPECS: dict[str, list[str]] = {
 # tools/check_oracle.py fails loudly on drift (column sets are compared).
 _QCOLS: dict[str, list[str]] = {
     "scan_query_dsl": ["event_id", "user_id", "ts", "value_cents"],
+    "cumulative_source": ["user_id", "ds", "sum_7d", "count_life"],
+    "groupby_multisource_union": ["user_id", "ds", "sum_7d", "count_life"],
+    "iceberg_scan": ["version", "ds", "n_rows", "cents_total"],
+    "delta_scan": ["version", "ds", "n_rows", "cents_total"],
     "scan_udf_setups": ["event_id", "usd", "tier"],
     "groupby_snapshot_windows": [
         "user_id", "ds", "value_sum_7d", "value_sum", "value_count_7d",
@@ -2679,8 +2763,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window = [
         # scans / sources
         "scan_dsl_setups",
-        "cumulative_source",
-        "groupby_multisource_union",
+        "sources_suite",
+        "wire_formats_suite",
         # snapshot groupby
         "groupby_snapshot_suite",
         "groupby_snapshot_rank",
@@ -2811,6 +2895,8 @@ def _granular_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_join_skewfilter": q_temporal_join_skewfilter,
         "mixed_accuracy_join": q_mixed_accuracy_join,
         "cumulative_source": q_cumulative_source,
+        "iceberg_scan": q_iceberg_scan,
+        "delta_scan": q_delta_scan,
         "join_noagg_passthrough": q_join_noagg_passthrough,
         "feature_stats": q_feature_stats,
         "analyze_skew_keys": q_analyze_skew_keys,
@@ -2837,6 +2923,27 @@ def _granular_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # oracles (DuckDB dialect)
 # ---------------------------------------------------------------------------
+# shared oracle for iceberg_scan / delta_scan: recompute the warehouse's
+# two-commit history (full events; day 2024-01-05 overwritten with even
+# users x3) straight from raw events
+_WIRE_FORMAT_ORACLE = """
+    WITH e AS (SELECT user_id, CAST(round(value * 100, 0) AS BIGINT) AS cents,
+                      strftime(ts, '%Y-%m-%d') AS ds FROM events),
+    mut AS (SELECT user_id, cents * 3 AS cents, ds FROM e
+            WHERE ds = '2024-01-05' AND user_id % 2 = 0),
+    cur AS (SELECT * FROM e WHERE ds <> '2024-01-05'
+            UNION ALL SELECT * FROM mut)
+    SELECT 'current' AS version, ds, COUNT(*) AS n_rows,
+           SUM(cents) AS cents_total
+    FROM cur GROUP BY ds
+    UNION ALL
+    SELECT 'v1' AS version, ds, COUNT(*) AS n_rows, SUM(cents) AS cents_total
+    FROM e GROUP BY ds
+    UNION ALL
+    SELECT 'inc' AS version, ds, COUNT(*) AS n_rows, SUM(cents) AS cents_total
+    FROM mut GROUP BY ds
+"""
+
 _SNAP_DAYS = (
     "days AS (SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS ds FROM events)"
 )
@@ -3927,6 +4034,11 @@ def _oracle_sql_granular() -> dict[str, str]:
             FROM days d JOIN ec e ON d.user_id = e.user_id
             GROUP BY d.user_id, d.ds
         """,
+        # one SQL body for both wire-format scans: the Iceberg and Delta
+        # providers must reconstruct the SAME three states (current /
+        # first-version / incremental) from their respective metadata
+        "iceberg_scan": _WIRE_FORMAT_ORACLE,
+        "delta_scan": _WIRE_FORMAT_ORACLE,
         "join_noagg_passthrough": """
             WITH snaps AS (
               SELECT c_custkey AS cust_key,

@@ -1,0 +1,391 @@
+"""From-scratch Apache Avro object-container codec (read + write).
+
+The container has no Avro library (no ``fastavro``/``avro`` wheels baked
+in), but Iceberg's manifest and manifest-list files ARE Avro object
+container files — so real Iceberg wire-format metadata (iceberg.py)
+needs a real Avro codec. This module implements the public Avro 1.11
+specification (https://avro.apache.org/docs/1.11.1/specification/):
+
+* binary encoding — zigzag-varint int/long, little-endian float/double,
+  length-prefixed bytes/string, index-prefixed unions, block-encoded
+  arrays/maps, records as field concatenation, fixed as raw bytes;
+* object container files — ``Obj\\x01`` magic, file-metadata map
+  carrying ``avro.schema`` (JSON) and ``avro.codec``, 16-byte sync
+  marker, blocks of (count, byte-size, payload, sync);
+* codecs — ``null`` and ``deflate`` (raw DEFLATE, RFC 1951: zlib with
+  a -15 window, per the spec's "deflate" definition).
+
+Schema handling is spec-complete for the subset Iceberg metadata uses
+(and then some): records with named-type references, unions, arrays,
+maps, fixed, enums, and all primitives. Logical types ride through as
+their underlying primitive, which is exactly how manifests treat
+timestamps.
+
+Pure Python on purpose: manifest files are metadata (kilobytes per
+commit, never data-plane), so codec throughput is irrelevant — clarity
+and spec fidelity win. Reference parity: the reference consumes Iceberg
+metadata through the Java Iceberg library
+(/root/reference/spark/src/main/scala/ai/chronon/spark/catalog/Iceberg.scala:21-85);
+this is the from-scratch stand-in for the same wire format.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import zlib
+from typing import Any, BinaryIO, Iterable, Optional
+
+MAGIC = b"Obj\x01"
+_PRIMITIVES = {"null", "boolean", "int", "long", "float", "double", "bytes", "string"}
+
+
+# ---------------------------------------------------------------- schema
+
+class SchemaError(ValueError):
+    pass
+
+
+def parse_schema(schema: Any, named: Optional[dict] = None) -> Any:
+    """Normalize a JSON Avro schema: resolve named-type references so the
+    codec can walk it directly. Returns a structure of dicts/lists/strs
+    where every named reference has been replaced by its definition."""
+    if named is None:
+        named = {}
+    if isinstance(schema, str):
+        if schema in _PRIMITIVES:
+            return schema
+        if schema in named:
+            return named[schema]
+        raise SchemaError(f"unresolved named type: {schema}")
+    if isinstance(schema, list):  # union
+        return [parse_schema(s, named) for s in schema]
+    if not isinstance(schema, dict):
+        raise SchemaError(f"bad schema node: {schema!r}")
+    t = schema.get("type")
+    if t in _PRIMITIVES and len(schema) == 1:
+        return t
+    if t in _PRIMITIVES:
+        # primitive with logical-type decoration — keep the dict so
+        # callers can inspect it, codec reads ["type"]
+        return dict(schema)
+    if t == "record":
+        out = {"type": "record", "name": schema["name"], "fields": []}
+        _register(named, schema, out)
+        for f in schema["fields"]:
+            out["fields"].append({
+                "name": f["name"],
+                "type": parse_schema(f["type"], named),
+                **({"field-id": f["field-id"]} if "field-id" in f else {}),
+                **({"default": f["default"]} if "default" in f else {}),
+            })
+        return out
+    if t == "enum":
+        out = {"type": "enum", "name": schema["name"],
+               "symbols": list(schema["symbols"])}
+        _register(named, schema, out)
+        return out
+    if t == "fixed":
+        out = {"type": "fixed", "name": schema["name"],
+               "size": int(schema["size"])}
+        _register(named, schema, out)
+        return out
+    if t == "array":
+        return {"type": "array", "items": parse_schema(schema["items"], named)}
+    if t == "map":
+        return {"type": "map", "values": parse_schema(schema["values"], named)}
+    raise SchemaError(f"unsupported schema type: {t!r}")
+
+
+def _register(named: dict, raw: dict, resolved: dict) -> None:
+    name = raw["name"]
+    ns = raw.get("namespace")
+    named[name] = resolved
+    if ns:
+        named[f"{ns}.{name}"] = resolved
+    elif "." in name:
+        named[name.rsplit(".", 1)[1]] = resolved
+
+
+# ------------------------------------------------------- binary decoding
+
+class Decoder:
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def read(self, n: int) -> bytes:
+        b = self.buf[self.pos:self.pos + n]
+        if len(b) != n:
+            raise EOFError("truncated avro payload")
+        self.pos += n
+        return b
+
+    def read_long(self) -> int:
+        shift, acc = 0, 0
+        while True:
+            b = self.buf[self.pos]
+            self.pos += 1
+            acc |= (b & 0x7F) << shift
+            if not (b & 0x80):
+                break
+            shift += 7
+        return (acc >> 1) ^ -(acc & 1)  # zigzag
+
+    def read_value(self, schema: Any) -> Any:
+        t = schema["type"] if isinstance(schema, dict) else schema
+        if isinstance(schema, list):  # union
+            return self.read_value(schema[self.read_long()])
+        if t == "null":
+            return None
+        if t == "boolean":
+            return self.read(1) != b"\x00"
+        if t in ("int", "long"):
+            return self.read_long()
+        if t == "float":
+            return struct.unpack("<f", self.read(4))[0]
+        if t == "double":
+            return struct.unpack("<d", self.read(8))[0]
+        if t == "bytes":
+            return self.read(self.read_long())
+        if t == "string":
+            return self.read(self.read_long()).decode("utf-8")
+        if t == "record":
+            return {f["name"]: self.read_value(f["type"])
+                    for f in schema["fields"]}
+        if t == "enum":
+            return schema["symbols"][self.read_long()]
+        if t == "fixed":
+            return self.read(schema["size"])
+        if t == "array":
+            out = []
+            while True:
+                n = self.read_long()
+                if n == 0:
+                    return out
+                if n < 0:
+                    n = -n
+                    self.read_long()  # block byte size — skippable hint
+                for _ in range(n):
+                    out.append(self.read_value(schema["items"]))
+        if t == "map":
+            out = {}
+            while True:
+                n = self.read_long()
+                if n == 0:
+                    return out
+                if n < 0:
+                    n = -n
+                    self.read_long()
+                for _ in range(n):
+                    k = self.read(self.read_long()).decode("utf-8")
+                    out[k] = self.read_value(schema["values"])
+        raise SchemaError(f"cannot decode type {t!r}")
+
+
+# ------------------------------------------------------- binary encoding
+
+class Encoder:
+    def __init__(self) -> None:
+        self.out = io.BytesIO()
+
+    def write_long(self, v: int) -> None:
+        v = (v << 1) ^ (v >> 63) if v >= 0 else ((-v - 1) << 1 | 1)
+        # equivalent zigzag for arbitrary ints:
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                self.out.write(bytes((b | 0x80,)))
+            else:
+                self.out.write(bytes((b,)))
+                break
+
+    def write_value(self, schema: Any, v: Any) -> None:
+        t = schema["type"] if isinstance(schema, dict) else schema
+        if isinstance(schema, list):  # union — pick first matching branch
+            idx = _union_branch(schema, v)
+            self.write_long(idx)
+            self.write_value(schema[idx], v)
+            return
+        if t == "null":
+            if v is not None:
+                raise SchemaError(f"null schema got {v!r}")
+            return
+        if t == "boolean":
+            self.out.write(b"\x01" if v else b"\x00")
+            return
+        if t in ("int", "long"):
+            self.write_long(int(v))
+            return
+        if t == "float":
+            self.out.write(struct.pack("<f", float(v)))
+            return
+        if t == "double":
+            self.out.write(struct.pack("<d", float(v)))
+            return
+        if t == "bytes":
+            b = bytes(v)
+            self.write_long(len(b))
+            self.out.write(b)
+            return
+        if t == "string":
+            b = str(v).encode("utf-8")
+            self.write_long(len(b))
+            self.out.write(b)
+            return
+        if t == "record":
+            for f in schema["fields"]:
+                if f["name"] not in v and "default" in f:
+                    self.write_value(f["type"], f["default"])
+                else:
+                    self.write_value(f["type"], v[f["name"]])
+            return
+        if t == "enum":
+            self.write_long(schema["symbols"].index(v))
+            return
+        if t == "fixed":
+            b = bytes(v)
+            if len(b) != schema["size"]:
+                raise SchemaError("fixed size mismatch")
+            self.out.write(b)
+            return
+        if t == "array":
+            items = list(v)
+            if items:
+                self.write_long(len(items))
+                for item in items:
+                    self.write_value(schema["items"], item)
+            self.write_long(0)
+            return
+        if t == "map":
+            if v:
+                self.write_long(len(v))
+                for k, val in v.items():
+                    self.write_value("string", k)
+                    self.write_value(schema["values"], val)
+            self.write_long(0)
+            return
+        raise SchemaError(f"cannot encode type {t!r}")
+
+
+def _union_branch(union: list, v: Any) -> int:
+    def tname(s: Any) -> str:
+        return s["type"] if isinstance(s, dict) else s
+
+    for i, s in enumerate(union):
+        t = tname(s)
+        if v is None and t == "null":
+            return i
+        if v is None:
+            continue
+        if t == "boolean" and isinstance(v, bool):
+            return i
+        if t in ("int", "long") and isinstance(v, int) and not isinstance(v, bool):
+            return i
+        if t in ("float", "double") and isinstance(v, float):
+            return i
+        if t == "string" and isinstance(v, str):
+            return i
+        if t in ("bytes", "fixed") and isinstance(v, (bytes, bytearray)):
+            return i
+        if t == "record" and isinstance(v, dict):
+            return i
+        if t == "map" and isinstance(v, dict):
+            return i
+        if t == "array" and isinstance(v, (list, tuple)):
+            return i
+        if t == "enum" and isinstance(v, str):
+            return i
+    raise SchemaError(f"no union branch for {type(v).__name__}")
+
+
+# ----------------------------------------------------- container files
+
+def write_container(path: str, schema: dict, records: Iterable[dict],
+                    codec: str = "deflate",
+                    metadata: Optional[dict] = None,
+                    sync: Optional[bytes] = None) -> None:
+    """Write an Avro object container file. `metadata` values may be str
+    or bytes (Iceberg stores its own schema JSON etc. there). `sync` is
+    injectable for byte-reproducible output; defaults to a digest of the
+    schema + record count (deterministic, no RNG — resumable builds)."""
+    resolved = parse_schema(schema)
+    recs = list(records)
+    if sync is None:
+        import hashlib
+        sync = hashlib.md5(
+            json.dumps(schema, sort_keys=True).encode() + str(len(recs)).encode()
+        ).digest()
+    if len(sync) != 16:
+        raise ValueError("sync marker must be 16 bytes")
+    meta = {"avro.schema": json.dumps(schema).encode("utf-8"),
+            "avro.codec": codec.encode("utf-8")}
+    for k, v in (metadata or {}).items():
+        meta[k] = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+
+    header = Encoder()
+    header.out.write(MAGIC)
+    header.write_value({"type": "map", "values": "bytes"}, meta)
+    header.out.write(sync)
+
+    body = Encoder()
+    for r in recs:
+        body.write_value(resolved, r)
+    payload = body.out.getvalue()
+    if codec == "deflate":
+        comp = zlib.compressobj(9, zlib.DEFLATED, -15)
+        payload = comp.compress(payload) + comp.flush()
+    elif codec != "null":
+        raise SchemaError(f"unsupported codec {codec!r}")
+
+    block = Encoder()
+    if recs:
+        block.write_long(len(recs))
+        block.write_long(len(payload))
+        block.out.write(payload)
+        block.out.write(sync)
+
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as fh:
+        fh.write(header.out.getvalue())
+        fh.write(block.out.getvalue())
+    os.replace(tmp, path)
+
+
+def read_container(src: "str | bytes | BinaryIO") -> tuple[dict, dict, list]:
+    """Read an Avro object container file. Returns
+    (schema_json, file_metadata{str->bytes}, records)."""
+    if isinstance(src, (bytes, bytearray)):
+        data = bytes(src)
+    elif isinstance(src, str):
+        with open(src, "rb") as fh:
+            data = fh.read()
+    else:
+        data = src.read()
+    if data[:4] != MAGIC:
+        raise SchemaError("not an Avro object container file")
+    dec = Decoder(data)
+    dec.pos = 4
+    meta = dec.read_value({"type": "map", "values": "bytes"})
+    sync = dec.read(16)
+    schema_json = json.loads(meta["avro.schema"].decode("utf-8"))
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    resolved = parse_schema(schema_json)
+    records: list = []
+    while dec.pos < len(data):
+        count = dec.read_long()
+        size = dec.read_long()
+        payload = dec.read(size)
+        if codec == "deflate":
+            payload = zlib.decompressobj(-15).decompress(payload)
+        elif codec != "null":
+            raise SchemaError(f"unsupported codec {codec!r}")
+        bdec = Decoder(payload)
+        for _ in range(count):
+            records.append(bdec.read_value(resolved))
+        if dec.read(16) != sync:
+            raise SchemaError("sync marker mismatch — corrupt container")
+    return schema_json, meta, records

@@ -520,6 +520,31 @@ class ParquetWarehouse:
         return sorted(parts)
 
 
+def recover_partition_column(df: DataFrame, mapping: dict, col: str) -> DataFrame:
+    """Attach a metadata-sourced partition value per input FILE (hive
+    layouts keep it out of the data files): `mapping` is abs-path ->
+    value, matched against scheme-stripped input_file_name(). Keys are
+    full paths on purpose — one partitionBy job reuses the same basename
+    (part-<task>-<jobuuid>) in every partition dir. Small file sets
+    inline a literal map; large ones broadcast-join a (path, value)
+    frame so the plan stays flat at manifest scale (millions of files on
+    a real table would otherwise blow up the expression tree)."""
+    from pyspark.sql import functions as F
+
+    path_col = F.regexp_replace(
+        F.input_file_name(), "^[a-z][a-z0-9+.-]*:(//)?", "")
+    if len(mapping) <= 64:
+        return df.withColumn(col, F.element_at(
+            F.create_map(*[F.lit(x) for kv in mapping.items() for x in kv]),
+            path_col))
+    spark = df.sparkSession
+    lookup = spark.createDataFrame(
+        [(p, v) for p, v in mapping.items()], f"__file_path string, {col} string")
+    return (df.withColumn("__file_path", path_col)
+              .join(F.broadcast(lookup), "__file_path", "left")
+              .drop("__file_path"))
+
+
 def read_parquet_path(spark: SparkSession, path: str) -> DataFrame:
     """Log-aware parquet read for a direct path: a warehouse table dir
     carrying a snapshot log resolves its LIVE files through it (replaced

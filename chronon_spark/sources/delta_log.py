@@ -1,0 +1,348 @@
+"""Delta Lake transaction-log provider (public protocol), from scratch.
+
+The reference ships a Delta format provider behind the delta-spark jar
+(/root/reference/spark/src/main/scala/ai/chronon/spark/catalog/DeltaLake.scala);
+this container has no Delta artifacts, so this module implements the
+public Delta transaction protocol
+(https://github.com/delta-io/delta/blob/master/PROTOCOL.md) directly:
+
+* ``_delta_log/{version:020d}.json`` — newline-delimited action files:
+  ``protocol`` / ``metaData`` (schemaString in Spark JSON form,
+  partitionColumns) / ``add`` (path, partitionValues, size,
+  modificationTime, dataChange) / ``remove`` / ``commitInfo``;
+* ``{version:020d}.checkpoint.parquet`` + ``_last_checkpoint`` — the
+  compacted state (one row per action, struct columns add / remove /
+  metaData / protocol), written every ``checkpoint_interval`` commits so
+  readers replay O(interval) JSON files instead of the whole log;
+* state reconstruction — replay adds/removes keyed on path (last action
+  wins), exactly the protocol's state machine; ``VERSION AS OF`` and
+  ``TIMESTAMP AS OF`` time travel; CDF-style incremental added-file
+  scans between versions.
+
+``mirror_to_delta`` renders a warehouse table's snapshot log as a real
+Delta log (internal snapshot N -> Delta version N-1, since Delta
+versions are 0-based); ``DeltaTable`` reads any conformant log. The
+checkpoint is written with pyarrow on the driver — the log is metadata
+(KBs per commit), never data-plane.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid as uuid_mod
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+
+LOG_DIR = "_delta_log"
+
+
+# ------------------------------------------------------------ writer
+
+def _spark_schema_string(spark: SparkSession, sample: str,
+                         ds_col: str) -> str:
+    """Spark-JSON schemaString for metaData, with the hive-partition
+    column appended (Delta carries partition columns in the schema)."""
+    df = spark.read.parquet(sample)
+    fields = json.loads(df.schema.json())["fields"]
+    if ds_col not in {f["name"] for f in fields}:
+        fields.append({"name": ds_col, "type": "string",
+                       "nullable": True, "metadata": {}})
+    return json.dumps({"type": "struct", "fields": fields})
+
+
+def mirror_to_delta(warehouse, table: str, spark: SparkSession,
+                    checkpoint_interval: int = 10) -> str:
+    """Render the table's snapshot log as a Delta ``_delta_log``.
+    Incremental and idempotent: versions already written are immutable
+    and kept; missing ones are appended, with a parquet checkpoint every
+    `checkpoint_interval` versions. Returns the log directory."""
+    snaps = warehouse.snapshots(table)
+    if not snaps:
+        raise ValueError(f"{table} has no snapshot log to mirror")
+    root = warehouse.path(table)
+    log_dir = os.path.join(root, LOG_DIR)
+    os.makedirs(log_dir, exist_ok=True)
+    ds_col = warehouse.spec.column
+    now_ms = int(time.time() * 1000)
+
+    sample = None
+    for s in snaps:
+        if s["added_files"]:
+            sample = os.path.join(root, s["added_files"][0])
+            break
+    if sample is None:
+        raise ValueError(f"{table} has no data files")
+    schema_string = _spark_schema_string(spark, sample, ds_col)
+    meta_action = {"metaData": {
+        "id": str(uuid_mod.uuid5(uuid_mod.NAMESPACE_URL, f"delta/{table}")),
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema_string,
+        "partitionColumns": [ds_col],
+        "configuration": {},
+        "createdTime": now_ms,
+    }}
+    protocol_action = {"protocol": {"minReaderVersion": 1,
+                                    "minWriterVersion": 2}}
+
+    state: dict[str, dict] = {}  # path -> add action (live set replay)
+    for s in snaps:
+        version = s["snapshot_id"] - 1  # Delta versions are 0-based
+        vfile = os.path.join(log_dir, f"{version:020d}.json")
+        adds = []
+        for f in sorted(s["added_files"]):
+            full = os.path.join(root, f)
+            adds.append({"add": {
+                "path": f,
+                "partitionValues": {ds_col: warehouse._partition_of(f)},
+                "size": os.path.getsize(full),
+                "modificationTime": int(os.path.getmtime(full) * 1000),
+                "dataChange": True,
+                "stats": json.dumps(
+                    {"numRecords": pq.read_metadata(full).num_rows}),
+            }})
+        removes = [{"remove": {"path": f, "deletionTimestamp": now_ms,
+                               "dataChange": True}}
+                   for f in sorted(s["removed_files"])]
+        if not os.path.exists(vfile):
+            actions = [{"commitInfo": {
+                "timestamp": now_ms,
+                "operation": "WRITE" if not s["removed_files"] else "OVERWRITE",
+                "operationParameters": {"chronon-operation": s["operation"]},
+            }}]
+            if version == 0:
+                actions += [protocol_action, meta_action]
+            actions += removes + adds
+            tmp = vfile + f".tmp.{os.getpid()}"
+            with open(tmp, "w") as fh:
+                fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+            os.replace(tmp, vfile)
+        for r in removes:
+            state.pop(r["remove"]["path"], None)
+        for a in adds:
+            state[a["add"]["path"]] = a["add"]
+        if (version + 1) % checkpoint_interval == 0:
+            _write_checkpoint(log_dir, version, state,
+                              meta_action["metaData"],
+                              protocol_action["protocol"])
+    return log_dir
+
+
+def _write_checkpoint(log_dir: str, version: int, state: dict,
+                      metadata: dict, protocol: dict) -> None:
+    cp = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+    if os.path.exists(cp):
+        return
+    rows = ([{"add": a, "remove": None, "metaData": None, "protocol": None}
+             for a in state.values()] +
+            [{"add": None, "remove": None, "metaData": metadata,
+              "protocol": None},
+             {"add": None, "remove": None, "metaData": None,
+              "protocol": protocol}])
+    add_t = pa.struct([
+        ("path", pa.string()),
+        ("partitionValues", pa.map_(pa.string(), pa.string())),
+        ("size", pa.int64()), ("modificationTime", pa.int64()),
+        ("dataChange", pa.bool_()), ("stats", pa.string())])
+    remove_t = pa.struct([("path", pa.string()),
+                          ("deletionTimestamp", pa.int64()),
+                          ("dataChange", pa.bool_())])
+    meta_t = pa.struct([
+        ("id", pa.string()),
+        ("format", pa.struct([("provider", pa.string()),
+                              ("options", pa.map_(pa.string(), pa.string()))])),
+        ("schemaString", pa.string()),
+        ("partitionColumns", pa.list_(pa.string())),
+        ("configuration", pa.map_(pa.string(), pa.string())),
+        ("createdTime", pa.int64())])
+    proto_t = pa.struct([("minReaderVersion", pa.int32()),
+                         ("minWriterVersion", pa.int32())])
+
+    def mapify(d):
+        return None if d is None else {
+            **d, "partitionValues": list(d["partitionValues"].items())}
+
+    tbl = pa.table({
+        "add": pa.array([mapify(r["add"]) for r in rows], type=add_t),
+        "remove": pa.array([r["remove"] for r in rows], type=remove_t),
+        "metaData": pa.array(
+            [None if r["metaData"] is None else
+             {**r["metaData"],
+              "format": {**r["metaData"]["format"],
+                         "options": list(r["metaData"]["format"]["options"].items())},
+              "configuration": list(r["metaData"]["configuration"].items())}
+             for r in rows], type=meta_t),
+        "protocol": pa.array([r["protocol"] for r in rows], type=proto_t),
+    })
+    tmp = cp + f".tmp.{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, cp)
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": version, "size": len(rows)}, fh)
+
+
+# ------------------------------------------------------------ reader
+
+class DeltaTable:
+    """Reader over a Delta transaction log: state reconstruction from
+    the newest checkpoint at-or-before the requested version plus the
+    JSON commits after it — the protocol's prescribed read path."""
+
+    def __init__(self, location: str):
+        self.location = location
+        self.log_dir = os.path.join(location, LOG_DIR)
+        if not os.path.isdir(self.log_dir):
+            raise FileNotFoundError(f"no _delta_log under {location}")
+
+    def versions(self) -> list[int]:
+        return sorted(int(f[:20]) for f in os.listdir(self.log_dir)
+                      if f.endswith(".json") and f[:20].isdigit())
+
+    def latest_version(self) -> int:
+        vs = self.versions()
+        if not vs:
+            raise ValueError("empty delta log")
+        return vs[-1]
+
+    def _version_at(self, ts_ms: int) -> int:
+        """TIMESTAMP AS OF: newest version whose commitInfo timestamp
+        (or file mtime when absent) is <= ts_ms."""
+        best = None
+        for v in self.versions():
+            t = self._commit_ts(v)
+            if t <= ts_ms:
+                best = v
+        if best is None:
+            raise ValueError(f"no version at or before {ts_ms}")
+        return best
+
+    def _commit_ts(self, version: int) -> int:
+        path = os.path.join(self.log_dir, f"{version:020d}.json")
+        with open(path) as fh:
+            for line in fh:
+                a = json.loads(line)
+                if "commitInfo" in a and "timestamp" in a["commitInfo"]:
+                    return a["commitInfo"]["timestamp"]
+        return int(os.path.getmtime(path) * 1000)
+
+    def _checkpoint_at_or_before(self, version: int) -> Optional[int]:
+        cps = sorted(int(f[:20]) for f in os.listdir(self.log_dir)
+                     if f.endswith(".checkpoint.parquet"))
+        cps = [c for c in cps if c <= version]
+        return cps[-1] if cps else None
+
+    def state(self, version: Optional[int] = None,
+              as_of_ms: Optional[int] = None) -> dict:
+        """{'adds': {path: add}, 'metaData': ..., 'protocol': ...} at a
+        version (latest by default)."""
+        if version is None and as_of_ms is not None:
+            version = self._version_at(as_of_ms)
+        if version is None:
+            version = self.latest_version()
+        if version not in self.versions():
+            raise ValueError(f"unknown delta version {version}")
+        adds: dict[str, dict] = {}
+        meta = proto = None
+        start = 0
+        cp = self._checkpoint_at_or_before(version)
+        if cp is not None:
+            tbl = pq.read_table(
+                os.path.join(self.log_dir, f"{cp:020d}.checkpoint.parquet"))
+            for row in tbl.to_pylist():
+                if row["add"]:
+                    a = dict(row["add"])
+                    a["partitionValues"] = dict(a.get("partitionValues") or {})
+                    adds[a["path"]] = a
+                if row["metaData"]:
+                    meta = row["metaData"]
+                if row["protocol"]:
+                    proto = row["protocol"]
+            start = cp + 1
+        for v in range(start, version + 1):
+            path = os.path.join(self.log_dir, f"{v:020d}.json")
+            if not os.path.exists(path):
+                continue
+            with open(path) as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    a = json.loads(line)
+                    if "remove" in a:
+                        adds.pop(a["remove"]["path"], None)
+                    if "add" in a:
+                        act = a["add"]
+                        act.setdefault("partitionValues", {})
+                        adds[act["path"]] = act
+                    if "metaData" in a:
+                        meta = a["metaData"]
+                    if "protocol" in a:
+                        proto = a["protocol"]
+        if proto and proto.get("minReaderVersion", 1) > 2:
+            raise ValueError(
+                f"table requires reader version {proto['minReaderVersion']}")
+        return {"adds": adds, "metaData": meta, "protocol": proto}
+
+    def files(self, version: Optional[int] = None,
+              as_of_ms: Optional[int] = None) -> list[dict]:
+        return sorted(self.state(version, as_of_ms)["adds"].values(),
+                      key=lambda a: a["path"])
+
+    def partitions(self, column: Optional[str] = None) -> list[str]:
+        st = self.state()
+        col = column or st["metaData"]["partitionColumns"][0]
+        return sorted({a["partitionValues"].get(col)
+                       for a in st["adds"].values()} - {None})
+
+    def incremental_files(self, from_version: int,
+                          to_version: int) -> list[dict]:
+        """add actions with dataChange=true in (from, to] — the CDF-style
+        appends-between primitive."""
+        out = []
+        for v in self.versions():
+            if not (from_version < v <= to_version):
+                continue
+            with open(os.path.join(self.log_dir, f"{v:020d}.json")) as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    a = json.loads(line)
+                    if "add" in a and a["add"].get("dataChange", True):
+                        a["add"].setdefault("partitionValues", {})
+                        out.append(a["add"])
+        return out
+
+    # -- spark scans
+
+    def _scan(self, spark: SparkSession, st: dict,
+              files: list[dict]) -> DataFrame:
+        part_cols = (st["metaData"] or {}).get("partitionColumns", [])
+        if not files:
+            full = self.files()
+            if not full:
+                raise ValueError("empty table: no live files")
+            return self._scan(spark, st, full).limit(0)
+        paths = [os.path.join(self.location, a["path"]) for a in files]
+        df = spark.read.parquet(*paths)
+        from chronon_spark.sources.catalog import recover_partition_column
+        for col in part_cols:
+            if col in df.columns:
+                continue
+            df = recover_partition_column(
+                df, {os.path.join(self.location, a["path"]):
+                     a["partitionValues"].get(col) for a in files}, col)
+        return df
+
+    def read(self, spark: SparkSession, version: Optional[int] = None,
+             as_of_ms: Optional[int] = None) -> DataFrame:
+        st = self.state(version, as_of_ms)
+        files = sorted(st["adds"].values(), key=lambda a: a["path"])
+        return self._scan(spark, st, files)
+
+    def read_incremental(self, spark: SparkSession, from_version: int,
+                         to_version: int) -> DataFrame:
+        return self._scan(spark, self.state(to_version),
+                          self.incremental_files(from_version, to_version))

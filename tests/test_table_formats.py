@@ -1,0 +1,396 @@
+"""Wire-format table providers: from-scratch Avro container codec,
+Iceberg v2 metadata (avro_io.py / iceberg.py), and the Delta Lake
+transaction log (delta_log.py).
+
+Fixture strategy mirrors the KLL wire-format tests: round-trips prove
+writer/reader agreement, and HAND-ASSEMBLED spec fixtures (constructed
+in the test from the published layouts, independent of the writer code
+path) prove the formats themselves — not just self-consistency.
+"""
+
+import json
+import os
+
+import pytest
+
+from chronon_spark.sources.avro_io import (
+    Decoder, Encoder, parse_schema, read_container, write_container,
+)
+from chronon_spark.sources.catalog import ParquetWarehouse
+from chronon_spark.sources.delta_log import DeltaTable, mirror_to_delta
+from chronon_spark.sources.iceberg import (
+    MANIFEST_LIST_SCHEMA, IcebergTable, manifest_entry_schema,
+    mirror_to_iceberg,
+)
+
+
+# ------------------------------------------------------------- avro
+
+def test_avro_zigzag_spec_bytes():
+    """Pinned to the Avro spec's zigzag table: 0->00, -1->01, 1->02,
+    -2->03, 2->04, -64->7f, 64->80 01."""
+    e = Encoder()
+    for v in (0, -1, 1, -2, 2, -64, 64):
+        e.write_long(v)
+    assert e.out.getvalue() == bytes.fromhex("00010203047f8001")
+    d = Decoder(e.out.getvalue())
+    assert [d.read_long() for _ in range(7)] == [0, -1, 1, -2, 2, -64, 64]
+
+
+def test_avro_roundtrip_all_types(tmp_path):
+    schema = {
+        "type": "record", "name": "r", "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": ["null", "string"], "default": None},
+            {"name": "c", "type": {"type": "array", "items": "int"}},
+            {"name": "d", "type": {"type": "map", "values": "double"}},
+            {"name": "e", "type": {"type": "fixed", "name": "fx", "size": 3}},
+            {"name": "f", "type": {"type": "enum", "name": "col",
+                                   "symbols": ["RED", "BLUE"]}},
+            {"name": "g", "type": {"type": "record", "name": "inner",
+                                   "fields": [{"name": "x", "type": "boolean"}]}},
+            {"name": "h", "type": "inner"},  # named-type reference
+        ],
+    }
+    recs = [
+        {"a": -(2 ** 62), "b": "héllo", "c": [1, -2, 3], "d": {"k": 1.5},
+         "e": b"abc", "f": "BLUE", "g": {"x": True}, "h": {"x": False}},
+        {"a": 0, "b": None, "c": [], "d": {}, "e": b"xyz", "f": "RED",
+         "g": {"x": False}, "h": {"x": True}},
+    ]
+    for codec in ("deflate", "null"):
+        p = str(tmp_path / f"t_{codec}.avro")
+        write_container(p, schema, recs, codec=codec)
+        got_schema, meta, got = read_container(p)
+        assert got == recs
+        assert got_schema == schema
+        assert meta["avro.codec"].decode() == codec
+
+
+def test_avro_hand_assembled_container():
+    """A container built byte-by-byte from the spec (magic, metadata
+    map, sync, one null-codec block) — the reader path never sees the
+    writer."""
+    schema = {"type": "record", "name": "p",
+              "fields": [{"name": "n", "type": "long"},
+                         {"name": "s", "type": "string"}]}
+    sync = bytes(range(16))
+    body = b"\x06" + b"\x04" + b"hi"          # n=3 (zigzag 06), s="hi" (len 2 -> 04)
+    meta_map = (
+        b"\x04"                                # 2 map entries
+        + b"\x16" + b"avro.schema"             # len 11 (zigzag 0x16)
+        + _avro_bytes(json.dumps(schema).encode())
+        + b"\x14" + b"avro.codec"              # len 10
+        + _avro_bytes(b"null")
+        + b"\x00"                              # map end
+    )
+    blob = (b"Obj\x01" + meta_map + sync
+            + b"\x02"                          # 1 record
+            + _varint_len(len(body)) + body + sync)
+    got_schema, _, recs = read_container(blob)
+    assert recs == [{"n": 3, "s": "hi"}]
+    assert got_schema == schema
+
+
+def _avro_bytes(b: bytes) -> bytes:
+    return _varint_len(len(b)) + b
+
+
+def _varint_len(n: int) -> bytes:
+    e = Encoder()
+    e.write_long(n)
+    return e.out.getvalue()
+
+
+def test_avro_sync_mismatch_detected(tmp_path):
+    p = str(tmp_path / "t.avro")
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "a", "type": "long"}]}
+    write_container(p, schema, [{"a": 1}], codec="null")
+    blob = bytearray(open(p, "rb").read())
+    blob[-1] ^= 0xFF  # corrupt the trailing sync marker
+    with pytest.raises(Exception, match="sync"):
+        read_container(bytes(blob))
+
+
+# ----------------------------------------------------------- fixtures
+
+@pytest.fixture()
+def committed_wh(spark, tmp_path):
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.insert_overwrite(spark.createDataFrame(
+        [(1, "a", "2024-01-01"), (2, "b", "2024-01-02")],
+        "id long, v string, ds string"), "t")
+    wh.insert_overwrite(spark.createDataFrame(
+        [(3, "c", "2024-01-02"), (4, "d", "2024-01-03")],
+        "id long, v string, ds string"), "t")
+    wh.insert_overwrite(spark.createDataFrame(
+        [(9, "z", "2024-01-01")], "id long, v string, ds string"), "t")
+    return wh
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ----------------------------------------------------------- iceberg
+
+def test_iceberg_mirror_matches_warehouse(spark, committed_wh):
+    wh = committed_wh
+    mirror_to_iceberg(wh, "t")
+    t = IcebergTable(wh.path("t"))
+    # current state == warehouse read (ds included)
+    assert _rows(t.read(spark)) == _rows(wh.read("t"))
+    # VERSION AS OF == snapshot-log time travel
+    for sid in (1, 2, 3):
+        assert _rows(t.read(spark, snapshot_id=sid)) == \
+            _rows(wh.read_at("t", sid))
+    # incremental appends between snapshots
+    assert _rows(t.read_incremental(spark, 1, 3)) == \
+        _rows(wh.read_incremental("t", 1, 3))
+    # partitions from manifests alone == directory listing
+    assert t.partitions() == wh.partitions("t")
+
+
+def test_iceberg_metadata_is_spec_shaped(committed_wh):
+    wh = committed_wh
+    mfile = mirror_to_iceberg(wh, "t")
+    md = json.load(open(mfile))
+    assert md["format-version"] == 2
+    assert md["current-snapshot-id"] == 3
+    assert [s["sequence-number"] for s in md["snapshots"]] == [1, 2, 3]
+    spec = md["partition-specs"][0]["fields"][0]
+    assert spec["transform"] == "identity" and spec["field-id"] == 1000
+    schema_ids = [f["id"] for f in md["schemas"][0]["fields"]]
+    assert schema_ids == sorted(schema_ids)  # ids assigned in order
+    # manifest-list rows carry the spec's counts
+    _, _, manifests = read_container(md["snapshots"][-1]["manifest-list"])
+    m = manifests[0]
+    assert m["content"] == 0 and m["added_snapshot_id"] == 3
+    assert m["added_files_count"] >= 1
+    # manifest entries: status 1 for the commit's files, data_file r2
+    _, mmeta, entries = read_container(m["manifest_path"])
+    assert mmeta["format-version"] == b"2" and mmeta["content"] == b"data"
+    assert {e["status"] for e in entries} <= {0, 1}
+    df = entries[0]["data_file"]
+    assert df["file_format"] == "PARQUET" and df["record_count"] >= 1
+
+
+def test_iceberg_remirror_idempotent(spark, committed_wh):
+    wh = committed_wh
+    mirror_to_iceberg(wh, "t")
+    t1_files = {f["file_path"] for f in IcebergTable(wh.path("t")).files()}
+    wh.insert_overwrite(spark.createDataFrame(
+        [(7, "q", "2024-01-04")], "id long, v string, ds string"), "t")
+    mirror_to_iceberg(wh, "t")
+    t2 = IcebergTable(wh.path("t"))
+    assert t2.current_snapshot_id() == 4
+    # old snapshots still readable, new files visible
+    assert t1_files < {f["file_path"] for f in t2.files()} | t1_files
+    assert _rows(t2.read(spark)) == _rows(wh.read("t"))
+    assert _rows(t2.read(spark, snapshot_id=3)) == _rows(wh.read_at("t", 3))
+
+
+def test_iceberg_unknown_snapshot_raises(committed_wh):
+    mirror_to_iceberg(committed_wh, "t")
+    t = IcebergTable(committed_wh.path("t"))
+    with pytest.raises(ValueError, match="unknown or expired"):
+        t.files(snapshot_id=99)
+
+
+def test_iceberg_hand_built_metadata_tree(spark, tmp_path):
+    """A minimal v2 metadata tree assembled directly from the spec —
+    one data file, one manifest, one manifest list, one metadata.json —
+    with NO involvement of mirror_to_iceberg. The reader must plan and
+    scan it."""
+    loc = str(tmp_path / "ice")
+    meta_dir = os.path.join(loc, "metadata")
+    os.makedirs(meta_dir)
+    spark.createDataFrame([(5, "x")], "id long, v string") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(loc, "data"))
+    data_file = [os.path.join(loc, "data", f)
+                 for f in os.listdir(os.path.join(loc, "data"))
+                 if f.endswith(".parquet")][0]
+
+    entry_schema = manifest_entry_schema(
+        [{"name": "ds", "type": "string", "field-id": 1000}])
+    mpath = os.path.join(meta_dir, "manual-m0.avro")
+    write_container(mpath, entry_schema, [{
+        "status": 1, "snapshot_id": 10, "sequence_number": None,
+        "file_sequence_number": None,
+        "data_file": {
+            "content": 0, "file_path": data_file,
+            "file_format": "PARQUET", "partition": {"ds": "2024-06-01"},
+            "record_count": 1,
+            "file_size_in_bytes": os.path.getsize(data_file),
+            "value_counts": None, "null_value_counts": None,
+            "lower_bounds": None, "upper_bounds": None,
+            "split_offsets": None, "sort_order_id": None,
+        }}],
+        metadata={"format-version": "2", "content": "data"})
+    lpath = os.path.join(meta_dir, "snap-10-1-manual.avro")
+    write_container(lpath, MANIFEST_LIST_SCHEMA, [{
+        "manifest_path": mpath,
+        "manifest_length": os.path.getsize(mpath),
+        "partition_spec_id": 0, "content": 0,
+        "sequence_number": 1, "min_sequence_number": 1,
+        "added_snapshot_id": 10,
+        "added_files_count": 1, "existing_files_count": 0,
+        "deleted_files_count": 0, "added_rows_count": 1,
+        "existing_rows_count": 0, "deleted_rows_count": 0,
+        "partitions": None, "key_metadata": None,
+    }], metadata={"format-version": "2"})
+    md = {
+        "format-version": 2, "table-uuid": "0" * 32, "location": loc,
+        "last-sequence-number": 1, "last-updated-ms": 1700000000000,
+        "last-column-id": 3, "current-schema-id": 0,
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "v", "required": False, "type": "string"},
+            {"id": 3, "name": "ds", "required": False, "type": "string"},
+        ]}],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": [
+            {"name": "ds", "transform": "identity",
+             "source-id": 3, "field-id": 1000}]}],
+        "last-partition-id": 1000, "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "current-snapshot-id": 10,
+        "snapshots": [{"snapshot-id": 10, "parent-snapshot-id": None,
+                       "sequence-number": 1,
+                       "timestamp-ms": 1700000000000,
+                       "manifest-list": lpath,
+                       "summary": {"operation": "append"},
+                       "schema-id": 0}],
+        "snapshot-log": [{"timestamp-ms": 1700000000000,
+                          "snapshot-id": 10}],
+        "metadata-log": [], "properties": {},
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(md, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+
+    t = IcebergTable(loc)
+    assert t.partitions() == ["2024-06-01"]
+    assert _rows(t.read(spark)) == [(5, "x", "2024-06-01")]
+    assert _rows(t.read(spark, as_of_ms=1700000000001)) == \
+        [(5, "x", "2024-06-01")]
+    with pytest.raises(ValueError, match="no snapshot"):
+        t.read(spark, as_of_ms=1699999999999)
+
+
+def test_recover_partition_broadcast_path(spark, tmp_path):
+    """Above 64 files the ds recovery switches from a literal map to a
+    broadcast join — same values either way, plan stays flat at real
+    manifest scale."""
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    rows = [(i, f"2024-03-{i % 9 + 1:02d}") for i in range(90)]
+    df = spark.createDataFrame(rows, "id long, ds string").repartition(90, "id")
+    wh.insert_overwrite(df, "big")
+    mirror_to_iceberg(wh, "big")
+    t = IcebergTable(wh.path("big"))
+    assert len(t.files()) > 64  # exercises the join path
+    got = {(r.id, r.ds) for r in t.read(spark).collect()}
+    assert got == set(rows)
+
+
+# ------------------------------------------------------------- delta
+
+def test_delta_mirror_matches_warehouse(spark, committed_wh):
+    wh = committed_wh
+    mirror_to_delta(wh, "t", spark)
+    dt = DeltaTable(wh.path("t"))
+    assert dt.versions() == [0, 1, 2]
+    assert _rows(dt.read(spark)) == _rows(wh.read("t"))
+    for sid in (1, 2, 3):  # internal snapshot N == delta version N-1
+        assert _rows(dt.read(spark, version=sid - 1)) == \
+            _rows(wh.read_at("t", sid))
+    assert _rows(dt.read_incremental(spark, 0, 2)) == \
+        _rows(wh.read_incremental("t", 1, 3))
+    assert dt.partitions() == wh.partitions("t")
+
+
+def test_delta_checkpoint_replay_equals_json_replay(spark, committed_wh):
+    wh = committed_wh
+    mirror_to_delta(wh, "t", spark, checkpoint_interval=2)
+    dt = DeltaTable(wh.path("t"))
+    assert os.path.exists(os.path.join(
+        dt.log_dir, "00000000000000000001.checkpoint.parquet"))
+    last_cp = json.load(open(os.path.join(dt.log_dir, "_last_checkpoint")))
+    assert last_cp["version"] == 1
+    # state via checkpoint+tail must equal a pure-JSON replay: nuke the
+    # checkpoint in a copy and compare
+    with_cp = {a["path"] for a in dt.files()}
+    import shutil
+    alt = str(wh.path("t")) + "_nocp"
+    shutil.copytree(wh.path("t"), alt)
+    for f in os.listdir(os.path.join(alt, "_delta_log")):
+        if "checkpoint" in f or f == "_last_checkpoint":
+            os.unlink(os.path.join(alt, "_delta_log", f))
+    assert {a["path"] for a in DeltaTable(alt).files()} == with_cp
+
+
+def test_delta_hand_written_log(spark, tmp_path):
+    """A _delta_log written line-by-line from PROTOCOL.md (protocol,
+    metaData, add/remove across two commits) — reader never sees the
+    mirror writer."""
+    loc = str(tmp_path / "d")
+    os.makedirs(os.path.join(loc, "_delta_log"))
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(loc, "part"))
+    rel = ["part/" + f for f in os.listdir(os.path.join(loc, "part"))
+           if f.endswith(".parquet")][0]
+    schema_string = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+        {"name": "ds", "type": "string", "nullable": True, "metadata": {}},
+    ]})
+    v0 = [
+        {"commitInfo": {"timestamp": 1700000000000, "operation": "WRITE"}},
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "m-1", "format": {"provider": "parquet",
+                                              "options": {}},
+                      "schemaString": schema_string,
+                      "partitionColumns": ["ds"], "configuration": {},
+                      "createdTime": 1700000000000}},
+        {"add": {"path": rel, "partitionValues": {"ds": "2024-06-01"},
+                 "size": os.path.getsize(os.path.join(loc, rel)),
+                 "modificationTime": 1700000000000, "dataChange": True}},
+    ]
+    v1 = [
+        {"commitInfo": {"timestamp": 1700000100000,
+                        "operation": "DELETE"}},
+        {"remove": {"path": rel, "deletionTimestamp": 1700000100000,
+                    "dataChange": True}},
+    ]
+    for ver, actions in ((0, v0), (1, v1)):
+        with open(os.path.join(loc, "_delta_log",
+                               f"{ver:020d}.json"), "w") as fh:
+            fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    dt = DeltaTable(loc)
+    assert _rows(dt.read(spark, version=0)) == \
+        [(1, "a", "2024-06-01"), (2, "b", "2024-06-01")]
+    assert dt.files(version=1) == []  # removed
+    # TIMESTAMP AS OF picks v0 before the delete's commit ts
+    assert _rows(dt.read(spark, as_of_ms=1700000050000)) == \
+        [(1, "a", "2024-06-01"), (2, "b", "2024-06-01")]
+
+
+def test_delta_remirror_idempotent(spark, committed_wh):
+    wh = committed_wh
+    mirror_to_delta(wh, "t", spark)
+    v0_bytes = open(os.path.join(
+        wh.path("t"), "_delta_log", "00000000000000000000.json"), "rb").read()
+    wh.insert_overwrite(spark.createDataFrame(
+        [(7, "q", "2024-01-04")], "id long, v string, ds string"), "t")
+    mirror_to_delta(wh, "t", spark)
+    dt = DeltaTable(wh.path("t"))
+    assert dt.versions() == [0, 1, 2, 3]
+    # already-written commits are immutable
+    assert open(os.path.join(
+        wh.path("t"), "_delta_log",
+        "00000000000000000000.json"), "rb").read() == v0_bytes
+    assert _rows(dt.read(spark)) == _rows(wh.read("t"))
