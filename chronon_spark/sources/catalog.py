@@ -546,16 +546,31 @@ def recover_partition_column(df: DataFrame, mapping: dict, col: str) -> DataFram
 
 
 def read_parquet_path(spark: SparkSession, path: str) -> DataFrame:
-    """Log-aware parquet read for a direct path: a warehouse table dir
-    carrying a snapshot log resolves its LIVE files through it (replaced
-    files retained for time travel must not double-count); anything else
-    is a plain parquet read. Used by the Query-DSL scan so sources that
-    point at warehouse tables see committed data only."""
+    """Format-aware read for a direct path, in precedence order:
+
+    1. a warehouse snapshot log (authoritative for tables this engine
+       wrote — replaced files retained for time travel must not
+       double-count);
+    2. Iceberg v2 metadata (``metadata/v*.metadata.json``) — external
+       Iceberg tables read through the wire-format reader;
+    3. a Delta transaction log (``_delta_log/``) — ditto for Delta;
+    4. plain parquet.
+
+    Used by the Query-DSL scan, so an EventSource/EntitySource can point
+    at any of the four layouts and see committed data only."""
     local = path[len("file:"):] if path.startswith("file:") else path
     local = local.rstrip("/")
     if os.path.isdir(os.path.join(local, SNAPSHOT_DIR)):
         wh = ParquetWarehouse(spark, os.path.dirname(local))
         return wh.read(os.path.basename(local))
+    meta_dir = os.path.join(local, "metadata")
+    if os.path.isdir(meta_dir) and any(
+            f.endswith(".metadata.json") for f in os.listdir(meta_dir)):
+        from chronon_spark.sources.iceberg import IcebergTable
+        return IcebergTable(local).read(spark)
+    if os.path.isdir(os.path.join(local, "_delta_log")):
+        from chronon_spark.sources.delta_log import DeltaTable
+        return DeltaTable(local).read(spark)
     return spark.read.parquet(path)
 
 

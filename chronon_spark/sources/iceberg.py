@@ -122,6 +122,9 @@ def manifest_entry_schema(partition_fields: list[dict]) -> dict:
             {"name": "split_offsets",
              "type": ["null", {"type": "array", "items": "long"}],
              "default": None, "field-id": 132},
+            {"name": "equality_ids",
+             "type": ["null", {"type": "array", "items": "int"}],
+             "default": None, "field-id": 135},
             {"name": "sort_order_id", "type": ["null", "int"],
              "default": None, "field-id": 140},
         ],
@@ -471,15 +474,25 @@ class IcebergTable:
         return cand if os.path.exists(cand) else path
 
     def _entries(self, snapshot: dict,
-                 statuses: tuple[int, ...] = (0, 1)) -> list[dict]:
+                 statuses: tuple[int, ...] = (0, 1),
+                 content: int = 0) -> list[dict]:
+        """Live manifest entries of one manifest content kind (0 = data,
+        1 = deletes), each with the v2 sequence-number inheritance
+        applied: a null sequence_number on an ADDED entry inherits the
+        manifest's sequence_number."""
         _, _, manifests = read_container(
             self._resolve(snapshot["manifest-list"]))
         out = []
         for m in manifests:
-            if m.get("content", 0) != 0:
-                continue  # delete manifests — none written here
+            if m.get("content", 0) != content:
+                continue
             _, _, entries = read_container(self._resolve(m["manifest_path"]))
-            out.extend(e for e in entries if e["status"] in statuses)
+            for e in entries:
+                if e["status"] not in statuses:
+                    continue
+                if e.get("sequence_number") is None:
+                    e["sequence_number"] = m.get("sequence_number", 0)
+                out.append(e)
         return out
 
     def files(self, snapshot_id: Optional[int] = None,
@@ -488,6 +501,14 @@ class IcebergTable:
         or VERSION AS OF / TIMESTAMP AS OF)."""
         snap = self._snapshot(snapshot_id, as_of_ms)
         return [e["data_file"] for e in self._entries(snap)]
+
+    def delete_entries(self, snapshot_id: Optional[int] = None,
+                       as_of_ms: Optional[int] = None) -> list[dict]:
+        """Live delete-manifest entries (merge-on-read tables): each
+        entry's data_file.content is 1 (position deletes) or 2 (equality
+        deletes), with resolved sequence numbers."""
+        snap = self._snapshot(snapshot_id, as_of_ms)
+        return self._entries(snap, content=1)
 
     def partitions(self) -> list[str]:
         """Distinct partition values from manifests alone — the
@@ -513,7 +534,8 @@ class IcebergTable:
 
     # -- spark scans
 
-    def _scan(self, spark: SparkSession, files: list[dict]) -> DataFrame:
+    def _scan(self, spark: SparkSession, files: list[dict],
+              with_meta: bool = False) -> DataFrame:
         ds_col = self._ds_col()
         paths = [self._resolve_data(f["file_path"]) for f in files]
         if not paths:
@@ -521,8 +543,18 @@ class IcebergTable:
             full = self.files()
             if not full:
                 raise ValueError("empty table: no files at current snapshot")
-            return self._scan(spark, full).limit(0)
+            return self._scan(spark, full, with_meta).limit(0)
         df = spark.read.parquet(*paths)
+        if with_meta:
+            # capture the hidden _metadata columns BEFORE any join (the
+            # ds-recovery broadcast join makes them unresolvable): Spark's
+            # per-file row ordinal is exactly Iceberg's position-delete pos
+            from pyspark.sql import functions as F
+            df = df.select(
+                "*",
+                F.regexp_replace(F.col("_metadata.file_path"),
+                                 "^[a-z][a-z0-9+.-]*:(//)?", "").alias("__fp"),
+                F.col("_metadata.row_index").alias("__pos"))
         if ds_col not in df.columns:
             # hive-layout tables carry ds only in the path; recover it
             # from the manifests' partition tuples per file
@@ -541,7 +573,85 @@ class IcebergTable:
 
     def read(self, spark: SparkSession, snapshot_id: Optional[int] = None,
              as_of_ms: Optional[int] = None) -> DataFrame:
-        return self._scan(spark, self.files(snapshot_id, as_of_ms))
+        snap = self._snapshot(snapshot_id, as_of_ms)
+        data_entries = self._entries(snap)
+        dels = self._entries(snap, content=1)
+        df = self._scan(spark, [e["data_file"] for e in data_entries],
+                        with_meta=bool(dels))
+        if dels:
+            df = self._apply_deletes(spark, df, data_entries, dels)
+        return df
+
+    @staticmethod
+    def _norm(path: str) -> str:
+        import re
+        return re.sub(r"^[a-z][a-z0-9+.-]*:(//)?", "", path)
+
+    def _apply_deletes(self, spark: SparkSession, df: DataFrame,
+                       data_entries: list[dict],
+                       delete_entries: list[dict]) -> DataFrame:
+        """Merge-on-read (spec v2 row-level deletes), Spark-native:
+
+        * POSITION deletes (content=1: rows of (file_path, pos)) apply to
+          a data file when delete_seq >= data_seq — an anti-join on
+          (``_metadata.file_path``, ``_metadata.row_index``), Spark's
+          per-file row ordinal being exactly Iceberg's ``pos``;
+        * EQUALITY deletes (content=2: rows of the ``equality_ids``
+          columns) apply STRICTLY AFTER the data file's sequence number —
+          a null-safe anti-join on those columns plus data_seq < del_seq.
+
+        All joins carry the sequence numbers as plan-side columns; no
+        driver-side row work. The engine's own writer is copy-on-write
+        (insert_overwrite), so this path exists to READ external
+        merge-on-read tables."""
+        from pyspark.sql import functions as F
+
+        def strip(col):
+            return F.regexp_replace(col, "^[a-z][a-z0-9+.-]*:(//)?", "")
+
+        seq_map = spark.createDataFrame(
+            [(self._norm(e["data_file"]["file_path"]), e["sequence_number"])
+             for e in data_entries], "__fp string, __dseq long")
+        df = df.join(F.broadcast(seq_map), "__fp", "left")
+
+        pos = [e for e in delete_entries if e["data_file"]["content"] == 1]
+        if pos:
+            parts = [
+                spark.read.parquet(
+                    self._resolve_data(e["data_file"]["file_path"]))
+                .select(strip(F.col("file_path")).alias("__fp"),
+                        F.col("pos").alias("__pos"),
+                        F.lit(e["sequence_number"]).alias("__delseq"))
+                for e in pos
+            ]
+            pdel = parts[0]
+            for p in parts[1:]:
+                pdel = pdel.unionByName(p)
+            pdel = (pdel.join(F.broadcast(seq_map), "__fp")
+                    .where(F.col("__delseq") >= F.col("__dseq"))
+                    .select("__fp", "__pos"))
+            df = df.join(pdel, ["__fp", "__pos"], "left_anti")
+
+        eq = [e for e in delete_entries if e["data_file"]["content"] == 2]
+        if eq:
+            sid = self.metadata.get("current-schema-id", 0)
+            schema = next(s for s in self.metadata["schemas"]
+                          if s.get("schema-id", 0) == sid)
+            id2name = {f["id"]: f["name"] for f in schema["fields"]}
+            for e in eq:
+                cols = [id2name[i] for i in e["data_file"]["equality_ids"]]
+                dele = (spark.read.parquet(
+                            self._resolve_data(e["data_file"]["file_path"]))
+                        .select(*cols).dropDuplicates()
+                        .withColumn("__delseq",
+                                    F.lit(e["sequence_number"])))
+                cond = [df[c].eqNullSafe(dele[c]) for c in cols]
+                cond.append(df["__dseq"] < dele["__delseq"])
+                from functools import reduce
+                df = df.join(F.broadcast(dele),
+                             reduce(lambda a, b: a & b, cond), "left_anti")
+
+        return df.drop("__fp", "__pos", "__dseq")
 
     def read_incremental(self, spark: SparkSession, from_snapshot_id: int,
                          to_snapshot_id: int) -> DataFrame:

@@ -281,6 +281,117 @@ def test_iceberg_hand_built_metadata_tree(spark, tmp_path):
         t.read(spark, as_of_ms=1699999999999)
 
 
+def test_iceberg_merge_on_read_deletes(spark, tmp_path):
+    """A hand-built v2 MERGE-ON-READ tree: one data file (seq 1) plus a
+    delete manifest (seq 2) carrying a position delete, an applicable
+    equality delete, and an equality delete whose sequence number is NOT
+    strictly greater than the data file's (must be ignored per spec).
+    All files assembled directly from the spec — the writer is never
+    involved (the engine's own writes are copy-on-write)."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    loc = str(tmp_path / "mor")
+    meta_dir = os.path.join(loc, "metadata")
+    os.makedirs(os.path.join(loc, "data"))
+    os.makedirs(meta_dir)
+
+    data_path = os.path.join(loc, "data", "d0.parquet")
+    papq.write_table(pa.table({"id": pa.array([1, 2, 3, 4], pa.int64()),
+                               "v": ["a", "b", "c", "d"]}), data_path)
+    pos_path = os.path.join(loc, "data", "pd0.parquet")
+    papq.write_table(pa.table({  # pos 0 -> removes id=1
+        "file_path": [data_path], "pos": pa.array([0], pa.int64())}),
+        pos_path)
+    eq_path = os.path.join(loc, "data", "ed0.parquet")
+    papq.write_table(pa.table({"id": pa.array([3], pa.int64())}), eq_path)
+    eq_stale_path = os.path.join(loc, "data", "ed1.parquet")
+    papq.write_table(pa.table({"id": pa.array([4], pa.int64())}),
+                     eq_stale_path)
+
+    entry_schema = manifest_entry_schema(
+        [{"name": "ds", "type": "string", "field-id": 1000}])
+
+    def dfile(path, content, equality_ids=None):
+        return {
+            "content": content, "file_path": path,
+            "file_format": "PARQUET", "partition": {"ds": "2024-06-01"},
+            "record_count": 1, "file_size_in_bytes": os.path.getsize(path),
+            "value_counts": None, "null_value_counts": None,
+            "lower_bounds": None, "upper_bounds": None,
+            "split_offsets": None, "equality_ids": equality_ids,
+            "sort_order_id": None,
+        }
+
+    def entry(path, content, seq, equality_ids=None):
+        return {"status": 1, "snapshot_id": 20, "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": dfile(path, content, equality_ids)}
+
+    dman = os.path.join(meta_dir, "mor-data-m0.avro")
+    write_container(dman, entry_schema, [entry(data_path, 0, 1)],
+                    metadata={"format-version": "2", "content": "data"})
+    delman = os.path.join(meta_dir, "mor-del-m0.avro")
+    write_container(delman, entry_schema, [
+        entry(pos_path, 1, 2),
+        entry(eq_path, 2, 2, equality_ids=[1]),       # applies (2 > 1)
+        entry(eq_stale_path, 2, 1, equality_ids=[1]),  # ignored (1 !> 1)
+    ], metadata={"format-version": "2", "content": "deletes"})
+
+    def mlist_row(path, content, seq):
+        return {"manifest_path": path,
+                "manifest_length": os.path.getsize(path),
+                "partition_spec_id": 0, "content": content,
+                "sequence_number": seq, "min_sequence_number": 1,
+                "added_snapshot_id": 20, "added_files_count": 1,
+                "existing_files_count": 0, "deleted_files_count": 0,
+                "added_rows_count": 1, "existing_rows_count": 0,
+                "deleted_rows_count": 0, "partitions": None,
+                "key_metadata": None}
+
+    lpath = os.path.join(meta_dir, "snap-20-1-mor.avro")
+    write_container(lpath, MANIFEST_LIST_SCHEMA,
+                    [mlist_row(dman, 0, 1), mlist_row(delman, 1, 2)],
+                    metadata={"format-version": "2"})
+    md = {
+        "format-version": 2, "table-uuid": "1" * 32, "location": loc,
+        "last-sequence-number": 2, "last-updated-ms": 1700000000000,
+        "last-column-id": 3, "current-schema-id": 0,
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "v", "required": False, "type": "string"},
+            {"id": 3, "name": "ds", "required": False, "type": "string"},
+        ]}],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": [
+            {"name": "ds", "transform": "identity",
+             "source-id": 3, "field-id": 1000}]}],
+        "last-partition-id": 1000, "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "current-snapshot-id": 20,
+        "snapshots": [{"snapshot-id": 20, "parent-snapshot-id": None,
+                       "sequence-number": 2,
+                       "timestamp-ms": 1700000000000,
+                       "manifest-list": lpath,
+                       "summary": {"operation": "overwrite"},
+                       "schema-id": 0}],
+        "snapshot-log": [{"timestamp-ms": 1700000000000,
+                          "snapshot-id": 20}],
+        "metadata-log": [], "properties": {},
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(md, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+
+    t = IcebergTable(loc)
+    # id=1 position-deleted, id=3 equality-deleted, id=4 kept (stale seq)
+    assert _rows(t.read(spark)) == [(2, "b", "2024-06-01"),
+                                    (4, "d", "2024-06-01")]
+    # plan stays helper-free
+    assert set(t.read(spark).columns) == {"id", "v", "ds"}
+
+
 def test_recover_partition_broadcast_path(spark, tmp_path):
     """Above 64 files the ds recovery switches from a literal map to a
     broadcast join — same values either way, plan stays flat at real
@@ -377,6 +488,33 @@ def test_delta_hand_written_log(spark, tmp_path):
     # TIMESTAMP AS OF picks v0 before the delete's commit ts
     assert _rows(dt.read(spark, as_of_ms=1700000050000)) == \
         [(1, "a", "2024-06-01"), (2, "b", "2024-06-01")]
+
+
+def test_engine_sources_read_external_wire_formats(spark, committed_wh):
+    """An EventSource pointing at an EXTERNAL Iceberg or Delta table
+    (wire metadata only — the engine's own snapshot log removed) resolves
+    through the format readers inside the Query-DSL scan."""
+    import shutil
+
+    from chronon_spark.sources.catalog import SNAPSHOT_DIR
+    from chronon_spark.sources.scan import scan_df
+
+    wh = committed_wh
+    mirror_to_iceberg(wh, "t")
+    mirror_to_delta(wh, "t", spark)
+    expected = _rows(wh.read("t"))
+
+    ice = wh.path("t") + "_ice_only"
+    shutil.copytree(wh.path("t"), ice)
+    shutil.rmtree(os.path.join(ice, SNAPSHOT_DIR))
+    shutil.rmtree(os.path.join(ice, "_delta_log"))
+    assert _rows(scan_df(spark, ice).select("id", "v", "ds")) == expected
+
+    dl = wh.path("t") + "_delta_only"
+    shutil.copytree(wh.path("t"), dl)
+    shutil.rmtree(os.path.join(dl, SNAPSHOT_DIR))
+    shutil.rmtree(os.path.join(dl, "metadata"))
+    assert _rows(scan_df(spark, dl).select("id", "v", "ds")) == expected
 
 
 def test_delta_remirror_idempotent(spark, committed_wh):
