@@ -250,6 +250,18 @@ def mirror_to_iceberg(warehouse, table: str) -> str:
     entry_schema = manifest_entry_schema(
         [{"name": ds_col, "type": "string", "field-id": 1000}])
 
+    stat_cache: dict[str, tuple[int, int]] = {}  # relpath -> (rows, bytes)
+
+    def _stats(relpath: str) -> tuple[int, int]:
+        # data files are immutable once committed, so footer stats are
+        # memoized across snapshots — O(files) reads per mirror call, not
+        # O(snapshots x files)
+        if relpath not in stat_cache:
+            full = os.path.join(root, relpath)
+            stat_cache[relpath] = (pq.read_metadata(full).num_rows,
+                                   os.path.getsize(full))
+        return stat_cache[relpath]
+
     for s in snaps:
         sid = s["snapshot_id"]
         seq = sid  # internal ids are 1..N in commit order
@@ -269,8 +281,7 @@ def mirror_to_iceberg(warehouse, table: str) -> str:
         added_n = added_rows = existing_n = existing_rows = 0
         for f in files:
             full = os.path.join(root, f)
-            nrows = pq.read_metadata(full).num_rows
-            fsize = os.path.getsize(full)
+            nrows, fsize = _stats(f)
             ds = warehouse._partition_of(f)
             parts.add(ds)
             is_new = f in s["added_files"]

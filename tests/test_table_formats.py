@@ -102,6 +102,49 @@ def _varint_len(n: int) -> bytes:
     return e.out.getvalue()
 
 
+def test_avro_property_roundtrip():
+    """Property test (hypothesis): arbitrary records over the full type
+    surface the Iceberg metadata uses — longs across the zigzag range,
+    unicode strings, bytes, optional fields, nested arrays/maps — must
+    round-trip bit-exact through encode/decode (no container, pure
+    binary encoding)."""
+    from hypothesis import given, settings, strategies as st
+
+    schema = parse_schema({
+        "type": "record", "name": "p", "fields": [
+            {"name": "n", "type": "long"},
+            {"name": "s", "type": "string"},
+            {"name": "b", "type": ["null", "bytes"], "default": None},
+            {"name": "xs", "type": {"type": "array", "items": "long"}},
+            {"name": "m", "type": {"type": "map", "values": ["null", "string"]}},
+            {"name": "f", "type": ["null", "double"], "default": None},
+        ],
+    })
+    rec_st = st.fixed_dictionaries({
+        "n": st.integers(min_value=-(2 ** 63), max_value=2 ** 63 - 1),
+        "s": st.text(max_size=40),
+        "b": st.one_of(st.none(), st.binary(max_size=40)),
+        "xs": st.lists(st.integers(min_value=-(2 ** 63),
+                                   max_value=2 ** 63 - 1), max_size=8),
+        "m": st.dictionaries(st.text(max_size=8),
+                             st.one_of(st.none(), st.text(max_size=8)),
+                             max_size=6),
+        "f": st.one_of(st.none(), st.floats(allow_nan=False)),
+    })
+
+    @given(st.lists(rec_st, max_size=10))
+    @settings(max_examples=150, deadline=None)
+    def roundtrip(recs):
+        enc = Encoder()
+        for r in recs:
+            enc.write_value(schema, r)
+        dec = Decoder(enc.out.getvalue())
+        assert [dec.read_value(schema) for _ in recs] == recs
+        assert dec.pos == len(dec.buf)  # no trailing bytes
+
+    roundtrip()
+
+
 def test_avro_sync_mismatch_detected(tmp_path):
     p = str(tmp_path / "t.avro")
     schema = {"type": "record", "name": "r",
