@@ -60,7 +60,14 @@ def mirror_to_delta(warehouse, table: str, spark: SparkSession,
     """Render the table's snapshot log as a Delta ``_delta_log``.
     Incremental and idempotent: versions already written are immutable
     and kept; missing ones are appended, with a parquet checkpoint every
-    `checkpoint_interval` versions. Returns the log directory."""
+    `checkpoint_interval` versions. Returns the log directory.
+
+    Interplay with ``expire_snapshots``: warehouse expiry deletes old
+    data files but this mirror keeps the already-written commit JSONs —
+    exactly Delta VACUUM semantics (the full log replays to the correct
+    head state; time travel to vacuumed versions fails at scan time
+    with missing files). The Iceberg mirror instead REBUILDS its
+    metadata on expiry, matching Iceberg's expireSnapshots."""
     snaps = warehouse.snapshots(table)
     if not snaps:
         raise ValueError(f"{table} has no snapshot log to mirror")

@@ -234,16 +234,26 @@ def mirror_to_iceberg(warehouse, table: str) -> str:
     ds_col = warehouse.spec.column
 
     prior = _load_current_metadata(root)
+    version = (prior.get("_version", 0) if prior else 0) + 1
     done_ids = ({s["snapshot-id"] for s in prior.get("snapshots", [])}
                 if prior else set())
+    rebased = prior is not None and not done_ids <= {
+        s["snapshot_id"] for s in snaps}
+    if rebased:
+        # expire_snapshots rebased the internal log: expired snapshots
+        # must leave the Iceberg metadata too (their data files are
+        # GC'd), so rebuild the snapshot list from the current log —
+        # exactly what Iceberg's own expireSnapshots does to metadata.
+        # The metadata-log still chains to the prior file for audit.
+        done_ids = set()
 
     # replay the internal log to know each snapshot's live set and each
     # file's adding snapshot (for existing-entry provenance)
     live: set[str] = set()
     added_by: dict[str, int] = {}
     sample = None
-    ice_snaps = list(prior.get("snapshots", [])) if prior else []
-    snap_log = list(prior.get("snapshot-log", [])) if prior else []
+    ice_snaps = list(prior.get("snapshots", [])) if prior and not rebased else []
+    snap_log = list(prior.get("snapshot-log", [])) if prior and not rebased else []
     now_ms = int(time.time() * 1000)
     schema = None
 
@@ -307,7 +317,10 @@ def mirror_to_iceberg(warehouse, table: str) -> str:
             else:
                 existing_n, existing_rows = existing_n + 1, existing_rows + nrows
 
-        muuid = uuid_mod.uuid5(uuid_mod.NAMESPACE_URL, f"{table}/m/{sid}")
+        # seeded with the metadata version too: a rebuild after log
+        # rebase must not overwrite manifests older metadata references
+        muuid = uuid_mod.uuid5(uuid_mod.NAMESPACE_URL,
+                               f"{table}/m/{sid}/{version}")
         mpath = os.path.join(meta_dir, f"{muuid}-m0.avro")
         write_container(
             mpath, entry_schema, entries,
@@ -330,7 +343,8 @@ def mirror_to_iceberg(warehouse, table: str) -> str:
         }]
         lpath = os.path.join(
             meta_dir,
-            f"snap-{sid}-1-{uuid_mod.uuid5(uuid_mod.NAMESPACE_URL, f'{table}/l/{sid}')}.avro")
+            f"snap-{sid}-1-"
+            f"{uuid_mod.uuid5(uuid_mod.NAMESPACE_URL, f'{table}/l/{sid}/{version}')}.avro")
         write_container(
             lpath, MANIFEST_LIST_SCHEMA, [{
                 "manifest_path": mpath,
@@ -368,7 +382,6 @@ def mirror_to_iceberg(warehouse, table: str) -> str:
             sample = os.path.join(root, sorted(live)[0])
         schema = iceberg_schema_from_parquet(sample, ds_col)
 
-    version = (prior.get("_version", 0) if prior else 0) + 1
     metadata = {
         "format-version": 2,
         "table-uuid": str(uuid_mod.uuid5(uuid_mod.NAMESPACE_URL, table)),

@@ -435,6 +435,27 @@ def test_iceberg_merge_on_read_deletes(spark, tmp_path):
     assert set(t.read(spark).columns) == {"id", "v", "ds"}
 
 
+def test_iceberg_mirror_rebuilds_after_expiry(spark, committed_wh):
+    """expire_snapshots rebases the internal log and GC's old files; the
+    next mirror call must rebuild the Iceberg metadata — expired
+    snapshots leave the snapshot list (Iceberg expireSnapshots
+    semantics) and the retained versions stay readable."""
+    wh = committed_wh
+    mirror_to_iceberg(wh, "t")
+    wh.expire_snapshots("t", retain_last=2, grace_seconds=0)
+    mirror_to_iceberg(wh, "t")
+    t = IcebergTable(wh.path("t"))
+    assert [s["snapshot-id"] for s in t.snapshots()] == [2, 3]
+    assert _rows(t.read(spark)) == _rows(wh.read("t"))
+    assert _rows(t.read(spark, snapshot_id=2)) == _rows(wh.read_at("t", 2))
+    with pytest.raises(ValueError, match="unknown or expired"):
+        t.read(spark, snapshot_id=1)
+    # prior metadata versions' manifests were not overwritten in place
+    md = json.load(open(os.path.join(
+        wh.path("t"), "metadata", "v2.metadata.json")))
+    assert md["metadata-log"], "rebuild must chain to the prior metadata"
+
+
 def test_recover_partition_broadcast_path(spark, tmp_path):
     """Above 64 files the ds recovery switches from a literal map to a
     broadcast join — same values either way, plan stays flat at real
