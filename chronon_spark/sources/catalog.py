@@ -545,7 +545,8 @@ def recover_partition_column(df: DataFrame, mapping: dict, col: str) -> DataFram
               .drop("__file_path"))
 
 
-def read_parquet_path(spark: SparkSession, path: str) -> DataFrame:
+def read_parquet_path(spark: SparkSession, path: str,
+                      rng: Optional[PartitionRange] = None) -> DataFrame:
     """Format-aware read for a direct path, in precedence order:
 
     1. a warehouse snapshot log (authoritative for tables this engine
@@ -557,20 +558,25 @@ def read_parquet_path(spark: SparkSession, path: str) -> DataFrame:
     4. plain parquet.
 
     Used by the Query-DSL scan, so an EventSource/EntitySource can point
-    at any of the four layouts and see committed data only."""
+    at any of the four layouts and see committed data only. `rng`, when
+    given, prunes FILES from the plan via each format's metadata (the
+    scan's row-level ds predicates alone cannot prune an explicit file
+    list); plain hive-layout parquet gets it from Catalyst partition
+    pruning instead."""
     local = path[len("file:"):] if path.startswith("file:") else path
     local = local.rstrip("/")
+    bounds = (rng.start, rng.end) if rng is not None else None
     if os.path.isdir(os.path.join(local, SNAPSHOT_DIR)):
         wh = ParquetWarehouse(spark, os.path.dirname(local))
-        return wh.read(os.path.basename(local))
+        return wh.read(os.path.basename(local), rng)
     meta_dir = os.path.join(local, "metadata")
     if os.path.isdir(meta_dir) and any(
             f.endswith(".metadata.json") for f in os.listdir(meta_dir)):
         from chronon_spark.sources.iceberg import IcebergTable
-        return IcebergTable(local).read(spark)
+        return IcebergTable(local).read(spark, partition_range=bounds)
     if os.path.isdir(os.path.join(local, "_delta_log")):
         from chronon_spark.sources.delta_log import DeltaTable
-        return DeltaTable(local).read(spark)
+        return DeltaTable(local).read(spark, partition_range=bounds)
     return spark.read.parquet(path)
 
 

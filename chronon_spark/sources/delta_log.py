@@ -344,9 +344,25 @@ class DeltaTable:
         return df
 
     def read(self, spark: SparkSession, version: Optional[int] = None,
-             as_of_ms: Optional[int] = None) -> DataFrame:
+             as_of_ms: Optional[int] = None,
+             partition_range: Optional[tuple] = None) -> DataFrame:
+        """`partition_range` = (start, end) inclusive bounds on the first
+        partition column: files outside are dropped from the plan using
+        the log's partitionValues alone (metadata partition pruning)."""
         st = self.state(version, as_of_ms)
         files = sorted(st["adds"].values(), key=lambda a: a["path"])
+        if partition_range is not None and st["metaData"]:
+            pcols = st["metaData"].get("partitionColumns") or []
+            if pcols:
+                lo, hi = partition_range
+                col = pcols[0]
+
+                def keep(a):
+                    v = a["partitionValues"].get(col)
+                    return (v is not None and (lo is None or v >= lo)
+                            and (hi is None or v <= hi))
+
+                files = [a for a in files if keep(a)]
         return self._scan(spark, st, files)
 
     def read_incremental(self, spark: SparkSession, from_version: int,

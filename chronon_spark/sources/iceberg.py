@@ -94,8 +94,15 @@ def manifest_entry_schema(partition_fields: list[dict]) -> dict:
     """``manifest_entry`` Avro schema for an identity-partitioned data
     manifest. `partition_fields` = [{"name": ds, "type": avro type,
     "field-id": 1000+i}] — the r102 partition tuple."""
-    int_map = {"type": "map", "values": "long"}
-    bytes_map = {"type": "map", "values": "bytes"}
+    # Iceberg's int-keyed maps are Avro ARRAYS of key/value records
+    # (Avro maps only allow string keys), spec names like k109_v110
+    def int_map(kid: int, vid: int, vtype: str) -> dict:
+        return {"type": "array", "logicalType": "map",
+                "items": {"type": "record", "name": f"k{kid}_v{vid}",
+                          "fields": [
+                              {"name": "key", "type": "int", "field-id": kid},
+                              {"name": "value", "type": vtype,
+                               "field-id": vid}]}}
     data_file = {
         "type": "record", "name": "r2", "fields": [
             {"name": "content", "type": "int", "field-id": 134},
@@ -111,13 +118,17 @@ def manifest_entry_schema(partition_fields: list[dict]) -> dict:
                 ]}, "field-id": 102},
             {"name": "record_count", "type": "long", "field-id": 103},
             {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
-            {"name": "value_counts", "type": ["null", int_map],
+            {"name": "value_counts",
+             "type": ["null", int_map(119, 120, "long")],
              "default": None, "field-id": 109},
-            {"name": "null_value_counts", "type": ["null", int_map],
+            {"name": "null_value_counts",
+             "type": ["null", int_map(121, 122, "long")],
              "default": None, "field-id": 110},
-            {"name": "lower_bounds", "type": ["null", bytes_map],
+            {"name": "lower_bounds",
+             "type": ["null", int_map(126, 127, "bytes")],
              "default": None, "field-id": 125},
-            {"name": "upper_bounds", "type": ["null", bytes_map],
+            {"name": "upper_bounds",
+             "type": ["null", int_map(129, 130, "bytes")],
              "default": None, "field-id": 128},
             {"name": "split_offsets",
              "type": ["null", {"type": "array", "items": "long"}],
@@ -260,16 +271,20 @@ def mirror_to_iceberg(warehouse, table: str) -> str:
     entry_schema = manifest_entry_schema(
         [{"name": ds_col, "type": "string", "field-id": 1000}])
 
-    stat_cache: dict[str, tuple[int, int]] = {}  # relpath -> (rows, bytes)
+    stat_cache: dict[str, tuple] = {}  # relpath -> (rows, bytes, colstats)
 
-    def _stats(relpath: str) -> tuple[int, int]:
+    def _stats(relpath: str) -> tuple:
         # data files are immutable once committed, so footer stats are
         # memoized across snapshots — O(files) reads per mirror call, not
         # O(snapshots x files)
         if relpath not in stat_cache:
             full = os.path.join(root, relpath)
-            stat_cache[relpath] = (pq.read_metadata(full).num_rows,
-                                   os.path.getsize(full))
+            meta = pq.read_metadata(full)
+            cols = (_file_column_stats(meta, schema)
+                    if schema is not None else
+                    {"value_counts": None, "null_value_counts": None,
+                     "lower_bounds": None, "upper_bounds": None})
+            stat_cache[relpath] = (meta.num_rows, os.path.getsize(full), cols)
         return stat_cache[relpath]
 
     for s in snaps:
@@ -291,7 +306,7 @@ def mirror_to_iceberg(warehouse, table: str) -> str:
         added_n = added_rows = existing_n = existing_rows = 0
         for f in files:
             full = os.path.join(root, f)
-            nrows, fsize = _stats(f)
+            nrows, fsize, colstats = _stats(f)
             ds = warehouse._partition_of(f)
             parts.add(ds)
             is_new = f in s["added_files"]
@@ -307,9 +322,9 @@ def mirror_to_iceberg(warehouse, table: str) -> str:
                     "partition": {ds_col: ds},
                     "record_count": nrows,
                     "file_size_in_bytes": fsize,
-                    "value_counts": None, "null_value_counts": None,
-                    "lower_bounds": None, "upper_bounds": None,
-                    "split_offsets": None, "sort_order_id": None,
+                    **colstats,
+                    "split_offsets": None, "equality_ids": None,
+                    "sort_order_id": None,
                 },
             })
             if is_new:
@@ -417,6 +432,98 @@ def mirror_to_iceberg(warehouse, table: str) -> str:
 
 def _strip_internal(schema: dict) -> dict:
     return {k: v for k, v in schema.items() if not k.startswith("_")}
+
+
+# ---- Appendix D single-value serialization (column bound encoding) ----
+
+_BOUND_PACK = {"int": "<i", "long": "<q", "float": "<f", "double": "<d",
+               "date": "<i"}
+
+
+def encode_bound(ice_type: str, value: Any) -> Optional[bytes]:
+    """Iceberg Appendix D single-value binary form for manifest
+    lower/upper bounds; None for types without a defined/needed bound
+    encoding here (binary, nested)."""
+    import struct as _struct
+    if value is None:
+        return None
+    if ice_type == "date" and hasattr(value, "toordinal"):
+        import datetime
+        value = (value - datetime.date(1970, 1, 1)).days
+    if ice_type in _BOUND_PACK:
+        return _struct.pack(_BOUND_PACK[ice_type], value)
+    if ice_type == "boolean":
+        return b"\x01" if value else b"\x00"
+    if ice_type == "string":
+        return str(value).encode("utf-8")
+    return None
+
+
+def decode_bound(ice_type: str, raw: Optional[bytes]) -> Any:
+    import struct as _struct
+    if raw is None:
+        return None
+    if ice_type in _BOUND_PACK:
+        return _struct.unpack(_BOUND_PACK[ice_type], raw)[0]
+    if ice_type == "boolean":
+        return raw != b"\x00"
+    if ice_type == "string":
+        return raw.decode("utf-8")
+    return None
+
+
+def _file_column_stats(pf_meta, schema: dict) -> dict:
+    """value/null counts + Appendix-D bounds per field id, from the
+    parquet footer (no data scan): rowgroup stats aggregated across the
+    file; columns with absent footer stats are skipped, never guessed."""
+    name_to = {f["name"]: (f["id"], f["type"]) for f in schema["fields"]
+               if isinstance(f["type"], str)}
+    value_counts: dict[int, int] = {}
+    null_counts: dict[int, int] = {}
+    mins: dict[int, Any] = {}
+    maxs: dict[int, Any] = {}
+    types: dict[int, str] = {}
+    no_nulls: set[int] = set()   # columns lacking null stats in SOME rowgroup
+    no_bounds: set[int] = set()  # ditto min/max — partial aggregates are wrong
+    for rg in range(pf_meta.num_row_groups):
+        row_group = pf_meta.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if name not in name_to:
+                continue
+            fid, ice_type = name_to[name]
+            types[fid] = ice_type
+            value_counts[fid] = value_counts.get(fid, 0) + col.num_values
+            st = col.statistics
+            if st is None or not st.has_null_count:
+                no_nulls.add(fid)
+            else:
+                null_counts[fid] = null_counts.get(fid, 0) + st.null_count
+            if st is None or not st.has_min_max:
+                no_bounds.add(fid)
+            else:
+                v_min, v_max = st.min, st.max
+                mins[fid] = v_min if fid not in mins else min(mins[fid], v_min)
+                maxs[fid] = v_max if fid not in maxs else max(maxs[fid], v_max)
+    lowers: dict[int, bytes] = {}
+    uppers: dict[int, bytes] = {}
+    for fid in mins:
+        if fid in no_bounds:
+            continue
+        lo = encode_bound(types[fid], mins[fid])
+        hi = encode_bound(types[fid], maxs[fid])
+        if lo is not None and hi is not None:
+            lowers[fid], uppers[fid] = lo, hi
+    null_counts = {k: v for k, v in null_counts.items() if k not in no_nulls}
+
+    def kv(d: dict) -> Optional[list]:
+        return [{"key": k, "value": d[k]} for k in sorted(d)] or None
+
+    return {"value_counts": kv(value_counts),
+            "null_value_counts": kv(null_counts),
+            "lower_bounds": kv(lowers),
+            "upper_bounds": kv(uppers)}
 
 
 def _ds_source_id(schema: Optional[dict], ds_col: str) -> int:
@@ -596,10 +703,28 @@ class IcebergTable:
         return cand if os.path.exists(cand) else path
 
     def read(self, spark: SparkSession, snapshot_id: Optional[int] = None,
-             as_of_ms: Optional[int] = None) -> DataFrame:
+             as_of_ms: Optional[int] = None,
+             partition_range: Optional[tuple] = None) -> DataFrame:
+        """`partition_range` = (start, end) inclusive bounds on the
+        identity partition value (either side None = unbounded): files
+        outside the range are dropped FROM THE PLAN using manifest
+        partition tuples alone — metadata partition pruning, so a 7-day
+        scan of a million-file table never enumerates the other files
+        into the Spark scan."""
         snap = self._snapshot(snapshot_id, as_of_ms)
         data_entries = self._entries(snap)
         dels = self._entries(snap, content=1)
+        if partition_range is not None:
+            ds_col = self._ds_col()
+            lo, hi = partition_range
+
+            def keep(e):
+                v = e["data_file"]["partition"].get(ds_col)
+                return (v is not None and (lo is None or v >= lo)
+                        and (hi is None or v <= hi))
+
+            data_entries = [e for e in data_entries if keep(e)]
+            dels = [e for e in dels if keep(e)]
         df = self._scan(spark, [e["data_file"] for e in data_entries],
                         with_meta=bool(dels))
         if dels:

@@ -41,14 +41,17 @@ def _java_fmt_to_py(java_fmt: str) -> str:
     return java_fmt.replace("yyyy", "%Y").replace("MM", "%m").replace("dd", "%d")
 
 
-def _load_table(spark: SparkSession, table: str) -> DataFrame:
+def _load_table(spark: SparkSession, table: str,
+                rng: Optional[PartitionRange] = None) -> DataFrame:
     """Table name, or a direct parquet path (dev convenience,
     reference: LocalDataLoader.scala). Paths resolve through the
-    warehouse snapshot log when one is present (catalog.read_parquet_path)."""
+    warehouse snapshot log / Iceberg metadata / Delta log when present
+    (catalog.read_parquet_path); `rng` lets those formats prune FILES
+    from the plan via their metadata."""
     if table.endswith(".parquet") or table.startswith("/") or table.startswith("file:"):
         from chronon_spark.sources.catalog import read_parquet_path
 
-        return read_parquet_path(spark, table)
+        return read_parquet_path(spark, table, rng)
     return spark.read.table(table)
 
 
@@ -65,7 +68,6 @@ def scan_df(
     for setup in query.setups or []:
         spark.sql(setup)
 
-    df = _load_table(spark, table)
     part_col = query.partition_column or spec.column
 
     # partition pruning predicates first (pushed down by Catalyst)
@@ -73,6 +75,13 @@ def scan_df(
     if query.start_partition or query.end_partition:
         q_rng = PartitionRange(query.start_partition, query.end_partition, spec)
         scan_rng = q_rng if scan_rng is None else scan_rng.intersect(q_rng)
+    # metadata FILE pruning only under default partition semantics —
+    # foreign partition columns/formats fall back to row predicates
+    file_rng = (scan_rng
+                if query.partition_column is None
+                and query.partition_format in (None, "yyyy-MM-dd")
+                else None)
+    df = _load_table(spark, table, file_rng)
     pruned = False
     if scan_rng is not None and part_col in df.columns:
         if query.partition_format and query.partition_format != "yyyy-MM-dd":

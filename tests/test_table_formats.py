@@ -219,6 +219,31 @@ def test_iceberg_metadata_is_spec_shaped(committed_wh):
     assert df["file_format"] == "PARQUET" and df["record_count"] >= 1
 
 
+def test_iceberg_manifest_column_stats(spark, committed_wh):
+    """Manifests carry real per-column stats from parquet footers:
+    value/null counts and Appendix-D-encoded lower/upper bounds (int-keyed
+    maps as Avro key/value-record arrays). Decoded bounds must equal the
+    data's true min/max per file."""
+    from chronon_spark.sources.iceberg import decode_bound
+
+    wh = committed_wh
+    mirror_to_iceberg(wh, "t")
+    t = IcebergTable(wh.path("t"))
+    md_schema = t.metadata["schemas"][0]["fields"]
+    fid = {f["name"]: f["id"] for f in md_schema}
+    typ = {f["id"]: f["type"] for f in md_schema}
+    for f in t.files():
+        lows = {e["key"]: e["value"] for e in f["lower_bounds"]}
+        ups = {e["key"]: e["value"] for e in f["upper_bounds"]}
+        vals = {e["key"]: e["value"] for e in f["value_counts"]}
+        pdf = spark.read.parquet(f["file_path"]).toPandas()
+        assert vals[fid["id"]] == len(pdf) == f["record_count"]
+        assert decode_bound(typ[fid["id"]], lows[fid["id"]]) == pdf["id"].min()
+        assert decode_bound(typ[fid["id"]], ups[fid["id"]]) == pdf["id"].max()
+        assert decode_bound(typ[fid["v"]], lows[fid["v"]]) == pdf["v"].min()
+        assert decode_bound(typ[fid["v"]], ups[fid["v"]]) == pdf["v"].max()
+
+
 def test_iceberg_remirror_idempotent(spark, committed_wh):
     wh = committed_wh
     mirror_to_iceberg(wh, "t")
@@ -579,6 +604,36 @@ def test_engine_sources_read_external_wire_formats(spark, committed_wh):
     shutil.rmtree(os.path.join(dl, SNAPSHOT_DIR))
     shutil.rmtree(os.path.join(dl, "metadata"))
     assert _rows(scan_df(spark, dl).select("id", "v", "ds")) == expected
+
+
+def test_scan_prunes_files_from_wire_metadata(spark, committed_wh):
+    """A Query with partition bounds over an Iceberg/Delta path must drop
+    out-of-range FILES from the plan (manifest/log partition tuples), not
+    just filter rows — input_file_name() shows which files were scanned."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from chronon_spark.api import Query
+    from chronon_spark.sources.catalog import SNAPSHOT_DIR
+    from chronon_spark.sources.scan import scan_df
+
+    wh = committed_wh
+    mirror_to_iceberg(wh, "t")
+    mirror_to_delta(wh, "t", spark)
+    q = Query(start_partition="2024-01-02", end_partition="2024-01-02")
+
+    for keep_dir, drop_dir in (("metadata", "_delta_log"),
+                               ("_delta_log", "metadata")):
+        loc = wh.path("t") + f"_prune_{keep_dir.strip('_')}"
+        shutil.copytree(wh.path("t"), loc)
+        shutil.rmtree(os.path.join(loc, SNAPSHOT_DIR))
+        shutil.rmtree(os.path.join(loc, drop_dir))
+        df = scan_df(spark, loc, q)
+        assert _rows(df.select("id", "v", "ds")) == [(3, "c", "2024-01-02")]
+        scanned = {r[0] for r in
+                   df.select(F.input_file_name()).distinct().collect()}
+        assert len(scanned) == 1, f"{keep_dir}: scan not file-pruned"
 
 
 def test_delta_remirror_idempotent(spark, committed_wh):
