@@ -85,21 +85,48 @@ def mirror_to_delta(warehouse, table: str, spark: SparkSession,
     if sample is None:
         raise ValueError(f"{table} has no data files")
     schema_string = _spark_schema_string(spark, sample, ds_col)
-    meta_action = {"metaData": {
-        "id": str(uuid_mod.uuid5(uuid_mod.NAMESPACE_URL, f"delta/{table}")),
-        "format": {"provider": "parquet", "options": {}},
-        "schemaString": schema_string,
-        "partitionColumns": [ds_col],
-        "configuration": {},
-        "createdTime": now_ms,
-    }}
+
+    def meta_for(schema_str: str) -> dict:
+        return {"metaData": {
+            "id": str(uuid_mod.uuid5(uuid_mod.NAMESPACE_URL, f"delta/{table}")),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_str,
+            "partitionColumns": [ds_col],
+            "configuration": {},
+            "createdTime": now_ms,
+        }}
+
+    meta_action = meta_for(schema_string)
     protocol_action = {"protocol": {"minReaderVersion": 1,
                                     "minWriterVersion": 2}}
 
     state: dict[str, dict] = {}  # path -> add action (live set replay)
+    known_cols = {f["name"] for f in
+                  json.loads(schema_string)["fields"]}
     for s in snaps:
         version = s["snapshot_id"] - 1  # Delta versions are 0-based
         vfile = os.path.join(log_dir, f"{version:020d}.json")
+        # additive schema evolution: a commit whose newest file widens
+        # the schema re-emits metaData in that version (Delta's own
+        # mechanism for schema changes)
+        schema_change = None
+        if s["added_files"]:
+            newest = os.path.join(root, sorted(s["added_files"])[-1])
+            import pyarrow.parquet as _pq
+            new_cols = {f.name for f in _pq.read_schema(newest)}
+            if not new_cols <= known_cols:
+                # merge: existing fields keep their place, new ones append
+                old_fields = json.loads(schema_string)["fields"]
+                file_fields = json.loads(
+                    _spark_schema_string(spark, newest, ds_col))["fields"]
+                merged = old_fields + [f for f in file_fields
+                                       if f["name"] not in known_cols]
+                schema_string = json.dumps(
+                    {"type": "struct", "fields": merged})
+                known_cols |= {f["name"] for f in merged}
+                meta_action = meta_for(schema_string)
+                if version > 0:
+                    schema_change = meta_action
         adds = []
         for f in sorted(s["added_files"]):
             full = os.path.join(root, f)
@@ -123,6 +150,8 @@ def mirror_to_delta(warehouse, table: str, spark: SparkSession,
             }}]
             if version == 0:
                 actions += [protocol_action, meta_action]
+            elif schema_change is not None:
+                actions += [schema_change]
             actions += removes + adds
             tmp = vfile + f".tmp.{os.getpid()}"
             with open(tmp, "w") as fh:
@@ -333,7 +362,16 @@ class DeltaTable:
                 raise ValueError("empty table: no live files")
             return self._scan(spark, st, full).limit(0)
         paths = [os.path.join(self.location, a["path"]) for a in files]
-        df = spark.read.parquet(*paths)
+        reader = spark.read
+        if st["metaData"]:
+            # read with the LOG's schema (files written under an older
+            # metaData return null for later columns; no footer-based
+            # inference at any file count)
+            from pyspark.sql.types import StructType
+            full = StructType.fromJson(json.loads(st["metaData"]["schemaString"]))
+            reader = reader.schema(StructType(
+                [f for f in full.fields if f.name not in part_cols]))
+        df = reader.parquet(*paths)
         from chronon_spark.sources.catalog import recover_partition_column
         for col in part_cols:
             if col in df.columns:

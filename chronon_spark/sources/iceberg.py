@@ -267,6 +267,45 @@ def mirror_to_iceberg(warehouse, table: str) -> str:
     snap_log = list(prior.get("snapshot-log", [])) if prior and not rebased else []
     now_ms = int(time.time() * 1000)
     schema = None
+    schemas: list[dict] = []
+    if prior:
+        # continue the prior schema lineage even across an expiry
+        # rebuild — field ids are forever
+        schemas = [dict(s) for s in prior.get("schemas", [])]
+        schema = dict(schemas[-1])
+        schema["_last_column_id"] = prior["last-column-id"]
+        schemas[-1] = schema
+
+    def _evolve_schema(snapshot: dict) -> None:
+        """Additive schema evolution (the backfill flow's additive-change
+        contract): a commit whose newest file carries columns the current
+        schema lacks appends a NEW schema version — existing field ids
+        are immutable, new fields get fresh ids, current-schema-id
+        advances. Removals/renames are out of scope (the engine never
+        produces them)."""
+        nonlocal schema
+        if not snapshot["added_files"]:
+            return
+        newest = os.path.join(root, sorted(snapshot["added_files"])[-1])
+        if schema is None:
+            schema = iceberg_schema_from_parquet(newest, ds_col)
+            schemas.append(schema)
+            return
+        known = {f["name"] for f in schema["fields"]}
+        arrow = pq.read_schema(newest)
+        new_fields = [f for f in arrow if f.name not in known]
+        if not new_fields:
+            return
+        ids = _IdGen()
+        ids.n = schema["_last_column_id"]
+        fields = [dict(f) for f in schema["fields"]]
+        for f in new_fields:
+            fid = ids()
+            fields.append({"id": fid, "name": f.name, "required": False,
+                           "type": _arrow_field_type(f.type, ids)})
+        schema = {"type": "struct", "schema-id": len(schemas),
+                  "fields": fields, "_last_column_id": ids.n}
+        schemas.append(schema)
 
     entry_schema = manifest_entry_schema(
         [{"name": ds_col, "type": "string", "field-id": 1000}])
@@ -299,8 +338,7 @@ def mirror_to_iceberg(warehouse, table: str) -> str:
         files = sorted(live)
         if files and sample is None:
             sample = os.path.join(root, files[0])
-        if schema is None and sample:
-            schema = iceberg_schema_from_parquet(sample, ds_col)
+        _evolve_schema(s)
 
         entries, parts = [], set()
         added_n = added_rows = existing_n = existing_rows = 0
@@ -388,7 +426,7 @@ def mirror_to_iceberg(warehouse, table: str) -> str:
             "summary": {"operation": "overwrite"
                         if s["removed_files"] else "append",
                         "chronon-operation": s["operation"]},
-            "schema-id": 0,
+            "schema-id": schema["schema-id"] if schema else 0,
         })
         snap_log.append({"timestamp-ms": now_ms, "snapshot-id": sid})
 
@@ -396,6 +434,7 @@ def mirror_to_iceberg(warehouse, table: str) -> str:
         if sample is None:
             sample = os.path.join(root, sorted(live)[0])
         schema = iceberg_schema_from_parquet(sample, ds_col)
+        schemas.append(schema)
 
     metadata = {
         "format-version": 2,
@@ -404,8 +443,8 @@ def mirror_to_iceberg(warehouse, table: str) -> str:
         "last-sequence-number": snaps[-1]["snapshot_id"],
         "last-updated-ms": now_ms,
         "last-column-id": schema["_last_column_id"],
-        "current-schema-id": 0,
-        "schemas": [_strip_internal(schema)],
+        "current-schema-id": schema["schema-id"],
+        "schemas": [_strip_internal(s) for s in schemas],
         "default-spec-id": 0,
         "partition-specs": [{"spec-id": 0, "fields": [{
             "name": ds_col, "transform": "identity",
@@ -651,6 +690,50 @@ class IcebergTable:
         spec = self.metadata["partition-specs"][0]
         return spec["fields"][0]["name"]
 
+    def _current_schema(self) -> dict:
+        sid = self.metadata.get("current-schema-id", 0)
+        return next(s for s in self.metadata["schemas"]
+                    if s.get("schema-id", 0) == sid)
+
+    def _spark_read_schema(self, exclude: set):
+        """Spark StructType of the CURRENT table schema (minus hive
+        partition columns recovered from metadata). Reading with an
+        explicit schema is what Iceberg itself does: files written under
+        older schema versions return null for later columns, and no
+        footer has to be opened for inference — at a million files,
+        mergeSchema-style inference is a full metadata scan."""
+        from pyspark.sql import types as T
+
+        prim = {"string": T.StringType(), "long": T.LongType(),
+                "int": T.IntegerType(), "double": T.DoubleType(),
+                "float": T.FloatType(), "boolean": T.BooleanType(),
+                "binary": T.BinaryType(), "date": T.DateType(),
+                "timestamp": T.TimestampNTZType(),
+                "timestamptz": T.TimestampType()}
+
+        def conv(t):
+            if isinstance(t, str):
+                if t in prim:
+                    return prim[t]
+                if t.startswith("decimal"):
+                    p, s = t[t.index("(") + 1:-1].split(",")
+                    return T.DecimalType(int(p), int(s))
+                raise ValueError(f"no Spark mapping for iceberg type {t}")
+            if t["type"] == "list":
+                return T.ArrayType(conv(t["element"]), True)
+            if t["type"] == "struct":
+                return T.StructType([
+                    T.StructField(f["name"], conv(f["type"]), True)
+                    for f in t["fields"]])
+            if t["type"] == "map":
+                return T.MapType(conv(t["key"]), conv(t["value"]), True)
+            raise ValueError(f"no Spark mapping for {t}")
+
+        return T.StructType([
+            T.StructField(f["name"], conv(f["type"]), True)
+            for f in self._current_schema()["fields"]
+            if f["name"] not in exclude])
+
     def incremental_files(self, from_snapshot_id: int,
                           to_snapshot_id: int) -> list[dict]:
         """data_file records ADDED by snapshots in (from, to] — the
@@ -675,7 +758,8 @@ class IcebergTable:
             if not full:
                 raise ValueError("empty table: no files at current snapshot")
             return self._scan(spark, full, with_meta).limit(0)
-        df = spark.read.parquet(*paths)
+        df = spark.read.schema(
+            self._spark_read_schema({ds_col})).parquet(*paths)
         if with_meta:
             # capture the hidden _metadata columns BEFORE any join (the
             # ds-recovery broadcast join makes them unresolvable): Spark's

@@ -606,6 +606,45 @@ def test_engine_sources_read_external_wire_formats(spark, committed_wh):
     assert _rows(scan_df(spark, dl).select("id", "v", "ds")) == expected
 
 
+def test_wire_formats_additive_schema_evolution(spark, committed_wh):
+    """A commit that widens the schema (additive column, the backfill
+    flow's contract): the Iceberg mirror appends a NEW schema version
+    (old field ids immutable, current-schema-id advances) and the Delta
+    mirror re-emits metaData; both readers return old rows with the new
+    column as null, reading with the TABLE schema (no footer
+    inference)."""
+    wh = committed_wh
+    mirror_to_iceberg(wh, "t")
+    mirror_to_delta(wh, "t", spark)
+    wh.insert_overwrite(spark.createDataFrame(
+        [(11, "w", "2024-01-09", 2.5)],
+        "id long, v string, ds string, score double"), "t")
+    mirror_to_iceberg(wh, "t")
+    mirror_to_delta(wh, "t", spark)
+
+    t = IcebergTable(wh.path("t"))
+    md = t.metadata
+    assert len(md["schemas"]) == 2 and md["current-schema-id"] == 1
+    s0 = {f["name"]: f["id"] for f in md["schemas"][0]["fields"]}
+    s1 = {f["name"]: f["id"] for f in md["schemas"][1]["fields"]}
+    assert all(s1[n] == i for n, i in s0.items()), "field ids must not move"
+    assert "score" in s1 and s1["score"] > max(s0.values())
+
+    # live state: ds 01-01 was overwritten by (9,z), 01-02 by (3,c)
+    expected = sorted(
+        [(3, "c", "2024-01-02", None), (4, "d", "2024-01-03", None),
+         (9, "z", "2024-01-01", None), (11, "w", "2024-01-09", 2.5)])
+    got_ice = sorted(tuple(r) for r in
+                     t.read(spark).select("id", "v", "ds", "score").collect())
+    assert got_ice == expected
+    dt = DeltaTable(wh.path("t"))
+    got_delta = sorted(tuple(r) for r in
+                       dt.read(spark).select("id", "v", "ds", "score").collect())
+    assert got_delta == expected
+    # pre-evolution version still reads under the old metaData (no score)
+    assert "score" not in dt.read(spark, version=2).columns
+
+
 def test_scan_prunes_files_from_wire_metadata(spark, committed_wh):
     """A Query with partition bounds over an Iceberg/Delta path must drop
     out-of-range FILES from the plan (manifest/log partition tuples), not
