@@ -1209,6 +1209,50 @@ def q_delta_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_catalog_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive format provider end-to-end (session_catalog.py; reference
+    catalog/Hive.scala + Format.scala:51-75): events land in a REAL
+    session-catalog table partitioned by (ds, hr=user parity) via two
+    dynamic-partition-overwrite commits — the second touches only the
+    (2024-01-05, hr=0) partition, so day 05's odd-user partition MUST
+    survive (the semantics that distinguish dynamic overwrite from the
+    warehouse's whole-ds replace).  Partition listing comes from SHOW
+    PARTITIONS and the sub-partition filter is pinned against the data;
+    reads go through spark.table with catalog partition pruning."""
+    import tempfile
+    import uuid
+
+    from chronon_spark.sources.session_catalog import SessionCatalog
+
+    _prep(spark)
+    cat = SessionCatalog(
+        spark, database=f"chronon_gate_{uuid.uuid4().hex[:8]}",
+        location=tempfile.mkdtemp(prefix="chronon_sesscat_"))
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd").alias("ds"),
+        F.expr("CAST(user_id % 2 AS STRING)").alias("hr"),
+    )
+    cat.insert_overwrite(raw, "ev", partition_columns=["ds", "hr"])
+    patch = raw.where(
+        (F.col("ds") == "2024-01-05") & (F.col("hr") == "0")
+    ).withColumn("cents", F.col("cents") * 3)
+    cat.insert_overwrite(patch, "ev", partition_columns=["ds", "hr"])
+
+    # SHOW PARTITIONS + sub-partition filter vs the data itself
+    truth = sorted(r.ds for r in raw.where("hr = '0'").select("ds").distinct().collect())
+    assert cat.primary_partitions("ev", sub_partitions_filter={"hr": "0"}) == truth
+    assert cat.partitions("ev") == sorted(
+        r.ds for r in raw.select("ds").distinct().collect())
+
+    cur = cat.read("ev")
+    return _wire_format_report([
+        ("current", cur),
+        ("hr0", cat.read("ev", partition_filters="hr = '0'")),
+    ])
+
+
 def q_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-partition column stats from parquet FOOTERS only (zero data
     scan — the parquet analog of the reference's Iceberg manifest walk,
@@ -2607,7 +2651,7 @@ _COMPOSITE_SPECS: dict[str, list[str]] = {
     "dedup_incremental_suite": ["dedup_incremental", "image_phash_incremental"],
     "image_decode_suite": ["image_pixel_features", "image_real_decode"],
     "sources_suite": ["cumulative_source", "groupby_multisource_union"],
-    "wire_formats_suite": ["iceberg_scan", "delta_scan"],
+    "wire_formats_suite": ["iceberg_scan", "delta_scan", "catalog_table_scan"],
 }
 
 # Output columns of every granular query a suite unions (bool columns are
@@ -2620,6 +2664,7 @@ _QCOLS: dict[str, list[str]] = {
     "groupby_multisource_union": ["user_id", "ds", "sum_7d", "count_life"],
     "iceberg_scan": ["version", "ds", "n_rows", "cents_total"],
     "delta_scan": ["version", "ds", "n_rows", "cents_total"],
+    "catalog_table_scan": ["version", "ds", "n_rows", "cents_total"],
     "scan_udf_setups": ["event_id", "usd", "tier"],
     "groupby_snapshot_windows": [
         "user_id", "ds", "value_sum_7d", "value_sum", "value_count_7d",
@@ -2897,6 +2942,7 @@ def _granular_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_source": q_cumulative_source,
         "iceberg_scan": q_iceberg_scan,
         "delta_scan": q_delta_scan,
+        "catalog_table_scan": q_catalog_table_scan,
         "join_noagg_passthrough": q_join_noagg_passthrough,
         "feature_stats": q_feature_stats,
         "analyze_skew_keys": q_analyze_skew_keys,
@@ -4039,6 +4085,27 @@ def _oracle_sql_granular() -> dict[str, str]:
         # first-version / incremental) from their respective metadata
         "iceberg_scan": _WIRE_FORMAT_ORACLE,
         "delta_scan": _WIRE_FORMAT_ORACLE,
+        # session-catalog table with DYNAMIC partition overwrite on
+        # (ds, hr): the second commit replaces ONLY (2024-01-05, hr='0'),
+        # so the oracle patches exactly that sub-partition
+        "catalog_table_scan": """
+            WITH e AS (SELECT user_id,
+                              CAST(round(value * 100, 0) AS BIGINT) AS cents,
+                              strftime(ts, '%Y-%m-%d') AS ds,
+                              CAST(user_id % 2 AS VARCHAR) AS hr FROM events),
+            patch AS (SELECT user_id, cents * 3 AS cents, ds, hr FROM e
+                      WHERE ds = '2024-01-05' AND hr = '0'),
+            cur AS (SELECT * FROM e
+                    WHERE NOT (ds = '2024-01-05' AND hr = '0')
+                    UNION ALL SELECT * FROM patch)
+            SELECT 'current' AS version, ds, COUNT(*) AS n_rows,
+                   SUM(cents) AS cents_total
+            FROM cur GROUP BY ds
+            UNION ALL
+            SELECT 'hr0' AS version, ds, COUNT(*) AS n_rows,
+                   SUM(cents) AS cents_total
+            FROM cur WHERE hr = '0' GROUP BY ds
+        """,
         "join_noagg_passthrough": """
             WITH snaps AS (
               SELECT c_custkey AS cust_key,
