@@ -1611,6 +1611,69 @@ def q_image_asof_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_asof_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north rule's literal composition, end-to-end: the SAME
+    point-in-time image+caption feature pipeline as image_asof_features,
+    but the input table is REAL ICEBERG — the input_hint-shaped fixture
+    (image_id, bytes, w, h, fmt, caption, phash) is committed to the
+    warehouse, mirrored to spec v2 metadata (metadata.json + Avro
+    manifests), and the EventSource points at a metadata-only staging of
+    that tree so path auto-detection (catalog.read_parquet_path) MUST
+    plan the scan from Iceberg manifests (the engine's own snapshot log
+    would otherwise take precedence). Oracle: identical SQL to
+    image_asof_features — an Iceberg planning drift (missed file,
+    double-counted replaced file, schema skew) breaks the value hash."""
+    import os
+    import shutil
+    import tempfile
+
+    _prep(spark)
+    from chronon_spark.operators.temporal_join import compute_temporal_join
+    from chronon_spark.sources.catalog import ParquetWarehouse
+    from chronon_spark.sources.iceberg import mirror_to_iceberg
+
+    wh = ParquetWarehouse(spark, tempfile.mkdtemp(prefix="chronon_imgice_"))
+    images = spark.read.parquet(_image_fixture_path())
+    wh.insert_overwrite(images, "img")
+    mirror_to_iceberg(wh, "img")
+    view = os.path.join(tempfile.mkdtemp(prefix="chronon_imgice_view_"), "img")
+    os.makedirs(view)
+    shutil.copytree(os.path.join(wh.path("img"), "metadata"),
+                    os.path.join(view, "metadata"))
+
+    src = EventSource(
+        view,
+        Query(
+            selects={"phash": "phash", "caption": "caption",
+                     "caption_len": "CAST(length(caption) AS BIGINT)"},
+            time_column="ts",
+        ),
+    )
+    gb = GroupBy(
+        sources=[src],
+        key_columns=["phash"],
+        aggregations=[
+            Aggregation("caption", Operation.COUNT, windows=[Window(1), None]),
+            Aggregation("caption", Operation.LAST, windows=[None]),
+            Aggregation("caption_len", Operation.MAX, windows=[None]),
+        ],
+        name="cap",
+    )
+    left = EventSource(
+        view, Query(selects={"image_id": "image_id", "phash": "phash"},
+                    time_column="ts")
+    )
+    join = Join(left=left, join_parts=[JoinPart(gb)], name="img_asof_ice")
+    out = compute_temporal_join(spark, join)
+    return out.select(
+        "image_id", "phash", "ts",
+        F.col("cap_caption_count_1d").alias("captures_1d"),
+        F.col("cap_caption_count").alias("captures_life"),
+        F.col("cap_caption_last").alias("last_caption"),
+        F.col("cap_caption_len_max").alias("max_caption_len"),
+    )
+
+
 def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup pairs by perceptual-hash hamming (<= 2): the
     image-payload analog of simhash dedup. The engine recomputes the
@@ -2652,6 +2715,9 @@ _COMPOSITE_SPECS: dict[str, list[str]] = {
     "image_decode_suite": ["image_pixel_features", "image_real_decode"],
     "sources_suite": ["cumulative_source", "groupby_multisource_union"],
     "wire_formats_suite": ["iceberg_scan", "delta_scan", "catalog_table_scan"],
+    # the north rule's literal sentence in one row: as-of image+caption
+    # features over a plain path AND over real Iceberg metadata
+    "image_asof_suite": ["image_asof_features", "image_asof_iceberg"],
 }
 
 # Output columns of every granular query a suite unions (bool columns are
@@ -2665,6 +2731,14 @@ _QCOLS: dict[str, list[str]] = {
     "iceberg_scan": ["version", "ds", "n_rows", "cents_total"],
     "delta_scan": ["version", "ds", "n_rows", "cents_total"],
     "catalog_table_scan": ["version", "ds", "n_rows", "cents_total"],
+    "image_asof_features": [
+        "image_id", "phash", "ts", "captures_1d", "captures_life",
+        "last_caption", "max_caption_len",
+    ],
+    "image_asof_iceberg": [
+        "image_id", "phash", "ts", "captures_1d", "captures_life",
+        "last_caption", "max_caption_len",
+    ],
     "scan_udf_setups": ["event_id", "usd", "tier"],
     "groupby_snapshot_windows": [
         "user_id", "ds", "value_sum_7d", "value_sum", "value_count_7d",
@@ -2863,7 +2937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_topk",
         # multimodal
         "image_decode_suite",
-        "image_asof_features",
+        "image_asof_suite",
         "image_phash_neardup",
         "image_curation",
         "video_frame_features",
@@ -2902,6 +2976,7 @@ def _granular_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_pixel_features": q_image_pixel_features,
         "image_real_decode": q_image_real_decode,
         "image_asof_features": q_image_asof_features,
+        "image_asof_iceberg": q_image_asof_iceberg,
         "image_phash_neardup": q_image_phash_neardup,
         "image_curation": q_image_curation,
         "video_frame_features": q_video_frame_features,
@@ -2988,6 +3063,25 @@ _WIRE_FORMAT_ORACLE = """
     UNION ALL
     SELECT 'inc' AS version, ds, COUNT(*) AS n_rows, SUM(cents) AS cents_total
     FROM mut GROUP BY ds
+"""
+
+# shared oracle for image_asof_features / image_asof_iceberg: the same
+# point-in-time sweep over the raw fixture rows, regardless of which
+# table format planned the engine's scan
+_IMAGE_ASOF_ORACLE = f"""
+    WITH img AS (
+      SELECT image_id, phash, caption,
+             CAST(length(caption) AS BIGINT) AS caption_len, ts
+      FROM '{_FIXTURE_PATH}'
+    )
+    SELECT l.image_id, l.phash, l.ts,
+           COUNT(CASE WHEN e.ts >= ((l.ts - {DAY}) // {HOUR}) * {HOUR}
+                      THEN e.caption END) AS captures_1d,
+           COUNT(e.caption) AS captures_life,
+           ARG_MAX(e.caption, e.ts) AS last_caption,
+           MAX(e.caption_len) AS max_caption_len
+    FROM img l LEFT JOIN img e ON l.phash = e.phash AND e.ts <= l.ts
+    GROUP BY 1, 2, 3
 """
 
 _SNAP_DAYS = (
@@ -3784,21 +3878,11 @@ def _oracle_sql_granular() -> dict[str, str]:
                    TRUE AS decode_ok
             FROM '{_AUDIO_FIXTURE_PATH}'
         """,
-        "image_asof_features": f"""
-            WITH img AS (
-              SELECT image_id, phash, caption,
-                     CAST(length(caption) AS BIGINT) AS caption_len, ts
-              FROM '{_FIXTURE_PATH}'
-            )
-            SELECT l.image_id, l.phash, l.ts,
-                   COUNT(CASE WHEN e.ts >= ((l.ts - {DAY}) // {HOUR}) * {HOUR}
-                              THEN e.caption END) AS captures_1d,
-                   COUNT(e.caption) AS captures_life,
-                   ARG_MAX(e.caption, e.ts) AS last_caption,
-                   MAX(e.caption_len) AS max_caption_len
-            FROM img l LEFT JOIN img e ON l.phash = e.phash AND e.ts <= l.ts
-            GROUP BY 1, 2, 3
-        """,
+        "image_asof_features": _IMAGE_ASOF_ORACLE,
+        # Iceberg-planned variant must reconstruct the IDENTICAL feature
+        # vectors — the oracle never looks at the Iceberg tree, only raw
+        # fixture rows, so any manifest-planning drift breaks the hash
+        "image_asof_iceberg": _IMAGE_ASOF_ORACLE,
         "snapshot_join_yesterday": f"""
             WITH l AS (SELECT event_id, user_id, epoch_ms(ts) AS ts,
                               CAST(epoch(CAST(strftime(ts, '%Y-%m-%d') AS DATE)) AS BIGINT) * 1000
