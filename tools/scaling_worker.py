@@ -22,7 +22,8 @@ def main() -> None:
     ap.add_argument("--input", required=True)
     ap.add_argument("--workload",
                     choices=["join", "groupby", "image", "image_fused",
-                             "video_fused", "curate", "real_decode"],
+                             "image_iceberg", "video_fused", "curate",
+                             "real_decode"],
                     default="join")
     ap.add_argument("--passes", type=int, default=2)
     args = ap.parse_args()
@@ -117,7 +118,14 @@ def main() -> None:
         # sorts each partition by the full serialized row before the exchange
         # (retry determinism) — pathological on multi-KB payloads.
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
-        images = spark.read.parquet(args.input).cache()
+        # image_iceberg points --input at a metadata-only Iceberg tree:
+        # read_parquet_path plans the scan from the manifests (file list +
+        # table schema + hive-ds recovery), falling through to a plain
+        # parquet read for the *_fused fixture path — the north rule's
+        # "over Iceberg tables" phrasing under the scaling criterion.
+        from chronon_spark.sources.catalog import read_parquet_path
+
+        images = read_parquet_path(spark, args.input).cache()
         n_rows = images.count()
         parts = [
             AggregationPart("caption_len", Operation.COUNT, window=Window(1)),
