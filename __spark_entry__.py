@@ -1941,6 +1941,34 @@ def q_sketch_ir_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_ir_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items IR tables in the Apache DataSketches
+    ItemsSketch<String> wire format (reference FrequentItems aggregator,
+    SimpleAggregators.scala:400-500; serde :438-441): two jobs write
+    per-(user, day) binary payloads over disjoint halves of the range, a
+    third merges the unioned tables to the reference's finalize shape
+    (top-k items with estimates). map_size far exceeds the distinct
+    event types, so no purge fires, offset stays 0, and every estimate
+    is the EXACT count — a hard value-hash through serialize -> union ->
+    deserialize -> merge, not a tolerance check."""
+    _prep(spark)
+    from chronon_spark.operators.sketches import (
+        merge_frequent_irs,
+        write_frequent_ir,
+    )
+    from chronon_spark.sources.scan import scan_source
+
+    ev = scan_source(spark, _events_source(
+        sf_dir, {"user_id": "user_id", "event_type": "event_type"}))
+    job1 = write_frequent_ir(
+        ev.where("ds <= '2024-01-15'"), ["user_id"], "event_type", map_size=64)
+    job2 = write_frequent_ir(
+        ev.where("ds > '2024-01-15'"), ["user_id"], "event_type", map_size=64)
+    return merge_frequent_irs(
+        job1.unionByName(job2), ["user_id"], k=2
+    ).select("user_id", "item", "estimate")
+
+
 def q_groupby_multisource_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source GroupBy (reference: GroupBy.from sources union,
     GroupBy.scala renderDataSourceQuery): the same events table split into
@@ -2718,6 +2746,9 @@ _COMPOSITE_SPECS: dict[str, list[str]] = {
     # the north rule's literal sentence in one row: as-of image+caption
     # features over a plain path AND over real Iceberg metadata
     "image_asof_suite": ["image_asof_features", "image_asof_iceberg"],
+    # persistable sketch IRs, both wire formats the reference uploads
+    # (KLL doubles + frequency ItemsSketch)
+    "sketch_ir_suite": ["sketch_ir_quantiles", "sketch_ir_frequent"],
 }
 
 # Output columns of every granular query a suite unions (bool columns are
@@ -2739,6 +2770,8 @@ _QCOLS: dict[str, list[str]] = {
         "image_id", "phash", "ts", "captures_1d", "captures_life",
         "last_caption", "max_caption_len",
     ],
+    "sketch_ir_quantiles": ["user_id", "p50", "p90"],
+    "sketch_ir_frequent": ["user_id", "item", "estimate"],
     "scan_udf_setups": ["event_id", "usd", "tier"],
     "groupby_snapshot_windows": [
         "user_id", "ds", "value_sum_7d", "value_sum", "value_count_7d",
@@ -2911,7 +2944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backfill_resume",
         "incremental_refresh",
         "partition_stats",
-        "sketch_ir_quantiles",
+        "sketch_ir_suite",
         "model_transform_score",
         # streaming
         "stream_stateful_features",
@@ -3006,6 +3039,7 @@ def _granular_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_unique_topk_struct": q_groupby_unique_topk_struct,
         "model_transform_score": q_model_transform_score,
         "sketch_ir_quantiles": q_sketch_ir_quantiles,
+        "sketch_ir_frequent": q_sketch_ir_frequent,
         "groupby_multisource_union": q_groupby_multisource_union,
         "joinsource_chained": q_joinsource_chained,
         "temporal_join_salted": q_temporal_join_salted,
@@ -4103,6 +4137,19 @@ def _oracle_sql_granular() -> dict[str, str]:
                    ROUND(MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.9 * n) AS BIGINT))
                              THEN cents END) / 100.0, 6) AS p90
             FROM r GROUP BY user_id
+        """,
+        # exact regime (map >> distinct event types, offset 0): top-2 per
+        # user by true count, ties broken by item DESC — the sketch's own
+        # deterministic finalize order
+        "sketch_ir_frequent": """
+            WITH c AS (SELECT user_id, event_type AS item,
+                              COUNT(*) AS estimate
+                       FROM events GROUP BY 1, 2),
+            r AS (SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY user_id
+                      ORDER BY estimate DESC, item DESC) AS rn
+                  FROM c)
+            SELECT user_id, item, estimate FROM r WHERE rn <= 2
         """,
         "groupby_multisource_union": f"""
             WITH {_SNAP_DAYS},

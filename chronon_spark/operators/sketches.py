@@ -39,6 +39,7 @@ KLL wire format (little-endian):
 
 from __future__ import annotations
 
+import math
 import struct
 from typing import Iterator, Optional
 
@@ -323,6 +324,170 @@ class KLL:
         return cls.from_datasketches_bytes(data)
 
 
+class FrequentStrings:
+    """Frequent-items sketch over strings, wire-compatible with Apache
+    DataSketches ``ItemsSketch<String>`` + ``ArrayOfStringsSerDe`` — the
+    exact payload the reference's FrequentItems aggregator persists
+    (reference: SimpleAggregators.scala:400-500, ItemsSketchIR serde at
+    :438-441 via ``sketch.toByteArray(new ArrayOfStringsSerDe)``).
+
+    Algorithm: Misra-Gries / frequent-directions counting as DataSketches
+    implements it — a bounded map of (item -> stored count) plus a global
+    ``offset`` accumulated by purges. Invariants (ErrorType
+    NO_FALSE_NEGATIVES semantics): for every item,
+    ``stored <= true_count <= stored + offset``; estimate = upper bound =
+    stored + offset. A purge subtracts the MEDIAN of the stored counts
+    and drops non-positive entries (ReversePurgeItemHashMap.purge);
+    merge adds the other sketch's stored counts via update then sums the
+    offsets (ItemsSketch.merge).
+
+    Wire layout (datasketches-java frequencies/PreambleUtil.java +
+    ItemsSketch.toByteArray; Apache-2.0, layout reproduced below; the
+    container ships no datasketches bindings, so the fixture in
+    tests/test_sketch_ir.py is hand-assembled field-by-field from that
+    spec — same strategy as the KLL format above):
+
+      byte 0    preamble_longs   1 (empty) | 4 (non-empty)
+      byte 1    serial_version   1
+      byte 2    family id        10 (FREQUENCY)
+      byte 3    lgMaxMapSize
+      byte 4    lgCurMapSize
+      byte 5    flags            bit2 EMPTY
+      byte 6-7  unused
+     non-empty only:
+      byte 8-11   activeItems    uint32 LE (bytes 12-15 unused)
+      byte 16-23  streamLength   uint64 LE
+      byte 24-31  offset         uint64 LE
+      then        stored counts  int64 LE * activeItems
+      then        items          ArrayOfStringsSerDe: per item a
+                  uint32 LE utf-8 byte length + the utf-8 bytes
+    """
+
+    _DS_FAMILY = 10
+    _DS_SER_VER = 1
+    _DS_FLAG_EMPTY = 4
+    _LG_MIN = 3
+    LOAD_FACTOR = 0.75
+
+    def __init__(self, lg_max_map_size: int = 10):
+        if lg_max_map_size < self._LG_MIN:
+            raise ValueError(f"lg_max_map_size must be >= {self._LG_MIN}")
+        self.lg_max = lg_max_map_size
+        self.counts: dict[str, int] = {}
+        self.offset = 0
+        self.n = 0
+
+    @classmethod
+    def for_map_size(cls, map_size: int) -> "FrequentStrings":
+        """The reference's sizing rule (SimpleAggregators.scala:404-412):
+        purge halves a 0.75-loaded map, so holding k items at all times
+        needs mapSize = ceil(k / (0.75 * 0.5)) rounded up to a power of
+        two."""
+        if map_size <= 0:
+            raise ValueError("map_size must be positive")
+        eff = math.ceil(map_size / (0.75 * 0.5))
+        lg = max(cls._LG_MIN, (max(eff, 2) - 1).bit_length())
+        return cls(lg)
+
+    def _cap(self) -> int:
+        return int((1 << self.lg_max) * self.LOAD_FACTOR)
+
+    def update(self, item: str, weight: int = 1) -> None:
+        if weight <= 0:
+            if weight < 0:
+                raise ValueError("negative weight")
+            return
+        self.n += weight
+        self.counts[item] = self.counts.get(item, 0) + weight
+        if len(self.counts) > self._cap():
+            self._purge()
+
+    def _purge(self) -> None:
+        vals = sorted(self.counts.values())
+        med = vals[len(vals) // 2]
+        self.offset += med
+        self.counts = {i: c - med for i, c in self.counts.items() if c > med}
+
+    def merge(self, other: "FrequentStrings") -> "FrequentStrings":
+        for item, c in other.counts.items():
+            self.counts[item] = self.counts.get(item, 0) + c
+            if len(self.counts) > self._cap():
+                self._purge()
+        self.offset += other.offset
+        self.n += other.n
+        return self
+
+    # -- bounds (NO_FALSE_NEGATIVES semantics)
+    def estimate(self, item: str) -> int:
+        c = self.counts.get(item, 0)
+        return c + self.offset if c > 0 else 0
+
+    def lower_bound(self, item: str) -> int:
+        return self.counts.get(item, 0)
+
+    def frequent_items(self, map_size: Optional[int] = None) -> dict[str, int]:
+        """getFrequentItems(NO_FALSE_NEGATIVES) + the reference's top-k
+        heap finalize (SimpleAggregators.scala:445-471): items whose
+        upper bound exceeds the maximum error, the `map_size` largest by
+        estimate."""
+        out = {i: c + self.offset for i, c in self.counts.items()
+               if c + self.offset > self.offset}
+        if map_size is not None and len(out) > map_size:
+            kept = sorted(out.items(), key=lambda kv: (kv[1], kv[0]),
+                          reverse=True)[:map_size]
+            out = dict(kept)
+        return out
+
+    # -- wire format
+    def _lg_cur(self) -> int:
+        lg = self._LG_MIN
+        while len(self.counts) > (1 << lg) * self.LOAD_FACTOR:
+            lg += 1
+        return min(lg, self.lg_max)
+
+    def to_datasketches_bytes(self) -> bytes:
+        if not self.counts and self.n == 0:
+            return struct.pack(
+                "<BBBBBBH", 1, self._DS_SER_VER, self._DS_FAMILY,
+                self.lg_max, self._LG_MIN, self._DS_FLAG_EMPTY, 0)
+        items = sorted(self.counts)  # deterministic payload bytes
+        head = struct.pack(
+            "<BBBBBBH", 4, self._DS_SER_VER, self._DS_FAMILY,
+            self.lg_max, self._lg_cur(), 0, 0)
+        head += struct.pack("<IIQQ", len(items), 0, self.n, self.offset)
+        head += struct.pack(f"<{len(items)}q", *(self.counts[i] for i in items))
+        for it in items:
+            raw = it.encode("utf-8")
+            head += struct.pack("<I", len(raw)) + raw
+        return head
+
+    @classmethod
+    def from_datasketches_bytes(cls, data: bytes) -> "FrequentStrings":
+        pre, ser, fam, lg_max, _lg_cur, flags, _ = struct.unpack_from(
+            "<BBBBBBH", data, 0)
+        if fam != cls._DS_FAMILY:
+            raise ValueError(f"not a DataSketches frequency payload (family={fam})")
+        if ser != cls._DS_SER_VER:
+            raise ValueError(f"unsupported frequency serial version {ser}")
+        sk = cls(max(lg_max, cls._LG_MIN))
+        if flags & cls._DS_FLAG_EMPTY:
+            return sk
+        if pre != 4:
+            raise ValueError(f"unsupported frequency preamble longs {pre}")
+        active, _, n, offset = struct.unpack_from("<IIQQ", data, 8)
+        off = 32
+        stored = struct.unpack_from(f"<{active}q", data, off)
+        off += 8 * active
+        counts: dict[str, int] = {}
+        for c in stored:
+            (ln,) = struct.unpack_from("<I", data, off)
+            off += 4
+            counts[data[off:off + ln].decode("utf-8")] = c
+            off += ln
+        sk.counts, sk.offset, sk.n = counts, offset, n
+        return sk
+
+
 # -- IR tables ------------------------------------------------------------
 
 def write_quantile_ir(
@@ -426,4 +591,75 @@ def merge_unique_irs(
     return (
         ir_df.groupBy(*keys)
         .agg(F.hll_sketch_estimate(F.hll_union_agg(F.col(ir_col))).alias(out_col))
+    )
+
+
+def write_frequent_ir(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    ds_col: str = "ds",
+    map_size: int = 128,
+    out_col: str = "freq_ir",
+) -> DataFrame:
+    """One DataSketches ItemsSketch<String> payload per (keys..., ds) —
+    the binary the reference's FrequentItems aggregator uploads
+    (SimpleAggregators.scala:438-441). Payload is O(map_size / 0.375)
+    entries regardless of day volume; same IR-table discipline as the
+    KLL/HLL writers above."""
+    out_schema = ", ".join(
+        [f"`{c}` {t}" for c, t in df.select(*keys, ds_col).dtypes]
+        + [f"`{out_col}` binary"]
+    )
+    group_cols = list(keys) + [ds_col]
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = FrequentStrings.for_map_size(map_size)
+        vals, cnts = np.unique(
+            pdf[value_col].astype(str).to_numpy(), return_counts=True)
+        for v, c in zip(vals.tolist(), cnts.tolist()):
+            sk.update(v, int(c))
+        head = pdf.iloc[:1][group_cols].reset_index(drop=True)
+        head[out_col] = [sk.to_datasketches_bytes()]
+        return head
+
+    return (
+        df.select(*group_cols, value_col)
+        .groupBy(*group_cols)
+        .applyInPandas(build, schema=out_schema)
+    )
+
+
+def merge_frequent_irs(
+    ir_df: DataFrame,
+    keys: list[str],
+    k: int,
+    ir_col: str = "freq_ir",
+) -> DataFrame:
+    """Merge ItemsSketch payloads (any number of jobs' IR tables unioned)
+    down to the reference's finalize shape: the top-k frequent items per
+    key with their estimates, exploded to (item, estimate) rows.
+    Associative merge inside each Arrow batch — the shuffle carries
+    sketches, never raw values."""
+    out_schema = ", ".join(
+        [f"`{c}` {t}" for c, t in ir_df.select(*keys).dtypes]
+        + ["`item` string", "`estimate` bigint"]
+    )
+
+    def combine(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc: Optional[FrequentStrings] = None
+        for payload in pdf[ir_col]:
+            sk = FrequentStrings.from_datasketches_bytes(bytes(payload))
+            acc = sk if acc is None else acc.merge(sk)
+        top = acc.frequent_items(map_size=k)
+        head = pdf.iloc[:1][list(keys)]
+        out = head.loc[head.index.repeat(len(top))].reset_index(drop=True)
+        out["item"] = list(top.keys())
+        out["estimate"] = np.array(list(top.values()), dtype=np.int64)
+        return out
+
+    return (
+        ir_df.select(*keys, ir_col)
+        .groupBy(*keys)
+        .applyInPandas(combine, schema=out_schema)
     )

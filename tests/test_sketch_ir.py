@@ -16,8 +16,11 @@ from pyspark.sql import functions as F
 
 from chronon_spark.operators.sketches import (
     KLL,
+    FrequentStrings,
+    merge_frequent_irs,
     merge_quantile_irs,
     merge_unique_irs,
+    write_frequent_ir,
     write_quantile_ir,
     write_unique_ir,
 )
@@ -247,3 +250,102 @@ class TestDataSketchesWireFormat:
         hll = struct.pack("<BBBBHBB", 2, 1, 6, 1, 200, 8, 0)  # family 6 = HLL
         with pytest.raises(ValueError, match="family"):
             KLL.from_datasketches_bytes(hll)
+
+
+class TestFrequentItemsWireFormat:
+    """Apache DataSketches ItemsSketch<String> + ArrayOfStringsSerDe
+    layout — the exact payload the reference's FrequentItems aggregator
+    persists (SimpleAggregators.scala:400-500). Fixtures hand-assembled
+    byte-by-byte from datasketches-java frequencies/PreambleUtil.java,
+    same strategy as the KLL fixtures above."""
+
+    def test_parse_handbuilt_fixture(self):
+        import struct
+
+        # non-empty: lgMax=6, lgCur=3, 2 active items {a:5, bc:2},
+        # offset=1, streamLength=9 — every field spelled out
+        buf = struct.pack("<BBBBBBH", 4, 1, 10, 6, 3, 0, 0)
+        buf += struct.pack("<IIQQ", 2, 0, 9, 1)      # active, _, n, offset
+        buf += struct.pack("<qq", 5, 2)              # stored counts
+        buf += struct.pack("<I", 1) + b"a"           # ArrayOfStringsSerDe
+        buf += struct.pack("<I", 2) + b"bc"
+        sk = FrequentStrings.from_datasketches_bytes(buf)
+        assert sk.counts == {"a": 5, "bc": 2}
+        assert (sk.offset, sk.n, sk.lg_max) == (1, 9, 6)
+        # NO_FALSE_NEGATIVES bounds: estimate = stored + offset
+        assert sk.estimate("a") == 6 and sk.lower_bound("a") == 5
+        assert sk.estimate("missing") == 0
+
+    def test_parse_handbuilt_empty(self):
+        import struct
+
+        buf = struct.pack("<BBBBBBH", 1, 1, 10, 7, 3, 4, 0)  # EMPTY flag
+        sk = FrequentStrings.from_datasketches_bytes(buf)
+        assert sk.counts == {} and sk.n == 0 and sk.lg_max == 7
+
+    def test_roundtrip_bit_exact(self):
+        sk = FrequentStrings(6)
+        for item, w in [("x", 40), ("y", 7), ("züm", 3), ("w", 1)]:
+            sk.update(item, w)
+        raw = sk.to_datasketches_bytes()
+        back = FrequentStrings.from_datasketches_bytes(raw)
+        assert back.counts == sk.counts
+        assert (back.offset, back.n) == (sk.offset, sk.n)
+        assert back.to_datasketches_bytes() == raw
+        empty = FrequentStrings(5)
+        assert FrequentStrings.from_datasketches_bytes(
+            empty.to_datasketches_bytes()).counts == {}
+
+    def test_reference_sizing_rule(self):
+        # SimpleAggregators.scala:404-412: mapSize=10 -> ceil(10/0.375)=27
+        # -> next power of two 32 -> lg 5
+        assert FrequentStrings.for_map_size(10).lg_max == 5
+        assert FrequentStrings.for_map_size(128).lg_max == 9  # 342 -> 512
+
+    def test_bounds_hold_under_purging(self):
+        rng = np.random.default_rng(7)
+        # zipf-ish stream far wider than the map: purges must fire
+        items = [f"i{v}" for v in rng.zipf(1.3, 20_000) if v < 5_000]
+        sk = FrequentStrings(4)  # cap 12 — tiny on purpose
+        truth: dict = {}
+        for it in items:
+            sk.update(it)
+            truth[it] = truth.get(it, 0) + 1
+        assert sk.offset > 0 and sk.n == len(items)
+        for it, stored in sk.counts.items():
+            # stored <= true <= stored + offset (no false negatives)
+            assert stored <= truth[it] <= stored + sk.offset, it
+        # survivors after heavy purging are genuinely heavy
+        top_truth = sorted(truth.values())[-1]
+        assert max(sk.counts.values()) + sk.offset >= top_truth
+
+    def test_merge_matches_union_in_exact_regime(self):
+        a, b = FrequentStrings(8), FrequentStrings(8)
+        truth: dict = {}
+        for sk, stream in ((a, "abcabca"), (b, "ccbbbdd")):
+            for ch in stream:
+                sk.update(ch)
+                truth[ch] = truth.get(ch, 0) + 1
+        merged = a.merge(FrequentStrings.from_datasketches_bytes(
+            b.to_datasketches_bytes()))
+        assert merged.offset == 0  # no purge -> exact
+        assert merged.frequent_items() == truth
+        assert merged.frequent_items(map_size=2) == {"b": 5, "c": 4}
+
+    def test_ir_table_cross_job_merge(self, spark):
+        pdf = pd.DataFrame({
+            "user_id": [1] * 8 + [2] * 6,
+            "item": list("aabbbcdd") + list("xxxyyz"),
+            "ds": ["2024-01-01"] * 4 + ["2024-01-02"] * 4
+                  + ["2024-01-01"] * 3 + ["2024-01-02"] * 3,
+        })
+        df = spark.createDataFrame(pdf)
+        job1 = write_frequent_ir(df.where("ds = '2024-01-01'"),
+                                 ["user_id"], "item", map_size=16)
+        job2 = write_frequent_ir(df.where("ds = '2024-01-02'"),
+                                 ["user_id"], "item", map_size=16)
+        got = merge_frequent_irs(job1.unionByName(job2), ["user_id"], k=2)
+        rows = {(r.user_id, r.item): r.estimate for r in got.collect()}
+        # exact regime (map >> distinct): top-2 per key by true count,
+        # the a/d tie at count 2 broken by item DESC (finalize order)
+        assert rows == {(1, "b"): 3, (1, "d"): 2, (2, "x"): 3, (2, "y"): 2}
