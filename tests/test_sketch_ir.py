@@ -332,6 +332,32 @@ class TestFrequentItemsWireFormat:
         assert merged.frequent_items() == truth
         assert merged.frequent_items(map_size=2) == {"b": 5, "c": 4}
 
+    def test_roundtrip_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        items = st.dictionaries(
+            st.text(min_size=1, max_size=12),  # full unicode incl. multibyte
+            st.integers(min_value=1, max_value=2**40),
+            min_size=0, max_size=24)
+
+        @settings(max_examples=150, deadline=None)
+        @given(items, st.integers(0, 2**30), st.integers(6, 12))
+        def check(counts, offset, lg_max):
+            sk = FrequentStrings(lg_max)
+            sk.counts = dict(counts)
+            sk.offset = offset
+            sk.n = sum(counts.values()) + offset * max(1, len(counts))
+            raw = sk.to_datasketches_bytes()
+            back = FrequentStrings.from_datasketches_bytes(raw)
+            assert back.counts == sk.counts
+            assert (back.offset, back.n, back.lg_max) == (
+                sk.offset, sk.n, sk.lg_max)
+            # re-serialization is byte-stable and consumes every byte
+            assert back.to_datasketches_bytes() == raw
+
+        check()
+
     def test_ir_table_cross_job_merge(self, spark):
         pdf = pd.DataFrame({
             "user_id": [1] * 8 + [2] * 6,

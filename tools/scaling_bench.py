@@ -87,9 +87,13 @@ def ensure_iceberg_images(n: int) -> str:
     if not wh.exists("img"):
         wh.insert_overwrite(spark.read.parquet(src), "img")
     mirror_to_iceberg(wh, "img")
+    # stage-then-rename so a crash mid-copy can't leave a half tree that
+    # the isdir() fast path above would mistake for a finished staging
     os.makedirs(view, exist_ok=True)
-    shutil.copytree(os.path.join(wh.path("img"), "metadata"),
-                    os.path.join(view, "metadata"))
+    tmp = os.path.join(view, "_metadata.staging")
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.copytree(os.path.join(wh.path("img"), "metadata"), tmp)
+    os.rename(tmp, os.path.join(view, "metadata"))
     spark.stop()
     return view
 
