@@ -1219,15 +1219,16 @@ def q_catalog_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     warehouse's whole-ds replace).  Partition listing comes from SHOW
     PARTITIONS and the sub-partition filter is pinned against the data;
     reads go through spark.table with catalog partition pruning."""
+    import shutil
     import tempfile
     import uuid
 
     from chronon_spark.sources.session_catalog import SessionCatalog
 
     _prep(spark)
+    loc = tempfile.mkdtemp(prefix="chronon_sesscat_")
     cat = SessionCatalog(
-        spark, database=f"chronon_gate_{uuid.uuid4().hex[:8]}",
-        location=tempfile.mkdtemp(prefix="chronon_sesscat_"))
+        spark, database=f"chronon_gate_{uuid.uuid4().hex[:8]}", location=loc)
     raw = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "user_id",
         F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
@@ -1247,10 +1248,17 @@ def q_catalog_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.ds for r in raw.select("ds").distinct().collect())
 
     cur = cat.read("ev")
-    return _wire_format_report([
+    out = _wire_format_report([
         ("current", cur),
         ("hr0", cat.read("ev", partition_filters="hr = '0'")),
     ])
+    # materialize BEFORE cleanup (a long-lived session re-running this
+    # query would otherwise accumulate one catalog database + a full
+    # table copy under /tmp per invocation); ~60 aggregated rows
+    local = spark.createDataFrame(out.collect(), out.schema)
+    spark.sql(f"DROP DATABASE IF EXISTS {cat.database} CASCADE")
+    shutil.rmtree(loc, ignore_errors=True)
+    return local
 
 
 def q_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -428,10 +428,10 @@ class FrequentStrings:
     def frequent_items(self, map_size: Optional[int] = None) -> dict[str, int]:
         """getFrequentItems(NO_FALSE_NEGATIVES) + the reference's top-k
         heap finalize (SimpleAggregators.scala:445-471): items whose
-        upper bound exceeds the maximum error, the `map_size` largest by
-        estimate."""
-        out = {i: c + self.offset for i, c in self.counts.items()
-               if c + self.offset > self.offset}
+        upper bound exceeds the maximum error (= any stored item, since
+        purge drops non-positive counts; c > 0 defends against hostile
+        deserialized payloads), the `map_size` largest by estimate."""
+        out = {i: c + self.offset for i, c in self.counts.items() if c > 0}
         if map_size is not None and len(out) > map_size:
             kept = sorted(out.items(), key=lambda kv: (kv[1], kv[0]),
                           reverse=True)[:map_size]
@@ -446,7 +446,12 @@ class FrequentStrings:
         return min(lg, self.lg_max)
 
     def to_datasketches_bytes(self) -> bytes:
-        if not self.counts and self.n == 0:
+        # java parity: ItemsSketch.toByteArray keys the EMPTY preamble on
+        # getNumActiveItems() == 0, NOT on streamLength — an all-purged
+        # sketch serializes as empty (dropping n/offset), exactly as the
+        # java library does, so byte-equality against java-written IRs
+        # holds for every logical state
+        if not self.counts:
             return struct.pack(
                 "<BBBBBBH", 1, self._DS_SER_VER, self._DS_FAMILY,
                 self.lg_max, self._LG_MIN, self._DS_FLAG_EMPTY, 0)
@@ -615,8 +620,12 @@ def write_frequent_ir(
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         sk = FrequentStrings.for_map_size(map_size)
+        # dropna BEFORE the string cast: astype(str) would turn nulls
+        # into the literal items 'None'/'nan' — phantom heavy hitters no
+        # real DataSketches consumer ever sees
         vals, cnts = np.unique(
-            pdf[value_col].astype(str).to_numpy(), return_counts=True)
+            pdf[value_col].dropna().astype(str).to_numpy(),
+            return_counts=True)
         for v, c in zip(vals.tolist(), cnts.tolist()):
             sk.update(v, int(c))
         head = pdf.iloc[:1][group_cols].reset_index(drop=True)

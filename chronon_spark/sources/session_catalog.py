@@ -30,6 +30,7 @@ reference's DefaultFormatProvider falls back to.
 from __future__ import annotations
 
 from typing import Optional
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -40,11 +41,14 @@ _ALLOWED_TABLE_TYPES = ("iceberg", "delta", "hive", "parquet", "hudi")
 
 def parse_hive_style_partition(pstring: str) -> dict[str, str]:
     """``'ds=2024-01-01/hr=00'`` -> ``{'ds': ..., 'hr': '00'}``
-    (Format.parseHiveStylePartition, Format.scala:92-100)."""
+    (Format.parseHiveStylePartition, Format.scala:92-100). SHOW
+    PARTITIONS returns the PATH-ESCAPED fragment (Hive escapePathName
+    percent-encodes spaces, colons, ...), so values are unescaped here —
+    otherwise a filter on the logical value silently matches nothing."""
     out: dict[str, str] = {}
     for part in pstring.split("/"):
         k, _, v = part.partition("=")
-        out[k] = v
+        out[unquote(k)] = unquote(v)
     return out
 
 
@@ -65,15 +69,28 @@ def create_table_sql(
             f"Invalid table type: {table_type}. Must be empty or one of "
             f"{_ALLOWED_TABLE_TYPES}")
     part_set = set(partition_columns or [])
+    missing = part_set - {f.name for f in schema.fields}
+    if missing:
+        # a typo'd partition column must fail loudly: silently dropping
+        # it would create the table at the WRONG partition granularity
+        # and dynamic overwrite would then replace whole coarse
+        # partitions instead of the intended sub-partition slices
+        raise ValueError(
+            f"partition columns {sorted(missing)} not in schema "
+            f"{[f.name for f in schema.fields]}")
+
+    def esc(s: str) -> str:
+        return s.replace("'", "\\'")
+
     data_cols = ",\n    ".join(
-        f"{f.name} {f.dataType.simpleString()}"
+        f"`{f.name}` {f.dataType.simpleString()}"
         for f in schema.fields if f.name not in part_set)
     sql = [f"CREATE TABLE IF NOT EXISTS {table_name} (\n    {data_cols}\n)"]
     if table_type:
         sql.append(f"USING {table_type}")
     if partition_columns:
         part_defs = ",\n    ".join(
-            f"{f.name} {f.dataType.simpleString()}"
+            f"`{f.name}` {f.dataType.simpleString()}"
             for f in schema.fields if f.name in part_set)
         sql.append(f"PARTITIONED BY (\n    {part_defs}\n)")
     props = dict(table_properties or {})
@@ -82,7 +99,8 @@ def create_table_sql(
     # `table_type`/`owner` keys, so they are namespaced here
     props["chronon.file_format"] = file_format
     props["chronon.table_type"] = table_type
-    frag = ",\n   ".join(f"'{k}'='{v}'" for k, v in sorted(props.items()))
+    frag = ",\n   ".join(
+        f"'{esc(k)}'='{esc(v)}'" for k, v in sorted(props.items()))
     sql.append(f"TBLPROPERTIES (\n   {frag}\n)")
     return "\n".join(sql)
 
@@ -104,7 +122,8 @@ class SessionCatalog:
         self.spark = spark
         self.database = database
         self.spec = spec
-        loc = f" LOCATION '{location}'" if location else ""
+        loc = (f" LOCATION '{location.replace(chr(39), chr(92) + chr(39))}'"
+               if location else "")
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}{loc}")
 
     def full_name(self, table: str) -> str:
@@ -200,6 +219,16 @@ class SessionCatalog:
         missing = [c for c in target_cols if c not in df.columns]
         if missing:
             raise ValueError(f"frame missing table columns {missing} for {name}")
+        extra = [c for c in df.columns if c not in target_cols]
+        if extra:
+            # silently projecting these away would lose a new feature
+            # column without a trace; the session catalog does not do
+            # additive evolution (the snapshot-log warehouse and the
+            # Iceberg/Delta mirrors do) — fail loudly instead
+            raise ValueError(
+                f"frame has columns {extra} not in {name}; drop them or "
+                "recreate the table (session-catalog tables do not "
+                "schema-evolve)")
         conf = self.spark.conf
         prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

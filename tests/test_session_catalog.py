@@ -52,7 +52,8 @@ def test_create_table_sql_ddl(spark):
     assert "CREATE TABLE IF NOT EXISTS db.t" in sql
     assert "USING parquet" in sql
     # partition columns typed in PARTITIONED BY, excluded from column list
-    assert "PARTITIONED BY" in sql and "ds string" in sql and "hr string" in sql
+    assert ("PARTITIONED BY" in sql and "`ds` string" in sql
+            and "`hr` string" in sql)
     head = sql.split("USING")[0]
     assert "ds" not in head.split("(", 1)[1] or "ds string" not in head
     assert "'team'='chronon'" in sql and "'chronon.table_type'='parquet'" in sql
@@ -120,6 +121,32 @@ def test_insert_missing_column_raises(spark, cat):
                                 "id int, ds string, hr string")
     with pytest.raises(ValueError, match="cents"):
         cat.insert_overwrite(bad, "ev", partition_columns=["ds", "hr"])
+
+
+def test_insert_extra_column_raises(spark, cat):
+    extra = _frame(spark).withColumn("usd", F.col("cents") / 100.0)
+    with pytest.raises(ValueError, match="usd"):
+        cat.insert_overwrite(extra, "ev", partition_columns=["ds", "hr"])
+
+
+def test_typoed_partition_column_raises(spark):
+    df = _frame(spark)
+    with pytest.raises(ValueError, match="hrr"):
+        create_table_sql("db.t", df.schema, ["ds", "hrr"])
+
+
+def test_escaped_partition_values_unescape(spark, cat):
+    # Hive path-escapes partition values (':' -> %3A); SHOW PARTITIONS
+    # returns the escaped fragment — the provider must surface and
+    # filter on the LOGICAL value
+    rows = [(1, "2024-01-01", "00:30"), (2, "2024-01-01", "01:30"),
+            (3, "2024-01-02", "00:30")]
+    df = spark.createDataFrame(rows, "id int, ds string, hm string")
+    cat.insert_overwrite(df, "esc_t", partition_columns=["ds", "hm"])
+    assert {m["hm"] for m in cat.partition_maps("esc_t")} == {"00:30", "01:30"}
+    assert cat.primary_partitions(
+        "esc_t", sub_partitions_filter={"hm": "00:30"}) == [
+        "2024-01-01", "2024-01-02"]
 
 
 def test_table_properties_roundtrip(spark, cat):

@@ -296,6 +296,19 @@ class TestFrequentItemsWireFormat:
         assert FrequentStrings.from_datasketches_bytes(
             empty.to_datasketches_bytes()).counts == {}
 
+    def test_all_purged_serializes_empty_like_java(self):
+        # ItemsSketch.toByteArray keys EMPTY on numActive == 0, not on
+        # streamLength: equal-count updates that purge everything must
+        # produce the 1-long EMPTY preamble, byte-identical to java
+        sk = FrequentStrings(3)
+        for i in range(7):
+            sk.update(f"i{i}")
+        assert sk.counts == {} and sk.offset > 0 and sk.n == 7
+        raw = sk.to_datasketches_bytes()
+        assert raw[0] == 1 and raw[5] & 4  # preLongs=1, EMPTY flag
+        back = FrequentStrings.from_datasketches_bytes(raw)
+        assert back.counts == {} and back.n == 0
+
     def test_reference_sizing_rule(self):
         # SimpleAggregators.scala:404-412: mapSize=10 -> ceil(10/0.375)=27
         # -> next power of two 32 -> lg 5
@@ -350,9 +363,14 @@ class TestFrequentItemsWireFormat:
             sk.n = sum(counts.values()) + offset * max(1, len(counts))
             raw = sk.to_datasketches_bytes()
             back = FrequentStrings.from_datasketches_bytes(raw)
-            assert back.counts == sk.counts
-            assert (back.offset, back.n, back.lg_max) == (
-                sk.offset, sk.n, sk.lg_max)
+            if not counts:
+                # java parity: numActive == 0 serializes as EMPTY
+                # (n/offset intentionally dropped, like ItemsSketch)
+                assert raw[0] == 1 and back.counts == {} and back.n == 0
+            else:
+                assert back.counts == sk.counts
+                assert (back.offset, back.n, back.lg_max) == (
+                    sk.offset, sk.n, sk.lg_max)
             # re-serialization is byte-stable and consumes every byte
             assert back.to_datasketches_bytes() == raw
 

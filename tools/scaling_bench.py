@@ -83,18 +83,22 @@ def ensure_iceberg_images(n: int) -> str:
     src = ensure_image_fixture(n=n, seed=7)
     spark = build_session("iceberg-input", master="local[16]",
                           shuffle_partitions=16)
-    wh = ParquetWarehouse(spark, os.path.join(base, "wh"))
-    if not wh.exists("img"):
-        wh.insert_overwrite(spark.read.parquet(src), "img")
-    mirror_to_iceberg(wh, "img")
-    # stage-then-rename so a crash mid-copy can't leave a half tree that
-    # the isdir() fast path above would mistake for a finished staging
-    os.makedirs(view, exist_ok=True)
-    tmp = os.path.join(view, "_metadata.staging")
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.copytree(os.path.join(wh.path("img"), "metadata"), tmp)
-    os.rename(tmp, os.path.join(view, "metadata"))
-    spark.stop()
+    try:
+        wh = ParquetWarehouse(spark, os.path.join(base, "wh"))
+        if not wh.exists("img"):
+            wh.insert_overwrite(spark.read.parquet(src), "img")
+        mirror_to_iceberg(wh, "img")
+        # stage-then-rename so a crash mid-copy can't leave a half tree
+        # the isdir() fast path above would mistake for finished staging
+        os.makedirs(view, exist_ok=True)
+        tmp = os.path.join(view, "_metadata.staging")
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.copytree(os.path.join(wh.path("img"), "metadata"), tmp)
+        os.rename(tmp, os.path.join(view, "metadata"))
+    finally:
+        # a leaked 16-core staging JVM would contend with the pinned
+        # measurement subprocesses this file exists to run
+        spark.stop()
     return view
 
 
