@@ -1261,6 +1261,60 @@ def q_catalog_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local
 
 
+def q_catalog_clustered_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-layout paths end-to-end under the driver gate: (1) clustered
+    insert_overwrite (cluster_by=(user_id, ts): repartitionByRange + sort,
+    the Iceberg SORTED BY layout), (2) a dynamic-overwrite patch of one
+    day, (3) compact() (rewrite_data_files analog — current rows must be
+    byte-identical after the rewrite), (4) a z-order (Morton) layout on a
+    second table. Every variant is read back through the snapshot log and
+    aggregated; any row lost, duplicated, or corrupted by the layout
+    machinery breaks the value hash. Footer-level pruning effects are
+    plan-asserted in test_cluster_layout; this row pins CONTENT safety."""
+    import shutil
+    import tempfile
+
+    _prep(spark)
+    from chronon_spark.sources.catalog import ParquetWarehouse, zorder_column
+
+    loc = tempfile.mkdtemp(prefix="chronon_layout_")
+    try:
+        wh = ParquetWarehouse(spark, loc)
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "user_id",
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ts"),
+            F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
+            F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd").alias("ds"),
+        )
+        # v1: clustered layout (multiple range-files per ds)
+        wh.insert_overwrite(raw, "ev", cluster_by=("user_id", "ts"))
+        # v2: whole-partition dynamic overwrite of one day, cents tripled
+        patch = raw.where(F.col("ds") == "2024-01-05").withColumn(
+            "cents", F.col("cents") * 3)
+        wh.insert_overwrite(patch, "ev", cluster_by=("user_id", "ts"))
+        # v3: compaction — one file per fragmented partition, rows unchanged
+        wh.compact("ev", min_files=2)
+        # z-order table: Morton key over (user_id, ts), range-clustered
+        bounds = raw.agg(
+            F.min("user_id"), F.max("user_id"), F.min("ts"), F.max("ts")
+        ).collect()[0]
+        zdf = raw.withColumn("__z", zorder_column([
+            ("user_id", float(bounds[0]), float(bounds[1])),
+            ("ts", float(bounds[2]), float(bounds[3])),
+        ]))
+        wh.insert_overwrite(zdf, "evz", cluster_by=("__z",))
+        out = _wire_format_report([
+            ("clustered", wh.read_at("ev", 1)),
+            ("patched", wh.read_at("ev", 2)),
+            ("compacted", wh.read("ev")),
+            ("zorder", wh.read("evz").drop("__z")),
+        ])
+        # materialize before the warehouse dir is deleted (~4x n_days rows)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
 def q_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-partition column stats from parquet FOOTERS only (zero data
     scan — the parquet analog of the reference's Iceberg manifest walk,
@@ -1394,6 +1448,103 @@ def q_temporal_entity_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("cents_min_7d") / 100.0, 6).alias("ent_min_7d"),
         F.col("cents_unique_count_7d").alias("ent_uniq_7d"),
     )
+
+
+def q_mutations_custom_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query.mutationTimeColumn / reversalColumn (api.thrift:17-18) under
+    the driver gate, END-TO-END through the EntitySource scan path
+    (mutations._mutation_scan normalizes the source expressions to the
+    engine-canonical mutation_ts/is_before): the SAME snapshot+mutation
+    scenario as temporal_entity_mutations, but the mutation table is
+    written to parquet with RENAMED metadata columns (commit_ms, inverted
+    is_after) and declared via Query expressions — results must equal the
+    closed-form replay oracle exactly."""
+    import shutil
+    import tempfile
+
+    _prep(spark)
+    from chronon_spark.api import Accuracy, DataFrameSource, EntitySource
+    from chronon_spark.operators.snapshot_join import compute_join
+
+    tmp = tempfile.mkdtemp(prefix="chronon_mutcc_")
+    try:
+        spark.sql(f"""
+            CREATE OR REPLACE TEMPORARY VIEW __mutcc_base AS
+            SELECT event_id, user_id, {TS_EXPR} AS ts,
+                   CAST(round(value * 100, 0) AS BIGINT) AS cents,
+                   CASE WHEN CAST(round(value * 100, 0) AS BIGINT) % 10 < 3
+                        THEN unix_millis(cast(ts as timestamp)) + {6 * HOUR} END AS u_ts,
+                   CASE WHEN CAST(round(value * 100, 0) AS BIGINT) % 10 IN (3, 4)
+                        THEN unix_millis(cast(ts as timestamp)) + {36 * HOUR} END AS d_ts
+            FROM parquet.`{sf_dir}/events.parquet`
+        """)
+        days_sql = ", ".join(
+            f"('{d}', CAST((unix_date(to_date('{d}')) + 1) AS BIGINT) * {DAY})"
+            for d in _MUT_SNAP_DAYS
+        )
+        spark.sql(f"""
+            SELECT b.user_id, b.ts,
+                   CASE WHEN b.u_ts IS NOT NULL AND b.u_ts < d.eod THEN b.cents + 5000
+                        ELSE b.cents END AS cents,
+                   d.ds
+            FROM __mutcc_base b JOIN (VALUES {days_sql}) AS d(ds, eod)
+              ON b.ts < d.eod AND NOT (b.d_ts IS NOT NULL AND b.d_ts < d.eod)
+        """).write.parquet(f"{tmp}/snap.parquet")
+        # mutation log with RENAMED metadata columns: commit_ms carries the
+        # mutation time, is_after is the INVERSE of the canonical reversal
+        # flag — the Query below must undo both via expressions
+        spark.sql(f"""
+            WITH img AS (
+              SELECT user_id, ts, cents, ts AS commit_ms, true AS is_after
+              FROM __mutcc_base
+              UNION ALL
+              SELECT user_id, ts, cents, u_ts, false FROM __mutcc_base
+              WHERE u_ts IS NOT NULL
+              UNION ALL
+              SELECT user_id, ts, cents + 5000, u_ts, true FROM __mutcc_base
+              WHERE u_ts IS NOT NULL
+              UNION ALL
+              SELECT user_id, ts, cents, d_ts, false FROM __mutcc_base
+              WHERE d_ts IS NOT NULL
+            )
+            SELECT * FROM img
+            WHERE commit_ms >= {_MUT_Q0} AND commit_ms < {_MUT_Q1}
+        """).write.parquet(f"{tmp}/mut.parquet")
+        left = spark.sql(f"""
+            SELECT DISTINCT user_id, ts,
+                   date_format(timestamp_millis(ts), 'yyyy-MM-dd') AS ds
+            FROM __mutcc_base WHERE ts >= {_MUT_Q0} AND ts < {_MUT_Q1}
+        """)
+        gb = GroupBy(
+            sources=[EntitySource(
+                snapshot_table=f"{tmp}/snap.parquet",
+                query=Query(
+                    selects={"user_id": "user_id", "cents": "cents"},
+                    time_column="ts",
+                    mutation_time_column="commit_ms",
+                    reversal_column="NOT is_after",
+                ),
+                mutation_table=f"{tmp}/mut.parquet",
+            )],
+            key_columns=["user_id"],
+            aggregations=[
+                Aggregation("cents", Operation.SUM, windows=[Window(7)]),
+                Aggregation("cents", Operation.COUNT),
+            ],
+            accuracy=Accuracy.TEMPORAL,
+            name="ent",
+        )
+        join = Join(left=DataFrameSource(lambda s: left),
+                    join_parts=[JoinPart(gb)], name="mutcc")
+        out = compute_join(spark, join).select(
+            "user_id", "ts",
+            F.round(F.col("ent_cents_sum_7d") / 100.0, 6).alias("ent_sum_7d"),
+            F.col("ent_cents_count").alias("ent_count"),
+        )
+        # materialize before the temp tables are deleted
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def q_bootstrap_covered(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1734,6 +1885,125 @@ def q_image_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("image_id", "cluster_id", "is_canonical", "w", "h")
 
 
+def _events_stream(spark: SparkSession, sf_dir: str, exprs: list[str]):
+    """events.parquet replayed as a file-source stream (availableNow)."""
+    return (
+        spark.readStream.schema(
+            "event_id long, user_id long, item_id long, event_type string, "
+            "value double, ts timestamp_ntz, ds string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .selectExpr(*exprs)
+    )
+
+
+def _await_stream(q, name: str, timeout_s: float = 540.0) -> None:
+    """Block until an availableNow query actually terminates.
+
+    On a loaded driver a single awaitTermination(300) can return False with
+    the stream still running — reading the memory sink then yields PARTIAL
+    state (rows match, hashes don't). Loop until the query stops and fail
+    loudly otherwise; surface any stream-side exception."""
+    import time as _time
+
+    deadline = _time.monotonic() + timeout_s
+    while q.isActive:
+        if q.awaitTermination(30):
+            break
+        if _time.monotonic() > deadline:
+            q.stop()
+            raise TimeoutError(
+                f"{name}: availableNow stream did not terminate within "
+                f"{timeout_s:.0f}s; refusing to read a partial sink"
+            )
+    if q.exception() is not None:
+        raise q.exception()
+
+
+def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window streaming aggregation (stream_groupby:
+    the GroupBy definition served over a stream — reference context
+    spark/.../streaming/GroupBy.scala, materialized as native
+    Structured-Streaming windows instead of KV-store IR writes). Daily
+    tumbling windows over the events stream, complete output mode so the
+    memory sink holds the final aggregate exactly; values are integer
+    cents so sums are order-exact across engines."""
+    _prep(spark)
+    from chronon_spark.streaming.stream_groupby import stream_groupby
+
+    stream = _events_stream(spark, sf_dir, [
+        "user_id",
+        "cast(ts as timestamp) AS ts",
+        "CAST(round(value * 100, 0) AS DOUBLE) AS cents",
+    ])
+    gb = GroupBy(
+        sources=[], key_columns=["user_id"],
+        aggregations=[
+            Aggregation("cents", Operation.COUNT, windows=[Window(1)]),
+            Aggregation("cents", Operation.SUM, windows=[Window(1)]),
+            Aggregation("cents", Operation.MIN, windows=[Window(1)]),
+            Aggregation("cents", Operation.MAX, windows=[Window(1)]),
+        ],
+        name="swin",
+    )
+    out = stream_groupby(stream, gb, watermark="0 seconds")
+    qname = f"swin_{abs(hash(sf_dir)) % 100_000}"
+    q = (
+        out.writeStream.format("memory").queryName(qname)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    _await_stream(q, "stream_windowed_counts")
+    return spark.sql(f"SELECT * FROM {qname}").select(
+        "user_id",
+        F.unix_millis("window_start").alias("window_start"),
+        F.unix_millis("window_end").alias("window_end"),
+        F.col("cents_count_1d").alias("n_events"),
+        F.col("cents_sum_1d").cast("bigint").alias("cents_sum"),
+        F.col("cents_min_1d").cast("bigint").alias("cents_min"),
+        F.col("cents_max_1d").cast("bigint").alias("cents_max"),
+    )
+
+
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows (stream_sessionize: gap-based
+    sessions with watermarked state eviction — the streaming analog of
+    operators/analytics.sessionize). Append mode emits each merged
+    session exactly once when the watermark passes its end; with a
+    0-second delay the final watermark is the stream's max event time, so
+    every session ending strictly before it is flushed by the closing
+    no-data batch. Both sides filter to window_end < max(ts) — the
+    deterministic emitted set regardless of eviction-boundary (< vs <=)
+    semantics."""
+    _prep(spark)
+    from chronon_spark.streaming.stream_groupby import stream_sessionize
+
+    gap_s = 1800
+    stream = _events_stream(
+        spark, sf_dir, ["user_id", "cast(ts as timestamp) AS ts"])
+    out = stream_sessionize(stream, ["user_id"], gap_seconds=gap_s,
+                            watermark="0 seconds")
+    qname = f"ssess_{abs(hash(sf_dir)) % 100_000}"
+    q = (
+        out.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    _await_stream(q, "stream_session_windows")
+    max_ms = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .agg(F.max(F.unix_millis(F.col("ts").cast("timestamp")))).collect()[0][0]
+    )
+    emitted = spark.sql(f"SELECT * FROM {qname}").select(
+        "user_id",
+        F.unix_millis("window_start").alias("window_start"),
+        F.unix_millis("window_end").alias("window_end"),
+        "n_events",
+        F.unix_millis("session_start").alias("session_start"),
+        F.unix_millis("session_end").alias("session_end"),
+    )
+    return emitted.where(F.col("window_end") < F.lit(max_ms))
+
+
 def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful STREAMING GroupBy (applyInPandasWithState): the
     events table replayed as a file-source stream (availableNow), per-key
@@ -1745,19 +2015,11 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     from chronon_spark.streaming.stream_groupby import stream_stateful_groupby
 
-    stream = (
-        spark.readStream.schema(
-            "event_id long, user_id long, item_id long, event_type string, "
-            "value double, ts timestamp_ntz, ds string"
-        )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .selectExpr(
-            "user_id",
-            "cast(ts as timestamp) AS ts",
-            "CAST(round(value * 100, 0) AS DOUBLE) AS cents",
-        )
-    )
+    stream = _events_stream(spark, sf_dir, [
+        "user_id",
+        "cast(ts as timestamp) AS ts",
+        "CAST(round(value * 100, 0) AS DOUBLE) AS cents",
+    ])
     gb = GroupBy(
         sources=[], key_columns=["user_id"],
         aggregations=[
@@ -1774,24 +2036,7 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.writeStream.format("memory").queryName(qname)
         .outputMode("update").trigger(availableNow=True).start()
     )
-    # availableNow terminates on its own, but on a loaded driver the single
-    # 300s wait can return False with the stream still running — reading the
-    # memory sink then yields PARTIAL per-key state (rows match, hashes
-    # don't). Loop until the query actually stops and fail loudly otherwise.
-    import time as _time
-
-    deadline = _time.monotonic() + 540
-    while q.isActive:
-        if q.awaitTermination(30):
-            break
-        if _time.monotonic() > deadline:
-            q.stop()
-            raise TimeoutError(
-                "stream_stateful_features: availableNow stream did not "
-                "terminate within 540s; refusing to read a partial sink"
-            )
-    if q.exception() is not None:
-        raise q.exception()
+    _await_stream(q, "stream_stateful_features")
     from pyspark.sql.window import Window as W
 
     final = (
@@ -2234,6 +2479,92 @@ def q_temporal_join_skewfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
               time_column=TS_EXPR),
         "skewed",
         skew_keys={"user_id": [0, 1, 2]},
+    )
+
+
+def q_temporal_join_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSITE join keys under the driver gate: the as-of join keyed on
+    (user_id, slot) where slot = the event_type STRING — the kernel
+    factorizes a long+string key pair into one composite code
+    (temporal_join.py), and the oracle joins on both columns. Proves
+    multi-column mixed-type keys produce identical sawtooth windows to
+    the equivalent two-column SQL join."""
+    _prep(spark)
+    from chronon_spark.operators.temporal_join import compute_temporal_join
+
+    slot = "event_type"
+    right = _events_source(
+        sf_dir,
+        {"user_id": "user_id", "slot": slot,
+         "cents": "CAST(round(value * 100, 0) AS BIGINT)"},
+    )
+    gb = GroupBy(
+        sources=[right],
+        key_columns=["user_id", "slot"],
+        aggregations=[
+            Aggregation("cents", Operation.COUNT, windows=[Window(1), None]),
+            Aggregation("cents", Operation.SUM, windows=[Window(7)]),
+        ],
+        name="f",
+    )
+    join = Join(
+        left=_events_source(
+            sf_dir,
+            {"event_id": "event_id", "user_id": "user_id", "slot": slot},
+        ),
+        join_parts=[JoinPart(gb)],
+        name="composite",
+    )
+    out = compute_temporal_join(spark, join)
+    return out.select(
+        "event_id", "user_id", "slot", "ts",
+        F.col("f_cents_count_1d").alias("count_1d"),
+        F.col("f_cents_count").alias("count_life"),
+        F.round(F.col("f_cents_sum_7d") / 100.0, 6).alias("sum_7d"),
+    )
+
+
+def q_join_long_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """useLongNames output-column convention (api.thrift:428,
+    Extensions.scala:842-850) under the driver gate: ONE join carrying the
+    SAME GroupBy twice — part 1 with useLongNames=true (prefix = GroupBy
+    name: f_cents_*), part 2 with useLongNames=false + prefix='p' (prefix
+    = keys joined: p_user_id_cents_*). The select below hard-codes both
+    conventions' names, so a naming regression fails the row; values must
+    agree column-for-column with the single-part SQL."""
+    _prep(spark)
+    from chronon_spark.operators.temporal_join import compute_temporal_join
+
+    right = _events_source(
+        sf_dir,
+        {"user_id": "user_id", "cents": "CAST(round(value * 100, 0) AS BIGINT)"},
+    )
+    gb = GroupBy(
+        sources=[right],
+        key_columns=["user_id"],
+        aggregations=[
+            Aggregation("cents", Operation.COUNT, windows=[Window(1), None]),
+            Aggregation("cents", Operation.SUM, windows=[Window(7)]),
+        ],
+        name="f",
+    )
+    join = Join(
+        left=_events_source(sf_dir, {"event_id": "event_id", "user_id": "user_id"}),
+        join_parts=[
+            JoinPart(gb),  # long names (legacy default)
+            JoinPart(gb, prefix="p", use_long_names=False),
+        ],
+        name="longnames",
+    )
+    out = compute_temporal_join(spark, join)
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("f_cents_count_1d").alias("long_count_1d"),
+        F.col("f_cents_count").alias("long_count_life"),
+        F.round(F.col("f_cents_sum_7d") / 100.0, 6).alias("long_sum_7d"),
+        F.col("p_user_id_cents_count_1d").alias("short_count_1d"),
+        F.col("p_user_id_cents_count").alias("short_count_life"),
+        F.round(F.col("p_user_id_cents_sum_7d") / 100.0, 6).alias("short_sum_7d"),
     )
 
 
@@ -2725,6 +3056,8 @@ _COMPOSITE_SPECS: dict[str, list[str]] = {
         "temporal_join_smallmode",
         "temporal_join_midsize",
         "temporal_join_skewfilter",
+        "temporal_join_composite",
+        "join_long_names",
         "join_noagg_passthrough",
         "join_derivations",
     ],
@@ -2750,7 +3083,25 @@ _COMPOSITE_SPECS: dict[str, list[str]] = {
     "dedup_incremental_suite": ["dedup_incremental", "image_phash_incremental"],
     "image_decode_suite": ["image_pixel_features", "image_real_decode"],
     "sources_suite": ["cumulative_source", "groupby_multisource_union"],
-    "wire_formats_suite": ["iceberg_scan", "delta_scan", "catalog_table_scan"],
+    "wire_formats_suite": [
+        "iceberg_scan",
+        "delta_scan",
+        "catalog_table_scan",
+        "catalog_clustered_compact",
+    ],
+    # streaming surface: custom stateful IRs + native tumbling windows +
+    # native session windows, all availableNow replays of the events table
+    "streaming_suite": [
+        "stream_stateful_features",
+        "stream_windowed_counts",
+        "stream_session_windows",
+    ],
+    # mutation replay: kernel-direct scenario + the EntitySource scan path
+    # with renamed mutationTimeColumn/reversalColumn expressions
+    "mutations_suite": [
+        "temporal_entity_mutations",
+        "mutations_custom_cols",
+    ],
     # the north rule's literal sentence in one row: as-of image+caption
     # features over a plain path AND over real Iceberg metadata
     "image_asof_suite": ["image_asof_features", "image_asof_iceberg"],
@@ -2770,6 +3121,30 @@ _QCOLS: dict[str, list[str]] = {
     "iceberg_scan": ["version", "ds", "n_rows", "cents_total"],
     "delta_scan": ["version", "ds", "n_rows", "cents_total"],
     "catalog_table_scan": ["version", "ds", "n_rows", "cents_total"],
+    "catalog_clustered_compact": ["version", "ds", "n_rows", "cents_total"],
+    "stream_stateful_features": [
+        "user_id", "n_events", "cents_sum", "cents_last", "last5",
+    ],
+    "stream_windowed_counts": [
+        "user_id", "window_start", "window_end", "n_events", "cents_sum",
+        "cents_min", "cents_max",
+    ],
+    "stream_session_windows": [
+        "user_id", "window_start", "window_end", "n_events",
+        "session_start", "session_end",
+    ],
+    "temporal_entity_mutations": [
+        "user_id", "ts", "ent_sum_7d", "ent_count", "ent_avg_7d",
+        "ent_min_7d", "ent_uniq_7d",
+    ],
+    "mutations_custom_cols": ["user_id", "ts", "ent_sum_7d", "ent_count"],
+    "temporal_join_composite": [
+        "event_id", "user_id", "slot", "ts", "count_1d", "count_life", "sum_7d",
+    ],
+    "join_long_names": [
+        "event_id", "user_id", "ts", "long_count_1d", "long_count_life",
+        "long_sum_7d", "short_count_1d", "short_count_life", "short_sum_7d",
+    ],
     "image_asof_features": [
         "image_id", "phash", "ts", "captures_1d", "captures_life",
         "last_caption", "max_caption_len",
@@ -2935,7 +3310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # temporal
         "temporal_join_asof",
         "temporal_rank_suite",
-        "temporal_entity_mutations",
+        "mutations_suite",
         "temporal_groupby_self",
         # joins
         "snapshot_join_yesterday",
@@ -2955,7 +3330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_ir_suite",
         "model_transform_score",
         # streaming
-        "stream_stateful_features",
+        "streaming_suite",
         # observability
         "observability_suite",
         # text / corpus pipeline
@@ -3023,6 +3398,8 @@ def _granular_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_features": q_video_frame_features,
         "audio_clip_features": q_audio_clip_features,
         "stream_stateful_features": q_stream_stateful,
+        "stream_windowed_counts": q_stream_windowed_counts,
+        "stream_session_windows": q_stream_session_windows,
         "snapshot_join_yesterday": q_snapshot_join_yesterday,
         "groupby_bucketed": q_groupby_bucketed,
         "groupby_autoexplode": q_groupby_autoexplode,
@@ -3033,6 +3410,7 @@ def _granular_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_histogram": q_temporal_histogram,
         "temporal_topk": q_temporal_topk,
         "temporal_entity_mutations": q_temporal_entity_mutations,
+        "mutations_custom_cols": q_mutations_custom_cols,
         "temporal_groupby_self": q_temporal_groupby_self,
         "groupby_snapshot_percentile": q_groupby_snapshot_percentile,
         "groupby_snapshot_histogram": q_groupby_snapshot_histogram,
@@ -3055,11 +3433,14 @@ def _granular_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_join_smallmode": q_temporal_join_smallmode,
         "temporal_join_midsize": q_temporal_join_midsize,
         "temporal_join_skewfilter": q_temporal_join_skewfilter,
+        "temporal_join_composite": q_temporal_join_composite,
+        "join_long_names": q_join_long_names,
         "mixed_accuracy_join": q_mixed_accuracy_join,
         "cumulative_source": q_cumulative_source,
         "iceberg_scan": q_iceberg_scan,
         "delta_scan": q_delta_scan,
         "catalog_table_scan": q_catalog_table_scan,
+        "catalog_clustered_compact": q_catalog_clustered_compact,
         "join_noagg_passthrough": q_join_noagg_passthrough,
         "feature_stats": q_feature_stats,
         "analyze_skew_keys": q_analyze_skew_keys,
@@ -3355,6 +3736,36 @@ def _oracle_sql_granular() -> dict[str, str]:
                    COUNT(DISTINCT CASE WHEN in7 THEN v END) AS ent_uniq_7d
             FROM j GROUP BY user_id, ts
         """,
+        # same closed-form replay as temporal_entity_mutations (the renamed
+        # commit_ms / NOT is_after metadata columns must be transparent)
+        "mutations_custom_cols": f"""
+            WITH ev AS (
+              SELECT event_id, user_id, epoch_ms(ts) AS ts,
+                     CAST(round(value * 100, 0) AS BIGINT) AS cents
+              FROM events
+            ), base AS (
+              SELECT *,
+                     CASE WHEN cents % 10 < 3 THEN ts + {6 * HOUR} END AS u_ts,
+                     CASE WHEN cents % 10 IN (3, 4) THEN ts + {36 * HOUR} END AS d_ts
+              FROM ev
+            ), l AS (
+              SELECT DISTINCT user_id, ts FROM ev
+              WHERE ts >= {_MUT_Q0} AND ts < {_MUT_Q1}
+            ), j AS (
+              SELECT l.user_id, l.ts,
+                     CASE WHEN b.u_ts IS NOT NULL AND b.u_ts < l.ts
+                          THEN b.cents + 5000 ELSE b.cents END AS v,
+                     b.ts >= (l.ts - {7 * DAY}) - ((l.ts - {7 * DAY}) % {HOUR})
+                         AND b.ts < l.ts AS in7
+              FROM l LEFT JOIN base b
+                ON b.user_id = l.user_id AND b.ts < l.ts
+               AND NOT (b.d_ts IS NOT NULL AND b.d_ts < l.ts)
+            )
+            SELECT user_id, ts,
+                   ROUND(SUM(CASE WHEN in7 THEN v END) / 100.0, 6) AS ent_sum_7d,
+                   COUNT(v) AS ent_count
+            FROM j GROUP BY user_id, ts
+        """,
         "groupby_snapshot_windows": f"""
             WITH {_SNAP_DAYS},
             ec AS (SELECT user_id, ts, CAST(round(value * 100, 0) AS BIGINT) AS cents
@@ -3497,6 +3908,44 @@ def _oracle_sql_granular() -> dict[str, str]:
                                  THEN e.ts END) / 100.0, 6) AS last_7d
             FROM l LEFT JOIN e ON l.user_id = e.user_id AND e.ts <= l.ts
             GROUP BY l.event_id, l.user_id, l.ts
+        """,
+        "temporal_join_composite": f"""
+            WITH l AS (SELECT event_id, user_id, event_type AS slot,
+                              epoch_ms(ts) AS ts FROM events),
+            e AS (SELECT user_id, event_type AS slot, epoch_ms(ts) AS ts,
+                         CAST(round(value * 100, 0) AS BIGINT) AS cents
+                  FROM events)
+            SELECT l.event_id, l.user_id, l.slot, l.ts,
+                   COUNT(CASE WHEN e.ts >= ((l.ts - {DAY}) // {HOUR}) * {HOUR}
+                              THEN e.cents END) AS count_1d,
+                   COUNT(e.cents) AS count_life,
+                   ROUND(SUM(CASE WHEN e.ts >= ((l.ts - {7 * DAY}) // {HOUR}) * {HOUR}
+                             THEN e.cents END) / 100.0, 6) AS sum_7d
+            FROM l LEFT JOIN e
+              ON l.user_id = e.user_id AND l.slot = e.slot AND e.ts <= l.ts
+            GROUP BY l.event_id, l.user_id, l.slot, l.ts
+        """,
+        # both naming conventions carry the SAME values
+        "join_long_names": f"""
+            WITH l AS (SELECT event_id, user_id, epoch_ms(ts) AS ts FROM events),
+            e AS (SELECT user_id, epoch_ms(ts) AS ts,
+                         CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+            agg AS (
+              SELECT l.event_id, l.user_id, l.ts,
+                     COUNT(CASE WHEN e.ts >= ((l.ts - {DAY}) // {HOUR}) * {HOUR}
+                                THEN e.cents END) AS count_1d,
+                     COUNT(e.cents) AS count_life,
+                     ROUND(SUM(CASE WHEN e.ts >= ((l.ts - {7 * DAY}) // {HOUR}) * {HOUR}
+                               THEN e.cents END) / 100.0, 6) AS sum_7d
+              FROM l LEFT JOIN e ON l.user_id = e.user_id AND e.ts <= l.ts
+              GROUP BY l.event_id, l.user_id, l.ts
+            )
+            SELECT event_id, user_id, ts,
+                   count_1d AS long_count_1d, count_life AS long_count_life,
+                   sum_7d AS long_sum_7d,
+                   count_1d AS short_count_1d, count_life AS short_count_life,
+                   sum_7d AS short_sum_7d
+            FROM agg
         """,
         "temporal_lastk": f"""
             WITH l AS (SELECT event_id, user_id, epoch_ms(ts) AS ts FROM events),
@@ -3898,6 +4347,54 @@ def _oracle_sql_granular() -> dict[str, str]:
             SELECT a.user_id, a.n_events, a.cents_sum, a.cents_last, l.last5
             FROM agg a JOIN lastk l ON a.user_id = l.user_id
         """,
+        # daily tumbling windows align to the epoch (session TZ is UTC on
+        # the Spark side, epoch_ms is naive-UTC here)
+        "stream_windowed_counts": f"""
+            WITH e AS (
+              SELECT user_id, epoch_ms(ts) AS ms,
+                     CAST(round(value * 100, 0) AS BIGINT) AS cents
+              FROM events
+            )
+            SELECT user_id,
+                   (ms // {DAY}) * {DAY} AS window_start,
+                   (ms // {DAY}) * {DAY} + {DAY} AS window_end,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(cents) AS BIGINT) AS cents_sum,
+                   MIN(cents) AS cents_min,
+                   MAX(cents) AS cents_max
+            FROM e GROUP BY 1, 2, 3
+        """,
+        # session window = [min ts, max ts + gap); append mode emits the
+        # sessions whose end the final watermark (= max event ts, 0s delay)
+        # has passed — both engines filter to window_end < max(ts)
+        "stream_session_windows": f"""
+            WITH e AS (SELECT user_id, epoch_ms(ts) AS ts FROM events),
+            mx AS (SELECT MAX(ts) AS m FROM e),
+            flags AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts - lag(ts) OVER w > {30 * 60 * 1000} THEN 1
+                          ELSE 0 END AS ns
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            sess AS (
+              SELECT user_id, ts,
+                     SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+              FROM flags
+            ),
+            agg AS (
+              SELECT user_id,
+                     MIN(ts) AS session_start, MAX(ts) AS session_end,
+                     COUNT(*) AS n_events
+              FROM sess GROUP BY user_id, sid
+            )
+            SELECT user_id,
+                   session_start AS window_start,
+                   session_end + {30 * 60 * 1000} AS window_end,
+                   n_events, session_start, session_end
+            FROM agg, mx WHERE session_end + {30 * 60 * 1000} < mx.m
+        """,
         # video/audio fixture oracles: the sidecar feature columns were
         # computed from the DECODED payload at generation time; the engine
         # must reproduce them from the binary column alone, through the
@@ -4244,6 +4741,25 @@ def _oracle_sql_granular() -> dict[str, str]:
             SELECT 'hr0' AS version, ds, COUNT(*) AS n_rows,
                    SUM(cents) AS cents_total
             FROM cur WHERE hr = '0' GROUP BY ds
+        """,
+        # layout machinery must never change CONTENT: v1 = raw (clustered),
+        # v2 = day 2024-01-05 replaced with cents*3 (patched), compaction
+        # preserves v2's rows exactly, z-order table carries raw rows
+        "catalog_clustered_compact": """
+            WITH e AS (SELECT user_id,
+                              CAST(round(value * 100, 0) AS BIGINT) AS cents,
+                              strftime(ts, '%Y-%m-%d') AS ds FROM events),
+            cur AS (SELECT user_id,
+                           CASE WHEN ds = '2024-01-05' THEN cents * 3
+                                ELSE cents END AS cents, ds FROM e)
+            SELECT 'clustered' AS version, ds, COUNT(*) AS n_rows,
+                   SUM(cents) AS cents_total FROM e GROUP BY ds
+            UNION ALL
+            SELECT 'patched', ds, COUNT(*), SUM(cents) FROM cur GROUP BY ds
+            UNION ALL
+            SELECT 'compacted', ds, COUNT(*), SUM(cents) FROM cur GROUP BY ds
+            UNION ALL
+            SELECT 'zorder', ds, COUNT(*), SUM(cents) FROM e GROUP BY ds
         """,
         "join_noagg_passthrough": """
             WITH snaps AS (
