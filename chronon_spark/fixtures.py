@@ -251,7 +251,17 @@ def gen_real_image_rows(n: int, seed: int = 42, span_days: int = 30,
         w, h = sizes[int(rng.integers(0, len(sizes)))]
         pix = gen_pixels(rng, w, h)
         fmt = "png" if rng.random() < 0.5 else "jpeg"
-        data = encode_image(pix, fmt)
+        if fmt == "jpeg":
+            # cover the real-world layout spread: 4:2:0 vs 4:4:4, with and
+            # without restart intervals — all must clear the 40dB bar
+            from chronon_spark.codecs import encode_jpeg
+
+            sub = "420" if rng.random() < 0.5 else "444"
+            ri = 2 if rng.random() < 0.5 else 0
+            data = encode_jpeg(pix, quality=92, subsampling=sub,
+                               restart_interval=ri)
+        else:
+            data = encode_image(pix, fmt)
         decoded = decode_image(data, w, h, fmt)
         p = multimodal.psnr(pix, decoded)
         ts = BASE_TS + int(rng.integers(0, span_days * DAY_MS))
@@ -303,7 +313,10 @@ def ensure_real_image_fixture(
     n is generated in parallel as a directory of part parquets on fixed
     2k-row chunk boundaries — per-row RNG seeds on the absolute row
     index, so bytes are identical regardless of worker count."""
-    path = os.path.join(out_dir, f"images_real_n{n}_s{seed}.parquet")
+    # v2: jpeg rows sample 4:2:0/4:4:4 x restart-interval variants (the
+    # r4 codec completion); the version tag invalidates v1 caches whose
+    # bytes predate subsampling support
+    path = os.path.join(out_dir, f"images_real_v2_n{n}_s{seed}.parquet")
     if os.path.exists(path):
         return path
     os.makedirs(out_dir, exist_ok=True)

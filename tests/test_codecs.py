@@ -146,3 +146,77 @@ def test_real_fixture_pipeline_decodes(spark):
     assert all(r.ok40 for r in rows)
     fmts = {r.fmt for r in rows}
     assert fmts == {"png", "jpeg"}
+
+
+# ---------------------------------------------------------------------------
+# chroma subsampling + restart markers (r4 codec completion: the dominant
+# real-world JPEG layout is 4:2:0, often with DRI/RSTn)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("subsampling", ["420", "422", "440"])
+def test_jpeg_subsampled_round_trip_psnr(subsampling):
+    rng = np.random.default_rng(21)
+    for w, h in [(32, 32), (64, 48), (48, 64), (80, 60)]:
+        pix = gen_pixels(rng, w, h)
+        enc = encode_jpeg(pix, quality=92, subsampling=subsampling)
+        dec = decode_jpeg(enc)
+        assert dec.shape == pix.shape
+        assert psnr(pix, dec) >= 40.0
+        # subsampling actually shrinks the stream vs 4:4:4
+        assert len(enc) < len(encode_jpeg(pix, quality=92))
+
+
+def test_jpeg_sof_declares_sampling_factors():
+    """The 4:2:0 stream really is 4:2:0 on the wire: SOF0 carries Y=2x2,
+    chroma=1x1 and the MCU count shrinks to 16x16 tiles."""
+    pix = gen_pixels(np.random.default_rng(22), 48, 32)
+    enc = encode_jpeg(pix, quality=90, subsampling="420")
+    i = enc.find(b"\xff\xc0")
+    assert i > 0
+    # marker(2) len(2) precision(1) h(2) w(2) nc(1), then cid/samp/tq x3
+    samp_y = enc[i + 11]
+    samp_cb = enc[i + 14]
+    assert samp_y == 0x22 and samp_cb == 0x11
+
+
+def test_jpeg_restart_markers_round_trip_and_on_wire():
+    rng = np.random.default_rng(23)
+    pix = gen_pixels(rng, 80, 60)  # 420: 5x4 MCUs -> RSTs with interval 2
+    for sub in ("444", "420"):
+        enc = encode_jpeg(pix, quality=92, subsampling=sub, restart_interval=2)
+        # DRI on the wire with the declared interval
+        d = enc.find(b"\xff\xdd")
+        assert d > 0 and struct.unpack(">H", enc[d + 4 : d + 6])[0] == 2
+        # at least one RSTn in the entropy stream
+        assert any(enc.find(bytes([0xFF, 0xD0 + k])) > d for k in range(8))
+        dec = decode_jpeg(enc)
+        assert dec.shape == pix.shape
+        assert psnr(pix, dec) >= 40.0
+        # restart segmentation must not change the pixels at all: the
+        # same quantized coefficients decode identically either way
+        assert np.array_equal(
+            dec, decode_jpeg(encode_jpeg(pix, quality=92, subsampling=sub))
+        )
+
+
+def test_jpeg_restart_dc_prediction_resets():
+    """A gradient image has strongly non-zero DC deltas across MCUs; if
+    the decoder failed to reset predictors at RST boundaries the blocks
+    after each marker would shift visibly. interval=1 maximizes resets."""
+    pix = gen_pixels(np.random.default_rng(24), 64, 64)
+    enc = encode_jpeg(pix, quality=92, restart_interval=1)
+    assert psnr(pix, decode_jpeg(enc)) >= 40.0
+
+
+def test_jpeg_subsampled_corrupt_inputs_raise():
+    pix = gen_pixels(np.random.default_rng(25), 32, 32)
+    enc = encode_jpeg(pix, quality=92, subsampling="420", restart_interval=2)
+    for cut in (10, len(enc) // 2, len(enc) - 3):
+        with pytest.raises(ValueError):
+            decode_jpeg(enc[:cut])
+    # RST markers without a DRI declaration must be rejected, not skipped
+    no_dri = bytearray(enc)
+    d = bytes(no_dri).find(b"\xff\xdd")
+    del no_dri[d : d + 6]
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(no_dri))
