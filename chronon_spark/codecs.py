@@ -53,67 +53,120 @@ def _png_chunk(typ: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(pix: np.ndarray) -> bytes:
-    """8-bit truecolor PNG, filter type 0 per scanline."""
+# PNG color types: 0 grayscale, 2 truecolor, 3 palette, 4 gray+alpha,
+# 6 truecolor+alpha (PNG spec 11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# Adam7 interlace pass geometry: (x0, y0, dx, dy) per pass (spec 8.2)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _adam7_dims(w: int, h: int) -> list[tuple[int, int, int, int, int, int]]:
+    """(x0, y0, dx, dy, wp, hp) per non-empty Adam7 pass."""
+    out = []
+    for x0, y0, dx, dy in _ADAM7:
+        wp = (w - x0 + dx - 1) // dx if w > x0 else 0
+        hp = (h - y0 + dy - 1) // dy if h > y0 else 0
+        if wp > 0 and hp > 0:
+            out.append((x0, y0, dx, dy, wp, hp))
+    return out
+
+
+def encode_png(
+    pix: np.ndarray,
+    color_type: int = 2,
+    interlace: bool = False,
+    alpha: np.ndarray | None = None,
+) -> bytes:
+    """8-bit PNG, filter type 0 per scanline.
+
+    pix: (h, w, 3) uint8. color_type 2 (truecolor, default), 0 (grayscale
+    — requires r==g==b), 3 (palette — requires <= 256 distinct colors),
+    4 (gray+alpha) or 6 (truecolor+alpha); `alpha` is an optional (h, w)
+    uint8 plane for types 4/6 (opaque by default). interlace=True emits
+    Adam7 passes."""
     h, w, c = pix.shape
     assert c == 3 and pix.dtype == np.uint8
-    raw = np.concatenate(
-        [np.zeros((h, 1), dtype=np.uint8), pix.reshape(h, w * 3)], axis=1
-    ).tobytes()
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    extra_chunks = []
+    if color_type == 2:
+        samples = pix
+    elif color_type == 0:
+        if not (np.array_equal(pix[:, :, 0], pix[:, :, 1])
+                and np.array_equal(pix[:, :, 0], pix[:, :, 2])):
+            raise ValueError("grayscale PNG requires r==g==b content")
+        samples = pix[:, :, :1]
+    elif color_type in (4, 6):
+        a = (np.full((h, w), 255, np.uint8) if alpha is None
+             else alpha.astype(np.uint8))
+        if color_type == 4:
+            if not (np.array_equal(pix[:, :, 0], pix[:, :, 1])
+                    and np.array_equal(pix[:, :, 0], pix[:, :, 2])):
+                raise ValueError("gray+alpha PNG requires r==g==b content")
+            samples = np.stack([pix[:, :, 0], a], axis=-1)
+        else:
+            samples = np.concatenate([pix, a[:, :, None]], axis=-1)
+    elif color_type == 3:
+        flat = pix.reshape(-1, 3)
+        palette, inv = np.unique(flat, axis=0, return_inverse=True)
+        if len(palette) > 256:
+            raise ValueError(f"palette PNG: {len(palette)} colors > 256")
+        extra_chunks.append(_png_chunk(b"PLTE", palette.astype(np.uint8).tobytes()))
+        samples = inv.astype(np.uint8).reshape(h, w, 1)
+    else:
+        raise ValueError(f"unsupported color type {color_type}")
+    ch = samples.shape[2]
+
+    def _serialize(rows: np.ndarray) -> bytes:
+        hh = rows.shape[0]
+        return np.concatenate(
+            [np.zeros((hh, 1), dtype=np.uint8),
+             rows.reshape(hh, -1)], axis=1
+        ).tobytes()
+
+    if interlace:
+        raw = b"".join(
+            _serialize(samples[y0::dy, x0::dx])
+            for x0, y0, dx, dy, wp, hp in _adam7_dims(w, h)
+        )
+    else:
+        raw = _serialize(samples)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0,
+                       1 if interlace else 0)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
+        + b"".join(extra_chunks)
         + _png_chunk(b"IDAT", zlib.compress(raw, 6))
         + _png_chunk(b"IEND", b"")
     )
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """Decode 8-bit truecolor (colour type 2) PNG to (h, w, 3) uint8.
-
-    Handles every scanline filter type so externally-produced PNGs (which
-    usually mix Sub/Up/Average/Paeth) decode too, not just our own
-    filter-0 output.  Malformed input raises ValueError (the decode
-    pipeline's integrity gate turns that into a decode_ok=false row)."""
+    """Decode PNG to (h, w, 3) uint8: color types 0/2/3/4/6, bit depths
+    8 and 16 (16-bit scaled to 8 via the high byte), tRNS palette
+    transparency, and Adam7 interlacing — the layouts real-world PNGs
+    use. Alpha is composited over white. Handles every scanline filter
+    type so externally-produced PNGs (which usually mix Sub/Up/Average/
+    Paeth) decode too, not just our own filter-0 output.  Malformed
+    input raises ValueError (the decode pipeline's integrity gate turns
+    that into a decode_ok=false row)."""
     try:
         return _decode_png_inner(data)
     except (IndexError, struct.error, zlib.error, ValueError) as e:
         raise ValueError(f"corrupt PNG: {e}") from e
 
 
-def _decode_png_inner(data: bytes) -> np.ndarray:
-    if data[:8] != _PNG_SIG:
-        raise ValueError("not a PNG (bad signature)")
-    pos, w = 8, None
-    idat = bytearray()
-    while pos < len(data):
-        (length,) = struct.unpack(">I", data[pos : pos + 4])
-        typ = data[pos + 4 : pos + 8]
-        body = data[pos + 8 : pos + 8 + length]
-        pos += 12 + length
-        if typ == b"IHDR":
-            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", body
-            )
-            if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
-                raise ValueError(
-                    f"unsupported PNG layout depth={depth} ctype={ctype} "
-                    f"interlace={interlace} (8-bit truecolor only)"
-                )
-        elif typ == b"IDAT":
-            idat += body
-        elif typ == b"IEND":
-            break
-    if w is None:
-        raise ValueError("PNG missing IHDR")
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    stride = w * 3
-    rows = raw.reshape(h, stride + 1)
+def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG scanline filters: raw flat uint8 of h*(stride+1) bytes
+    (leading filter byte per row) -> (h, stride) uint8."""
+    if len(raw) < h * (stride + 1):
+        raise ValueError("PNG scanline data truncated")
+    rows = raw[: h * (stride + 1)].reshape(h, stride + 1)
     filters = rows[:, 0]
     cur = rows[:, 1:].astype(np.int64)
     out = np.zeros((h, stride), dtype=np.int64)
-    bpp = 3
     for r in range(h):
         f = filters[r]
         line = cur[r].copy()
@@ -141,7 +194,93 @@ def _decode_png_inner(data: bytes) -> np.ndarray:
         else:
             raise ValueError(f"bad PNG filter {f}")
         out[r] = line
-    return out.astype(np.uint8).reshape(h, w, 3)
+    return out.astype(np.uint8)
+
+
+def _decode_png_inner(data: bytes) -> np.ndarray:
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, w = 8, None
+    idat = bytearray()
+    plte = trns = None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        typ = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if (
+                comp or filt or interlace not in (0, 1)
+                or ctype not in _PNG_CHANNELS
+                or depth not in (8, 16)
+                or (ctype == 3 and depth != 8)
+            ):
+                raise ValueError(
+                    f"unsupported PNG layout depth={depth} ctype={ctype} "
+                    f"interlace={interlace}"
+                )
+        elif typ == b"PLTE":
+            if length % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"tRNS":
+            trns = np.frombuffer(body, dtype=np.uint8)
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    channels = _PNG_CHANNELS[ctype]
+    bpp = channels * (depth // 8)
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if interlace:
+        arr = np.zeros((h, w, bpp), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy, wp, hp in _adam7_dims(w, h):
+            n = hp * (wp * bpp + 1)
+            sub = _unfilter(raw[off : off + n], hp, wp * bpp, bpp)
+            arr[y0::dy, x0::dx] = sub.reshape(hp, wp, bpp)
+            off += n
+        if off != len(raw):
+            raise ValueError("Adam7 stream length mismatch")
+    else:
+        if len(raw) != h * (w * bpp + 1):
+            raise ValueError("PNG scanline data length mismatch")
+        arr = _unfilter(raw, h, w * bpp, bpp).reshape(h, w, bpp)
+    if depth == 16:  # big-endian: high byte is the 8-bit downconversion
+        arr = np.ascontiguousarray(arr.reshape(h, w, channels, 2)[..., 0])
+    else:
+        arr = arr.reshape(h, w, channels)
+
+    def _over_white(rgb: np.ndarray, a: np.ndarray) -> np.ndarray:
+        rgb = rgb.astype(np.int64)
+        a = a.astype(np.int64)[:, :, None]
+        return ((rgb * a + 255 * (255 - a) + 127) // 255).astype(np.uint8)
+
+    if ctype == 2:
+        return arr
+    if ctype == 0:
+        return np.repeat(arr, 3, axis=2)
+    if ctype == 4:
+        return _over_white(np.repeat(arr[:, :, :1], 3, axis=2), arr[:, :, 1])
+    if ctype == 6:
+        return _over_white(arr[:, :, :3], arr[:, :, 3])
+    # ctype 3: palette lookup (+ optional tRNS per-index alpha)
+    if plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    idx = arr[:, :, 0]
+    if int(idx.max(initial=0)) >= len(plte):
+        raise ValueError("palette index out of range")
+    rgb = plte[idx]
+    if trns is not None and len(trns):
+        a = np.full(len(plte), 255, np.uint8)
+        a[: len(trns)] = trns
+        return _over_white(rgb, a[idx])
+    return rgb
 
 
 # ---------------------------------------------------------------------------

@@ -261,7 +261,23 @@ def gen_real_image_rows(n: int, seed: int = 42, span_days: int = 30,
             data = encode_jpeg(pix, quality=92, subsampling=sub,
                                restart_interval=ri)
         else:
-            data = encode_image(pix, fmt)
+            # PNG layout spread: truecolor / Adam7-interlaced / RGBA
+            # (opaque) / palette / grayscale — all lossless round trips
+            from chronon_spark.codecs import encode_png
+
+            v = rng.random()
+            if v < 0.35:
+                data = encode_png(pix)
+            elif v < 0.55:
+                data = encode_png(pix, interlace=True)
+            elif v < 0.7:
+                data = encode_png(pix, color_type=6)
+            elif v < 0.85:
+                pix = (pix // 32) * 32  # <= 256 colors; sidecars follow
+                data = encode_png(pix, color_type=3)
+            else:
+                pix = np.repeat(pix[:, :, :1], 3, axis=2)
+                data = encode_png(pix, color_type=0, interlace=bool(v > 0.93))
         decoded = decode_image(data, w, h, fmt)
         p = multimodal.psnr(pix, decoded)
         ts = BASE_TS + int(rng.integers(0, span_days * DAY_MS))
@@ -313,10 +329,11 @@ def ensure_real_image_fixture(
     n is generated in parallel as a directory of part parquets on fixed
     2k-row chunk boundaries — per-row RNG seeds on the absolute row
     index, so bytes are identical regardless of worker count."""
-    # v2: jpeg rows sample 4:2:0/4:4:4 x restart-interval variants (the
-    # r4 codec completion); the version tag invalidates v1 caches whose
-    # bytes predate subsampling support
-    path = os.path.join(out_dir, f"images_real_v2_n{n}_s{seed}.parquet")
+    # v3: jpeg rows sample 4:2:0/4:4:4 x restart-interval variants and png
+    # rows sample truecolor/interlaced/RGBA/palette/grayscale layouts (the
+    # r4 codec completion); the version tag invalidates caches whose bytes
+    # predate the layout spread
+    path = os.path.join(out_dir, f"images_real_v3_n{n}_s{seed}.parquet")
     if os.path.exists(path):
         return path
     os.makedirs(out_dir, exist_ok=True)

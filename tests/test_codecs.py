@@ -220,3 +220,109 @@ def test_jpeg_subsampled_corrupt_inputs_raise():
     del no_dri[d : d + 6]
     with pytest.raises(ValueError):
         decode_jpeg(bytes(no_dri))
+
+
+# ---------------------------------------------------------------------------
+# PNG completeness (r4: all five color types, 16-bit depth, tRNS, Adam7 —
+# the layouts externally-produced PNGs actually use)
+# ---------------------------------------------------------------------------
+
+def _alpha_over_white(rgb, alpha):
+    rgb = rgb.astype(np.int64)
+    a = alpha.astype(np.int64)[:, :, None]
+    return ((rgb * a + 255 * (255 - a) + 127) // 255).astype(np.uint8)
+
+
+def test_png_grayscale_and_palette_round_trip():
+    rng = np.random.default_rng(31)
+    pix = gen_pixels(rng, 33, 17)
+    g = np.repeat(pix[:, :, :1], 3, axis=2)
+    assert np.array_equal(decode_png(encode_png(g, color_type=0)), g)
+    q = (pix // 32) * 32  # <= 256 distinct colors
+    assert np.array_equal(decode_png(encode_png(q, color_type=3)), q)
+    with pytest.raises(ValueError):
+        encode_png(pix, color_type=0)  # non-gray content must be rejected
+
+
+def test_png_alpha_composites_over_white():
+    rng = np.random.default_rng(32)
+    pix = gen_pixels(rng, 21, 14)
+    # opaque alpha is the identity
+    assert np.array_equal(decode_png(encode_png(pix, color_type=6)), pix)
+    alpha = rng.integers(0, 256, pix.shape[:2], dtype=np.uint8)
+    dec = decode_png(encode_png(pix, color_type=6, alpha=alpha))
+    assert np.array_equal(dec, _alpha_over_white(pix, alpha))
+    g = np.repeat(pix[:, :, :1], 3, axis=2)
+    dec = decode_png(encode_png(g, color_type=4, alpha=alpha))
+    assert np.array_equal(dec, _alpha_over_white(g, alpha))
+
+
+def test_png_adam7_interlace_round_trip_all_types():
+    rng = np.random.default_rng(33)
+    pix = gen_pixels(rng, 33, 17)
+    g = np.repeat(pix[:, :, :1], 3, axis=2)
+    q = (pix // 32) * 32
+    for ct, im in [(2, pix), (0, g), (3, q), (6, pix)]:
+        dec = decode_png(encode_png(im, color_type=ct, interlace=True))
+        assert np.array_equal(dec, im), ct
+    # degenerate geometries: every Adam7 pass-emptiness combination
+    for w, h in [(1, 1), (2, 300), (300, 2), (8, 8), (9, 10), (7, 5)]:
+        p2 = gen_pixels(rng, w, h)
+        assert np.array_equal(
+            decode_png(encode_png(p2, interlace=True)), p2), (w, h)
+
+
+def _chunk(t, d):
+    return (struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+
+def test_png_16bit_hand_built_fixture_uses_high_byte():
+    """Hand-assembled 16-bit truecolor PNG (never touches the encoder):
+    the decoder must return the big-endian high byte per sample."""
+    rng = np.random.default_rng(34)
+    h, w = 5, 7
+    hi = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    lo = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    samples = np.stack([hi, lo], axis=-1).reshape(h, w, 6)
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), samples.reshape(h, -1)], axis=1
+    ).tobytes()
+    png = (b"\x89PNG\r\n\x1a\n"
+           + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0))
+           + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(png), hi)
+
+
+def test_png_trns_palette_transparency_hand_built():
+    """Palette PNG with a tRNS chunk: index 0 fully transparent (-> white
+    after compositing), index 1 opaque."""
+    idx = np.array([[0, 1], [1, 0]], np.uint8)
+    raw = np.concatenate([np.zeros((2, 1), np.uint8), idx], axis=1).tobytes()
+    png = (b"\x89PNG\r\n\x1a\n"
+           + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+           + _chunk(b"PLTE", bytes([10, 20, 30, 40, 50, 60]))
+           + _chunk(b"tRNS", bytes([0]))
+           + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b""))
+    dec = decode_png(png)
+    assert tuple(dec[0, 0]) == (255, 255, 255)
+    assert tuple(dec[0, 1]) == (40, 50, 60)
+    assert tuple(dec[1, 0]) == (40, 50, 60)
+    assert tuple(dec[1, 1]) == (255, 255, 255)
+
+
+def test_png_new_layouts_reject_corrupt_input():
+    pix = gen_pixels(np.random.default_rng(35), 16, 16)
+    enc = encode_png((pix // 32) * 32, color_type=3, interlace=True)
+    for cut in (12, len(enc) // 2):
+        with pytest.raises(ValueError):
+            decode_png(enc[:cut])
+    # palette index out of range must raise, not wrap
+    idx = np.array([[5]], np.uint8)
+    raw = np.concatenate([np.zeros((1, 1), np.uint8), idx], axis=1).tobytes()
+    png = (b"\x89PNG\r\n\x1a\n"
+           + _chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+           + _chunk(b"PLTE", bytes([1, 2, 3]))
+           + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_png(png)
