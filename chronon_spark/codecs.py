@@ -43,6 +43,18 @@ import numpy as np
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+# decode-side allocation guard: a corrupt header dimension (or a crafted
+# zlib bomb behind one) must raise ValueError BEFORE the decoder allocates
+# plane arrays sized from it — at 10^12 web images a flipped SOF/IHDR byte
+# would otherwise OOM the executor instead of becoming a decode_ok=false
+# row. 2^26 px = 67 MP, far above any feature-pipeline input.
+_MAX_PIXELS = 1 << 26
+
+
+def _check_dims(w: int, h: int) -> None:
+    if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
+        raise ValueError(f"implausible image dimensions {w}x{h}")
+
 
 def _png_chunk(typ: bytes, data: bytes) -> bytes:
     return (
@@ -234,9 +246,20 @@ def _decode_png_inner(data: bytes) -> np.ndarray:
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
+    _check_dims(w, h)
     channels = _PNG_CHANNELS[ctype]
     bpp = channels * (depth // 8)
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if interlace:
+        expected = sum(hp * (wp * bpp + 1) for *_, wp, hp in _adam7_dims(w, h))
+    else:
+        expected = h * (w * bpp + 1)
+    # bounded inflate: never decompress past the header-implied size (a
+    # crafted stream cannot force a larger allocation than its own claim,
+    # and the claim itself is capped by _check_dims)
+    d = zlib.decompressobj()
+    raw = np.frombuffer(d.decompress(bytes(idat), expected), dtype=np.uint8)
+    if len(raw) != expected or d.decompress(d.unconsumed_tail, 1):
+        raise ValueError("PNG pixel data length mismatch")
     if interlace:
         arr = np.zeros((h, w, bpp), dtype=np.uint8)
         off = 0
@@ -821,6 +844,7 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
         pos += seglen
     if entropy_start is None or h is None:
         raise ValueError("JPEG missing SOS/SOF0")
+    _check_dims(w, h)
     end = data.rfind(b"\xff\xd9")
     segments = [
         _entropy_windows(s)
@@ -850,6 +874,15 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
             )
     elif len(segments) != 1:
         raise ValueError("RST markers present without DRI")
+    # plausibility before allocation: every block costs >= 2 bits (one
+    # DC code + one EOB), so dims implying more blocks than the entropy
+    # stream could possibly carry are corrupt — raise, don't allocate
+    total_blocks = nmcus * sum(bpm)
+    total_bits = sum(nb for _, nb in segments)
+    if total_blocks * 2 > total_bits:
+        raise ValueError(
+            f"entropy stream too short for {total_blocks} blocks"
+        )
     coefs = [
         np.zeros((nmcus * bpm[ci], 64), dtype=np.float64)
         for ci in range(len(scan_comp))

@@ -326,3 +326,72 @@ def test_png_new_layouts_reject_corrupt_input():
            + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b""))
     with pytest.raises(ValueError):
         decode_png(png)
+
+
+# ---------------------------------------------------------------------------
+# corruption-robustness property: at 10^12 web images some payload bytes
+# WILL be garbage. Every mutation of a valid stream must either decode to a
+# well-formed (h, w, 3) uint8 image (benign bit damage) or raise ValueError
+# (-> decode_ok=false row) — never any other exception type, which would
+# escape the integrity gate and kill the executor's Arrow batch.
+# ---------------------------------------------------------------------------
+
+def test_codec_fuzz_corrupt_bytes_never_escape_valueerror():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    rng = np.random.default_rng(40)
+    pix = gen_pixels(rng, 32, 24)
+    q = (pix // 32) * 32
+    streams = [
+        encode_png(pix),
+        encode_png(pix, interlace=True),
+        encode_png(q, color_type=3),
+        encode_png(pix, color_type=6),
+        encode_jpeg(pix, quality=88),
+        encode_jpeg(pix, quality=88, subsampling="420", restart_interval=2),
+    ]
+
+    @st.composite
+    def mutation(draw):
+        si = draw(st.integers(0, len(streams) - 1))
+        base = bytearray(streams[si])
+        kind = draw(st.sampled_from(
+            ["flip", "truncate", "delete", "insert", "dims"]))
+        if kind == "dims":
+            # targeted attack: huge header dimensions must raise BEFORE
+            # any allocation sized from them (executor-OOM vector)
+            if si >= 4:  # JPEG: SOF0 h/w at marker+5
+                i = bytes(base).find(b"\xff\xc0") + 5
+            else:  # PNG: IHDR w/h right after the length+type bytes
+                i = 16
+            big = draw(st.integers(30_000, 65_535))
+            base[i : i + 4] = struct.pack(">HH", big, big) if si >= 4 \
+                else struct.pack(">I", draw(st.integers(2**20, 2**31 - 1)))
+        elif kind == "flip":
+            for _ in range(draw(st.integers(1, 8))):
+                i = draw(st.integers(0, len(base) - 1))
+                base[i] ^= draw(st.integers(1, 255))
+        elif kind == "truncate":
+            del base[draw(st.integers(0, len(base) - 1)):]
+        elif kind == "delete":
+            i = draw(st.integers(0, len(base) - 2))
+            del base[i : i + draw(st.integers(1, 16))]
+        else:
+            i = draw(st.integers(0, len(base) - 1))
+            base[i:i] = draw(st.binary(min_size=1, max_size=16))
+        return si, bytes(base)
+
+    @settings(max_examples=300, deadline=None)
+    @given(mutation())
+    def run(case):
+        si, data = case
+        decoder = decode_jpeg if si >= 4 else decode_png
+        try:
+            out = decoder(data)
+        except ValueError:
+            return  # the integrity gate's contract
+        assert isinstance(out, np.ndarray)
+        assert out.ndim == 3 and out.shape[2] == 3 and out.dtype == np.uint8
+
+    run()
