@@ -237,7 +237,12 @@ every payload — PNG via RFC 2083 inflate + per-scanline unfilter, baseline
 JPEG via de-stuffed sliding-window Huffman + batched-BLAS IDCT — and
 extract pixel features in one Arrow pass. Zero shuffles; the
 embarrassingly-parallel regime that must scale ~linearly if the Arrow
-batching and parquet scan splits are right.
+batching and parquet scan splits are right. Fixture v3 (late r4): the
+JPEG rows span 4:2:0/4:4:4 x restart-interval variants and the PNG rows
+span truecolor/Adam7-interlaced/RGBA/palette/grayscale layouts, so this
+pair measures the COMPLETE codec surface; the input grew 192k -> 200k
+with the layout spread, superseding the v1 series in the log via the
+largest-rows rule.
 
 | parallelism | best wall (s) | passes | input images/sec |
 |---|---|---|---|
