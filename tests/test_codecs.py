@@ -395,3 +395,77 @@ def test_codec_fuzz_corrupt_bytes_never_escape_valueerror():
         assert out.ndim == 3 and out.shape[2] == 3 and out.dtype == np.uint8
 
     run()
+
+
+# ---------------------------------------------------------------------------
+# allocation-budget guards: header-implied BYTES (not just pixels) must be
+# rejected before any plane/coefficient allocation — a sub-MB payload must
+# never drive a multi-GB working set
+# ---------------------------------------------------------------------------
+
+def test_png_byte_budget_rejects_high_bpp_header():
+    """4096x4096 RGBA16 is only 16.7M px (under the pixel cap) but implies
+    134 MB of raw samples and a ~5x unfilter working set — the byte budget
+    must raise before the inflate/unfilter allocations."""
+    png = (b"\x89PNG\r\n\x1a\n"
+           + _chunk(b"IHDR", struct.pack(">IIBBBBB", 4096, 4096, 16, 6, 0, 0, 0))
+           + _chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+           + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="implausible decoded size"):
+        decode_png(png)
+
+
+def test_jpeg_block_budget_rejects_huge_sof():
+    """A corrupt SOF claiming 8192x8192 at 4:4:4 implies 3.1M blocks; with a
+    large-enough garbage entropy stream the old 2-bits-per-block floor would
+    pass and float64 coefficients would reach ~1.6 GB. The block budget must
+    raise first."""
+    enc = bytearray(encode_jpeg(gen_pixels(np.random.default_rng(41), 16, 16)))
+    sof = enc.find(b"\xff\xc0")
+    assert sof > 0
+    struct.pack_into(">HH", enc, sof + 5, 8192, 8192)
+    # extend the entropy stream so the bits-per-block floor alone would pass
+    end = enc.rfind(b"\xff\xd9")
+    enc[end:end] = b"\x00" * (2 * (8192 // 8) ** 2 * 3 // 8 + 64)
+    with pytest.raises(ValueError, match="implausible block count"):
+        decode_jpeg(bytes(enc))
+
+
+# ---------------------------------------------------------------------------
+# tRNS on non-alpha layouts (color types 0 and 2): exact-match transparency
+# composited over white, evaluated at SOURCE depth
+# ---------------------------------------------------------------------------
+
+def test_png_trns_truecolor_hand_built():
+    """Truecolor PNG with a tRNS chunk (one 16-bit value per channel):
+    pixels equal to the transparent color become white; others unchanged."""
+    pix = np.array([[[10, 20, 30], [11, 20, 30]],
+                    [[10, 20, 30], [99, 98, 97]]], np.uint8)
+    raw = np.concatenate(
+        [np.zeros((2, 1), np.uint8), pix.reshape(2, -1)], axis=1).tobytes()
+    png = (b"\x89PNG\r\n\x1a\n"
+           + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+           + _chunk(b"tRNS", struct.pack(">HHH", 10, 20, 30))
+           + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b""))
+    dec = decode_png(png)
+    assert tuple(dec[0, 0]) == (255, 255, 255)
+    assert tuple(dec[1, 0]) == (255, 255, 255)
+    assert tuple(dec[0, 1]) == (11, 20, 30)
+    assert tuple(dec[1, 1]) == (99, 98, 97)
+
+
+def test_png_trns_gray16_matches_at_source_depth():
+    """16-bit grayscale tRNS: the match is on the full 16-bit sample, so a
+    pixel sharing only the high byte with the transparent value must NOT
+    turn white (it downconverts to the same 8-bit gray otherwise)."""
+    # samples: 0x1234 (transparent), 0x1235 (opaque, same high byte)
+    samples = np.array([[[0x12, 0x34], [0x12, 0x35]]], np.uint8)
+    raw = np.concatenate(
+        [np.zeros((1, 1), np.uint8), samples.reshape(1, -1)], axis=1).tobytes()
+    png = (b"\x89PNG\r\n\x1a\n"
+           + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 16, 0, 0, 0, 0))
+           + _chunk(b"tRNS", struct.pack(">H", 0x1234))
+           + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b""))
+    dec = decode_png(png)
+    assert tuple(dec[0, 0]) == (255, 255, 255)
+    assert tuple(dec[0, 1]) == (0x12, 0x12, 0x12)
