@@ -39,6 +39,10 @@ import zlib
 from typing import Any, BinaryIO, Iterable, Optional
 
 MAGIC = b"Obj\x01"
+# container-block inflate budget: manifests are KB-scale; even a manifest
+# for a million-file partition stays well under this, while a deflate
+# bomb is cut off at the cap instead of exhausting executor memory
+_MAX_BLOCK_BYTES = 1 << 28
 _PRIMITIVES = {"null", "boolean", "int", "long", "float", "double", "bytes", "string"}
 
 
@@ -126,6 +130,12 @@ class Decoder:
     def read_long(self) -> int:
         shift, acc = 0, 0
         while True:
+            if self.pos >= len(self.buf):
+                # consistent with read(): truncation is EOFError, never
+                # a bare IndexError escaping to container callers
+                raise EOFError("truncated avro varint")
+            if shift > 63:
+                raise SchemaError("avro varint longer than 64 bits")
             b = self.buf[self.pos]
             self.pos += 1
             acc |= (b & 0x7F) << shift
@@ -378,9 +388,20 @@ def read_container(src: "str | bytes | BinaryIO") -> tuple[dict, dict, list]:
     while dec.pos < len(data):
         count = dec.read_long()
         size = dec.read_long()
+        if count < 0 or size < 0:
+            raise SchemaError("negative avro block count/size")
         payload = dec.read(size)
         if codec == "deflate":
-            payload = zlib.decompressobj(-15).decompress(payload)
+            # bounded inflate: a crafted deflate bomb in a manifest must
+            # not balloon past the block budget before failing
+            try:
+                d = zlib.decompressobj(-15)
+                payload = d.decompress(payload, _MAX_BLOCK_BYTES)
+            except zlib.error as e:
+                raise SchemaError(f"corrupt deflate block: {e}") from e
+            if d.unconsumed_tail:
+                raise SchemaError(
+                    f"avro block inflates past {_MAX_BLOCK_BYTES} bytes")
         elif codec != "null":
             raise SchemaError(f"unsupported codec {codec!r}")
         bdec = Decoder(payload)

@@ -103,52 +103,114 @@ def mirror_to_delta(warehouse, table: str, spark: SparkSession,
     state: dict[str, dict] = {}  # path -> add action (live set replay)
     known_cols = {f["name"] for f in
                   json.loads(schema_string)["fields"]}
+    # protocol/metaData belong to the EARLIEST version actually written:
+    # a first mirror after expire_snapshots starts at the rebased
+    # baseline (version > 0), and a log with no metaData anywhere is
+    # unreadable. Already-bootstrapped logs keep their original boot.
+    written = {int(f[:20]) for f in os.listdir(log_dir)
+               if f.endswith(".json") and f[:20].isdigit()}
+    boot_version = (snaps[0]["snapshot_id"] - 1) if not written else None
+
+    def replay_vfile(vfile: str):
+        """adds/removes of an immutable already-written commit, plus any
+        schema evolution it recorded — replayed instead of re-computing
+        per-file size/mtime/footer stats (O(total files ever added) I/O
+        per incremental mirror otherwise)."""
+        nonlocal meta_action, schema_string, known_cols
+        adds, removes = [], []
+        with open(vfile) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "add" in a:
+                    adds.append({"add": a["add"]})
+                elif "remove" in a:
+                    removes.append({"remove": a["remove"]})
+                elif "metaData" in a:
+                    meta_action = {"metaData": a["metaData"]}
+                    schema_string = a["metaData"]["schemaString"]
+                    known_cols = {f["name"] for f in
+                                  json.loads(schema_string)["fields"]}
+        return adds, removes
+
+    # snapshot expiry REBASES the warehouse log (snaps[0] becomes a
+    # baseline carrying the full live set under its original id) but this
+    # mirror keeps pre-baseline commit JSONs (VACUUM semantics) — so the
+    # checkpoint-state replay must start from those kept versions, not
+    # from the rebased window alone: the baseline's already-written vfile
+    # holds its ORIGINAL partial delta, and a checkpoint built without
+    # the pre-baseline adds would silently drop still-live rows.
+    first_version = snaps[0]["snapshot_id"] - 1
+    for v in sorted(written):
+        if v >= first_version:
+            break
+        adds, removes = replay_vfile(
+            os.path.join(log_dir, f"{v:020d}.json"))
+        for r in removes:
+            state.pop(r["remove"]["path"], None)
+        for a in adds:
+            state[a["add"]["path"]] = a["add"]
     for s in snaps:
         version = s["snapshot_id"] - 1  # Delta versions are 0-based
         vfile = os.path.join(log_dir, f"{version:020d}.json")
-        # additive schema evolution: a commit whose newest file widens
-        # the schema re-emits metaData in that version (Delta's own
-        # mechanism for schema changes)
-        schema_change = None
-        if s["added_files"]:
-            newest = os.path.join(root, sorted(s["added_files"])[-1])
-            import pyarrow.parquet as _pq
-            new_cols = {f.name for f in _pq.read_schema(newest)}
-            if not new_cols <= known_cols:
-                # merge: existing fields keep their place, new ones append
-                old_fields = json.loads(schema_string)["fields"]
-                file_fields = json.loads(
-                    _spark_schema_string(spark, newest, ds_col))["fields"]
-                merged = old_fields + [f for f in file_fields
-                                       if f["name"] not in known_cols]
-                schema_string = json.dumps(
-                    {"type": "struct", "fields": merged})
-                known_cols |= {f["name"] for f in merged}
-                meta_action = meta_for(schema_string)
-                if version > 0:
+        if os.path.exists(vfile):
+            adds, removes = replay_vfile(vfile)
+        else:
+            # additive schema evolution: a commit whose newest file widens
+            # the schema re-emits metaData in that version (Delta's own
+            # mechanism for schema changes)
+            schema_change = None
+            if s["added_files"]:
+                newest = os.path.join(root, sorted(s["added_files"])[-1])
+                import pyarrow.parquet as _pq
+                new_cols = {f.name for f in _pq.read_schema(newest)}
+                if not new_cols <= known_cols:
+                    # merge: existing fields keep place, new ones append
+                    old_fields = json.loads(schema_string)["fields"]
+                    file_fields = json.loads(
+                        _spark_schema_string(spark, newest, ds_col))["fields"]
+                    merged = old_fields + [f for f in file_fields
+                                           if f["name"] not in known_cols]
+                    schema_string = json.dumps(
+                        {"type": "struct", "fields": merged})
+                    known_cols |= {f["name"] for f in merged}
+                    meta_action = meta_for(schema_string)
                     schema_change = meta_action
-        adds = []
-        for f in sorted(s["added_files"]):
-            full = os.path.join(root, f)
-            adds.append({"add": {
-                "path": f,
-                "partitionValues": {ds_col: warehouse._partition_of(f)},
-                "size": os.path.getsize(full),
-                "modificationTime": int(os.path.getmtime(full) * 1000),
-                "dataChange": True,
-                "stats": json.dumps(
-                    {"numRecords": pq.read_metadata(full).num_rows}),
-            }})
-        removes = [{"remove": {"path": f, "deletionTimestamp": now_ms,
-                               "dataChange": True}}
-                   for f in sorted(s["removed_files"])]
-        if not os.path.exists(vfile):
+            adds = []
+            for f in sorted(s["added_files"]):
+                full = os.path.join(root, f)
+                adds.append({"add": {
+                    "path": f,
+                    "partitionValues": {ds_col: warehouse._partition_of(f)},
+                    "size": os.path.getsize(full),
+                    "modificationTime": int(os.path.getmtime(full) * 1000),
+                    "dataChange": True,
+                    "stats": json.dumps(
+                        {"numRecords": pq.read_metadata(full).num_rows}),
+                }})
+            removes = [{"remove": {"path": f, "deletionTimestamp": now_ms,
+                                   "dataChange": True}}
+                       for f in sorted(s["removed_files"])]
+            if version == first_version and state:
+                # rebased baseline never mirrored pre-expiry: its rebase
+                # dropped the original removes, but the kept pre-baseline
+                # vfiles still replay their adds — reconcile by removing
+                # every replayed path this (overwrite) baseline does not
+                # re-add, or expired files stay live in the Delta state
+                add_paths = {a["add"]["path"] for a in adds}
+                gone = {r["remove"]["path"] for r in removes}
+                removes += [
+                    {"remove": {"path": p, "deletionTimestamp": now_ms,
+                                "dataChange": True}}
+                    for p in sorted(state)
+                    if p not in add_paths and p not in gone]
             actions = [{"commitInfo": {
                 "timestamp": now_ms,
                 "operation": "WRITE" if not s["removed_files"] else "OVERWRITE",
                 "operationParameters": {"chronon-operation": s["operation"]},
             }}]
-            if version == 0:
+            if version in (0, boot_version):
                 actions += [protocol_action, meta_action]
             elif schema_change is not None:
                 actions += [schema_change]
@@ -266,7 +328,19 @@ class DeltaTable:
         return int(os.path.getmtime(path) * 1000)
 
     def _checkpoint_at_or_before(self, version: int) -> Optional[int]:
-        cps = sorted(int(f[:20]) for f in os.listdir(self.log_dir)
+        names = os.listdir(self.log_dir)
+        # multipart ('...checkpoint.0000000001.0000000002.parquet') and
+        # V2/UUID checkpoints are real Delta layouts this reader does not
+        # parse; silently ignoring one would replay from version 0 past
+        # log-retention gaps into incomplete state — fail loudly instead
+        exotic = [f for f in names
+                  if ".checkpoint." in f and f.endswith(".parquet")
+                  and not f.endswith(".checkpoint.parquet")]
+        if exotic:
+            raise ValueError(
+                f"unsupported checkpoint format: {exotic[0]} (only "
+                "single-part classic checkpoints are readable)")
+        cps = sorted(int(f[:20]) for f in names
                      if f.endswith(".checkpoint.parquet"))
         cps = [c for c in cps if c <= version]
         return cps[-1] if cps else None
@@ -298,10 +372,20 @@ class DeltaTable:
                 if row["protocol"]:
                     proto = row["protocol"]
             start = cp + 1
+        # versions below the first present JSON are legitimate only as a
+        # rebased/vacuumed head (the first present commit then carries
+        # protocol+metaData); a gap BETWEEN present commits means replay
+        # would silently skip state transitions — fail loudly.
+        present = [v for v in self.versions() if start <= v <= version]
+        if cp is None and present:
+            start = present[0]
+        gaps = sorted(set(range(start, version + 1)) - set(present))
+        if gaps:
+            raise ValueError(
+                f"delta log gap: missing commit version {gaps[0]} in "
+                f"replay range [{start}, {version}]")
         for v in range(start, version + 1):
             path = os.path.join(self.log_dir, f"{v:020d}.json")
-            if not os.path.exists(path):
-                continue
             with open(path) as fh:
                 for line in fh:
                     if not line.strip():
@@ -320,6 +404,19 @@ class DeltaTable:
         if proto and proto.get("minReaderVersion", 1) > 2:
             raise ValueError(
                 f"table requires reader version {proto['minReaderVersion']}")
+        if meta is None:
+            raise ValueError(
+                "incomplete delta state: no metaData action in the replay "
+                "range (vacuumed log head without a readable checkpoint?)")
+        # column mapping stores PHYSICAL names (col-<uuid>) in the parquet
+        # files; reading them under the logical schemaString would return
+        # all nulls — silent wrong data, so reject loudly
+        cm = (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none")
+        if cm not in ("", "none"):
+            raise ValueError(
+                f"delta.columnMapping.mode={cm} is unsupported (parquet "
+                "columns are physically renamed)")
         return {"adds": adds, "metaData": meta, "protocol": proto}
 
     def files(self, version: Optional[int] = None,

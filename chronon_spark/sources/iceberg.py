@@ -582,9 +582,12 @@ def _load_current_metadata(root: str) -> Optional[dict]:
     else:
         if not os.path.isdir(meta_dir):
             return None
+        # numeric sort: lexical would pick v9 over v10+, silently reading
+        # a stale snapshot and then OVERWRITING v10 on the next mirror
         versions = sorted(
-            f for f in os.listdir(meta_dir)
-            if f.startswith("v") and f.endswith(".metadata.json"))
+            (f for f in os.listdir(meta_dir)
+             if f.startswith("v") and f.endswith(".metadata.json")),
+            key=lambda f: int(f[1:].split(".")[0]))
         if not versions:
             return None
         path = os.path.join(meta_dir, versions[-1])
@@ -682,13 +685,21 @@ class IcebergTable:
 
     def partitions(self) -> list[str]:
         """Distinct partition values from manifests alone — the
-        ``.partitions`` metadata-table analog the reference queries."""
+        ``.partitions`` metadata-table analog the reference queries.
+        Null partition values (legal per spec) are omitted, matching
+        DeltaTable.partitions()."""
         ds_col = self._ds_col()
-        return sorted({f["partition"][ds_col] for f in self.files()})
+        if ds_col is None:
+            return []
+        return sorted(
+            {f["partition"].get(ds_col) for f in self.files()} - {None})
 
-    def _ds_col(self) -> str:
-        spec = self.metadata["partition-specs"][0]
-        return spec["fields"][0]["name"]
+    def _ds_col(self) -> Optional[str]:
+        """Leading partition-field name, or None for an unpartitioned
+        table (spec-conformant v2 tables may carry an empty fields list)."""
+        specs = self.metadata.get("partition-specs") or []
+        fields = (specs[0].get("fields") or []) if specs else []
+        return fields[0]["name"] if fields else None
 
     def _current_schema(self) -> dict:
         sid = self.metadata.get("current-schema-id", 0)
@@ -770,13 +781,13 @@ class IcebergTable:
                 F.regexp_replace(F.col("_metadata.file_path"),
                                  "^[a-z][a-z0-9+.-]*:(//)?", "").alias("__fp"),
                 F.col("_metadata.row_index").alias("__pos"))
-        if ds_col not in df.columns:
+        if ds_col is not None and ds_col not in df.columns:
             # hive-layout tables carry ds only in the path; recover it
             # from the manifests' partition tuples per file
             from chronon_spark.sources.catalog import recover_partition_column
             df = recover_partition_column(
                 df, {self._resolve_data(f["file_path"]):
-                     f["partition"][ds_col] for f in files}, ds_col)
+                     f["partition"].get(ds_col) for f in files}, ds_col)
         return df
 
     def _resolve_data(self, path: str) -> str:
@@ -800,15 +811,28 @@ class IcebergTable:
         dels = self._entries(snap, content=1)
         if partition_range is not None:
             ds_col = self._ds_col()
+            if ds_col is None:
+                raise ValueError(
+                    "partition_range requires an identity-partitioned "
+                    "table; this table's partition spec is empty")
             lo, hi = partition_range
 
-            def keep(e):
-                v = e["data_file"]["partition"].get(ds_col)
+            def in_range(v):
                 return (v is not None and (lo is None or v >= lo)
                         and (hi is None or v <= hi))
 
-            data_entries = [e for e in data_entries if keep(e)]
-            dels = [e for e in dels if keep(e)]
+            # data: identity partitioning means a file's partition value
+            # IS its rows' ds, so out-of-range (incl. null) files drop.
+            # deletes: an entry with no partition value is GLOBAL (written
+            # under an unpartitioned spec) and applies to every kept file
+            # — dropping it would silently resurrect deleted rows.
+            data_entries = [
+                e for e in data_entries
+                if in_range(e["data_file"]["partition"].get(ds_col))]
+            dels = [
+                e for e in dels
+                if (v := e["data_file"]["partition"].get(ds_col)) is None
+                or in_range(v)]
         df = self._scan(spark, [e["data_file"] for e in data_entries],
                         with_meta=bool(dels))
         if dels:
@@ -842,17 +866,25 @@ class IcebergTable:
         def strip(col):
             return F.regexp_replace(col, "^[a-z][a-z0-9+.-]*:(//)?", "")
 
+        # two path domains: df.__fp carries RESOLVED paths (the scan reads
+        # relocated copies through _resolve_data) while manifests and the
+        # file_path column INSIDE position-delete files carry the original
+        # written paths. seq_map maps both — joining on the wrong domain
+        # silently unapplies every delete on a relocated table.
         seq_map = spark.createDataFrame(
-            [(self._norm(e["data_file"]["file_path"]), e["sequence_number"])
-             for e in data_entries], "__fp string, __dseq long")
-        df = df.join(F.broadcast(seq_map), "__fp", "left")
+            [(self._norm(e["data_file"]["file_path"]),
+              self._norm(self._resolve_data(e["data_file"]["file_path"])),
+              e["sequence_number"])
+             for e in data_entries], "__orig string, __fp string, __dseq long")
+        df = df.join(F.broadcast(seq_map.select("__fp", "__dseq")),
+                     "__fp", "left")
 
         pos = [e for e in delete_entries if e["data_file"]["content"] == 1]
         if pos:
             parts = [
                 spark.read.parquet(
                     self._resolve_data(e["data_file"]["file_path"]))
-                .select(strip(F.col("file_path")).alias("__fp"),
+                .select(strip(F.col("file_path")).alias("__orig"),
                         F.col("pos").alias("__pos"),
                         F.lit(e["sequence_number"]).alias("__delseq"))
                 for e in pos
@@ -860,7 +892,7 @@ class IcebergTable:
             pdel = parts[0]
             for p in parts[1:]:
                 pdel = pdel.unionByName(p)
-            pdel = (pdel.join(F.broadcast(seq_map), "__fp")
+            pdel = (pdel.join(F.broadcast(seq_map), "__orig")
                     .where(F.col("__delseq") >= F.col("__dseq"))
                     .select("__fp", "__pos"))
             df = df.join(pdel, ["__fp", "__pos"], "left_anti")
