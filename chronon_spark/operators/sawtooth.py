@@ -54,48 +54,68 @@ def _range_kth(vals_f: np.ndarray, start: np.ndarray, end: np.ndarray,
 
     Returns float64 with NaN where the range holds no usable value.
     """
-    n = len(vals_f)
-    nan_mask = np.isnan(vals_f)
-    uniq = np.unique(vals_f[~nan_mask])
-    out = np.full(len(start), np.nan)
-    if len(uniq) == 0 or n == 0:
+    return _WaveletKth(vals_f).query(start, end, k)
+
+
+class _WaveletKth:
+    """Build/query split of the range-kth wavelet tree so the build
+    (nbits stable argsorts + np.unique, the expensive half) is cached per
+    column across a GroupBy's windows — one Aggregation typically runs
+    [1d, 7d, 30d, lifetime] parts over the SAME values, and the build
+    depends only on those values."""
+
+    def __init__(self, vals_f: np.ndarray) -> None:
+        self.n = len(vals_f)
+        nan_mask = np.isnan(vals_f)
+        self.uniq = np.unique(vals_f[~nan_mask])
+        if len(self.uniq) == 0 or self.n == 0:
+            self.levels: list[np.ndarray] = []
+            self.nbits = 0
+            return
+        codes = np.searchsorted(
+            self.uniq, np.where(nan_mask, self.uniq[0], vals_f)
+        ).astype(np.int64)
+        codes[nan_mask] = len(self.uniq)  # NaN -> top code, never reached
+        self.nbits = max(1, int(len(self.uniq)).bit_length())
+        self.levels = []
+        for level in range(self.nbits):
+            shift = self.nbits - 1 - level
+            # level-l sequence == codes stable-sorted by their top-l bits
+            perm = (
+                np.argsort(codes >> (shift + 1), kind="stable")
+                if level else np.arange(self.n)
+            )
+            bits = (codes[perm] >> shift) & 1
+            self.levels.append(np.concatenate(([0], np.cumsum(bits == 0))))
+
+    def query(self, start: np.ndarray, end: np.ndarray,
+              k: np.ndarray) -> np.ndarray:
+        out = np.full(len(start), np.nan)
+        if not self.levels:
+            return out
+        s = start.astype(np.int64).copy()
+        e = end.astype(np.int64).copy()
+        kk = k.astype(np.int64).copy()
+        ns = np.zeros_like(s)
+        ne = np.full_like(s, self.n)
+        ans = np.zeros_like(s)
+        for zeros_pfx in self.levels:
+            z_node = zeros_pfx[ne] - zeros_pfx[ns]
+            z_s = zeros_pfx[s] - zeros_pfx[ns]
+            z_e = zeros_pfx[e] - zeros_pfx[ns]
+            cnt_left = z_e - z_s
+            go_left = kk < cnt_left
+            ns_right = ns + z_node
+            s_new = np.where(go_left, ns + z_s, ns_right + (s - ns - z_s))
+            e_new = np.where(go_left, ns + z_e, ns_right + (e - ns - z_e))
+            ne = np.where(go_left, ns + z_node, ne)
+            ns = np.where(go_left, ns, ns_right)
+            s, e = s_new, e_new
+            kk = np.where(go_left, kk, kk - cnt_left)
+            ans = (ans << 1) | (~go_left).astype(np.int64)
+        sel = (ans >= 0) & (ans < len(self.uniq)) & (k >= 0)
+        out[sel] = self.uniq[ans[sel]]
         return out
-    codes = np.searchsorted(
-        uniq, np.where(nan_mask, uniq[0], vals_f)
-    ).astype(np.int64)
-    codes[nan_mask] = len(uniq)  # NaN -> top code, never reached for k < m
-    nbits = max(1, int(len(uniq)).bit_length())
-    s = start.astype(np.int64).copy()
-    e = end.astype(np.int64).copy()
-    kk = k.astype(np.int64).copy()
-    ns = np.zeros_like(s)
-    ne = np.full_like(s, n)
-    ans = np.zeros_like(s)
-    for level in range(nbits):
-        shift = nbits - 1 - level
-        # level-l sequence == codes stable-sorted by their top-l bits
-        perm = (
-            np.argsort(codes >> (shift + 1), kind="stable")
-            if level else np.arange(n)
-        )
-        bits = (codes[perm] >> shift) & 1
-        zeros_pfx = np.concatenate(([0], np.cumsum(bits == 0)))
-        z_node = zeros_pfx[ne] - zeros_pfx[ns]
-        z_s = zeros_pfx[s] - zeros_pfx[ns]
-        z_e = zeros_pfx[e] - zeros_pfx[ns]
-        cnt_left = z_e - z_s
-        go_left = kk < cnt_left
-        ns_right = ns + z_node
-        s_new = np.where(go_left, ns + z_s, ns_right + (s - ns - z_s))
-        e_new = np.where(go_left, ns + z_e, ns_right + (e - ns - z_e))
-        ne = np.where(go_left, ns + z_node, ne)
-        ns = np.where(go_left, ns, ns_right)
-        s, e = s_new, e_new
-        kk = np.where(go_left, kk, kk - cnt_left)
-        ans = (ans << 1) | (~go_left).astype(np.int64)
-    sel = (ans >= 0) & (ans < len(uniq)) & (k >= 0)
-    out[sel] = uniq[ans[sel]]
-    return out
 
 
 def window_bounds(
@@ -220,8 +240,13 @@ def _fill_maps(maps: list[dict], b: str, r, op, nq: int) -> None:
     """Insert one bucket's per-query results into the output dicts,
     skipping empty/absent entries. Presence tests are vectorized when the
     result is numeric."""
+    # every count-shaped op returns 0 (not NaN/None) for an empty window,
+    # so 0 means "no in-window events for this bucket" — emitting it would
+    # leak stale buckets/map-keys from history into later queries' maps
+    count_like = (Operation.COUNT, Operation.UNIQUE_COUNT,
+                  Operation.APPROX_UNIQUE_COUNT)
     if isinstance(r, np.ndarray) and r.dtype != object:
-        if op in (Operation.COUNT, Operation.UNIQUE_COUNT):
+        if op in count_like:
             present = r > 0
         else:
             present = ~np.isnan(r.astype(np.float64, copy=False))
@@ -234,9 +259,11 @@ def _fill_maps(maps: list[dict], b: str, r, op, nq: int) -> None:
             continue
         if isinstance(v, float) and v != v:
             continue
-        if op in (Operation.COUNT, Operation.UNIQUE_COUNT) and int(v) == 0:
+        if op in count_like and int(v) == 0:
             continue
-        if isinstance(v, list) and not v:
+        if isinstance(v, (list, dict)) and not v:
+            # empty list (k-ops) or empty dict (HISTOGRAM /
+            # APPROX_FREQUENT_K / APPROX_HEAVY_HITTERS_K): no events
             continue
         maps[i][b] = v
 
@@ -427,6 +454,7 @@ def _sawtooth_plain(
     flat_cache: dict[str, tuple] = {}
     # caches shared across parts touching the same input column
     prefix_cache: dict[tuple[str, int], list[np.ndarray]] = {}
+    wavelet_cache: dict[str, _WaveletKth] = {}
     rmm_cache: dict[tuple[str, bool], _RangeMinMax] = {}
     nn_idx_cache: dict[str, np.ndarray] = {}
 
@@ -457,8 +485,10 @@ def _sawtooth_plain(
             p_tile = np.tile(np.asarray(pct, dtype=np.float64), nq)
             ks = np.maximum(1, np.ceil(p_tile * m_rep)).astype(np.int64) - 1
             ks = np.where(m_rep > 0, np.minimum(ks, m_rep - 1), -1)
-            flat = _range_kth(
-                fv, np.repeat(start, npct), np.repeat(end, npct), ks
+            if col not in wavelet_cache:
+                wavelet_cache[col] = _WaveletKth(fv)
+            flat = wavelet_cache[col].query(
+                np.repeat(start, npct), np.repeat(end, npct), ks
             ).reshape(nq, npct)
             res = np.full(nq, None, dtype=object)
             for i in np.flatnonzero(m > 0):

@@ -16,13 +16,13 @@ arithmetic) used wherever a JVM-side expression beats an Arrow hop
 
 from __future__ import annotations
 
-import math
 from typing import Iterator, Optional
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -42,21 +42,46 @@ def norm_expr(a: Column) -> Column:
 
 
 def cosine_expr(a: Column, b: Column) -> Column:
-    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+    # GREATEST guard: Spark 4 runs ANSI mode by default, so one all-zero
+    # vector anywhere in the corpus would otherwise throw DIVIDE_BY_ZERO
+    # and kill the job (the Arrow paths guard with max(norm, 1e-12) too)
+    return dot_expr(a, b) / F.greatest(
+        norm_expr(a) * norm_expr(b), F.lit(1e-12))
 
 
-def _lcg(seed: int) -> float:
-    """Deterministic uniform(-1,1) from an integer seed (engine-portable)."""
-    x = (1103515245 * seed + 12345) % (2**31)
-    return (x / float(2**31 - 1)) * 2.0 - 1.0
+_M64 = (1 << 64) - 1
+
+
+def _mix64(seed: int) -> float:
+    """Deterministic uniform(-1,1) from an integer seed via the
+    splitmix64 finalizer (engine-portable integer arithmetic). A single
+    affine LCG step here is NOT enough: adjacent seeds produce heavily
+    correlated outputs, which made the hyperplanes near-parallel
+    (measured mean pairwise |cos| 0.43-0.67) — collapsing the effective
+    sketch width and skewing bucket populations."""
+    z = (seed * 0x9E3779B97F4A7C15 + 0x9E3779B97F4A7C15) & _M64
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _M64
+    z ^= z >> 31
+    return (z / float(_M64)) * 2.0 - 1.0
 
 
 def hyperplane_matrix(dim: int, planes: int) -> np.ndarray:
     """Fixed pseudo-random hyperplanes (planes x dim)."""
     return np.array(
-        [[_lcg(p * 100_003 + d) for d in range(dim)] for p in range(planes)],
+        [[_mix64(p * 100_003 + d + 1) for d in range(dim)]
+         for p in range(planes)],
         dtype=np.float64,
     )
+
+
+def _valid_vec(vec_col: str, dim: int) -> Column:
+    """Plan-side filter for embeddings the Arrow matmul paths can take:
+    non-null, exactly `dim` elements, no null elements. One NULL or
+    ragged row would otherwise crash the whole stage inside np.array."""
+    c = F.col(vec_col)
+    return (c.isNotNull() & (F.size(c) == dim)
+            & F.forall(c, lambda x: x.isNotNull()))
 
 
 def hyperplane_bits(vec: Column, dim: int, planes: int) -> Column:
@@ -98,13 +123,18 @@ def brute_force_topk(
     matrix inside the UDF closure. One mapInPandas pass computes all
     query-corpus partial top-ks via matmul; a final tiny groupBy merges
     per-partition candidates (k * |queries| rows — trivial).
+
+    NULL / wrong-dimension / null-element embeddings are dropped from
+    the scan (same contract as hyperplane_bits sketching them to NULL).
     """
-    spark = corpus.sparkSession
+    out_schema = "query_id long, vec_id long, cosine double"
+    if not queries:
+        return corpus.sparkSession.createDataFrame(
+            [], out_schema + ", rank int")
     qids = [q[0] for q in queries]
     Q = np.array([q[1] for q in queries], dtype=np.float64)
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
-
-    out_schema = "query_id long, vec_id long, cosine double"
+    corpus = corpus.where(_valid_vec(vec_col, Q.shape[1]))
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -124,8 +154,7 @@ def brute_force_topk(
 
     partial = corpus.select(id_col, vec_col).mapInPandas(part, schema=out_schema)
     w = F.row_number().over(
-        __import__("pyspark.sql.window", fromlist=["Window"]).Window
-        .partitionBy("query_id")
+        W.partitionBy("query_id")
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
     )
     return (
@@ -148,6 +177,9 @@ def lsh_topk(
     hyperplane sketch matches the query's bucket (plus `probes`-bit
     neighboring buckets for recall). The bucket join replaces the full
     scan — at 10^12 rows the probe touches ~|corpus| / 2^planes rows."""
+    if not queries:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, vec_id long, cosine double, rank int")
     dim = len(queries[0][1])
     H = hyperplane_matrix(dim, planes)
     sketched = corpus.withColumn("bits", hyperplane_bits(F.col(vec_col), dim, planes))
@@ -176,15 +208,21 @@ def lsh_topk(
     cos = cosine_expr(
         F.col(vec_col).cast("array<double>"), F.col("qvec")
     )
+    # rank on the RAW cosine (rounding first let near-ties collapse and
+    # be broken by vec_id, diverging from brute_force_topk's exact rank);
+    # round only the reported value, like the exact path
     scored = joined.select(
-        "query_id", F.col(id_col).alias("vec_id"), F.round(cos + 1e-9, 6).alias("cosine")
+        "query_id", F.col(id_col).alias("vec_id"), cos.alias("cos")
     ).distinct()
-    from pyspark.sql.window import Window as W
-
     w = F.row_number().over(
-        W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     )
-    return scored.withColumn("rank", w).where(F.col("rank") <= k)
+    return (
+        scored.withColumn("rank", w)
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id",
+                F.round(F.col("cos") + 1e-9, 6).alias("cosine"), "rank")
+    )
 
 
 def kmeans_centroids(
@@ -235,25 +273,35 @@ def kmeans_centroids_distributed(
       n_centroids rows in a fixed (cell, partition) order, so centroids
       are reproducible for a fixed input partitioning.
     """
-    spark = corpus.sparkSession
+    corpus = corpus.where(
+        F.col(vec_col).isNotNull()
+        & F.forall(F.col(vec_col), lambda x: x.isNotNull()))
     total = corpus.count()
     if total == 0:
         raise ValueError("cannot train IVF on an empty corpus")
+    # hash threshold over the full 2^62 domain: a small fixed modulus
+    # (e.g. 1e6) bottoms out at ratio 1/modulus, so at 10^12 rows the
+    # "~train_n" sample would actually be ~10^6 rows
+    dom = 1 << 62
     h = F.pmod(
-        F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.lit(1_000_000)
+        F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.lit(dom)
     )
     sample = corpus.select(id_col, vec_col).withColumn("__h", h)
     if total > train_n:
         sample = sample.where(
-            F.col("__h") < int(np.ceil(train_n / total * 1_000_000))
+            F.col("__h") < int(np.ceil(train_n / total * dom))
         )
     sample = sample.persist()
     init_rows = (
         sample.orderBy("__h", id_col).limit(n_centroids).collect()
     )
-    X0 = np.array([list(r[vec_col]) for r in init_rows], dtype=np.float64)
+    dim0 = len(init_rows[0][vec_col])
+    X0 = np.array([list(r[vec_col]) for r in init_rows
+                   if len(r[vec_col]) == dim0], dtype=np.float64)
     C = X0 / np.maximum(np.linalg.norm(X0, axis=1, keepdims=True), 1e-12)
     k = len(C)
+    # ragged rows (wrong dimension) can't enter the Lloyd matmuls
+    sample = sample.where(F.size(F.col(vec_col)) == dim0)
 
     for _ in range(iters):
         Cb = C.copy()
@@ -312,8 +360,11 @@ def ivf_assign_cells(
 ) -> DataFrame:
     """One scan-shaped mapInPandas pass: nearest-centroid cell id per
     vector (batch matmul against the broadcast centroid matrix). The IVF
-    analog of hyperplane_bits — flat plan size at any dim."""
+    analog of hyperplane_bits — flat plan size at any dim. Invalid
+    embeddings (NULL / ragged / null elements) are dropped, matching the
+    sketch path's NULL contract."""
     C = centroids.copy()
+    corpus = corpus.where(_valid_vec(vec_col, C.shape[1]))
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -360,6 +411,9 @@ def ivf_topk(
     is pytest-measured.
     """
     spark = corpus.sparkSession
+    if not queries:
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, cosine double, rank int")
     C = kmeans_centroids_distributed(
         corpus, id_col, vec_col, n_centroids,
         train_n=train_n, iters=iters, seed=seed,
@@ -381,8 +435,6 @@ def ivf_topk(
     joined = cells.join(F.broadcast(qdf), "cell")
     cos = cosine_expr(F.col("vec").cast("array<double>"), F.col("qvec"))
     scored = joined.select("query_id", "vec_id", cos.alias("cos"))
-    from pyspark.sql.window import Window as W
-
     w = F.row_number().over(
         W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     )

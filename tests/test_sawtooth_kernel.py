@@ -232,3 +232,24 @@ def test_range_kth_matches_naive_sort_randomized():
                 else:
                     exp = seg[max(1, int(np.ceil(p * len(seg)))) - 1]
                     assert got[i, j] == exp, (trial, i, p, exp, got[i, j])
+
+
+def test_bucketed_zero_windows_omit_stale_buckets():
+    """Buckets/map-keys whose events all fell out of the window must be
+    ABSENT from the output map, not present as 0 / {} — count-shaped ops
+    (APPROX_UNIQUE_COUNT) and dict-shaped ops (HISTOGRAM and the
+    frequent-k family) previously leaked stale history buckets."""
+    ts = np.array([1000, 2000, 10_000_000], dtype=np.int64)
+    vals = {"v": np.array([3.0, 4.0, 3.0]),
+            "cat": np.array(["b", "b", "a"], dtype=object)}
+    q = np.array([10_000_001], dtype=np.int64)
+    for op in (Operation.APPROX_UNIQUE_COUNT, Operation.COUNT,
+               Operation.HISTOGRAM):
+        # (APPROX_FREQUENT_K/HEAVY_HITTERS dispatch through the same
+        # HISTOGRAM kernel branch — groupby.py routes them with a k trim)
+        p = AggregationPart(
+            "v", op, window=Window(1, TimeUnit.HOURS), bucket="cat")
+        got = sawtooth_aggregate(ts, vals, q, [p])[p.output_name]
+        want = naive_aggregate(ts, vals, q, [p])[p.output_name]
+        assert list(got) == list(want), op
+        assert "b" not in got[0], op  # the stale bucket stays absent
