@@ -44,6 +44,7 @@ import json
 import os
 import re
 import time
+import uuid
 from typing import Optional, Sequence
 
 import pandas as pd
@@ -94,23 +95,51 @@ class ParquetWarehouse:
         # Tables with a snapshot log resolve their LIVE file set through it
         # (data files are immutable; replaced files stay on disk for time
         # travel until expire_snapshots) — the Iceberg read path.
-        self.spark.conf.set(
-            "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
-        )
         files = self._live_files(table)
-        if files is None:
-            df = self.spark.read.option("mergeSchema", "true").parquet(self.path(table))
-        elif not files:
-            df = (
-                self.spark.read.option("mergeSchema", "true")
-                .parquet(self.path(table)).limit(0)
-            )
-        else:
-            df = self._read_files(table, files)
+        with self._no_partition_type_inference():
+            if files is None:
+                df = self.spark.read.option("mergeSchema", "true").parquet(
+                    self.path(table))
+            elif not files:
+                try:
+                    df = (
+                        self.spark.read.option("mergeSchema", "true")
+                        .parquet(self.path(table)).limit(0)
+                    )
+                except Exception as e:  # no physical file left to infer from
+                    raise ValueError(
+                        f"table {table!r} has an empty live set and no "
+                        "residual data file to infer a schema from"
+                    ) from e
+            else:
+                df = self._read_files(table, files)
         if rng is not None:
             for clause in rng.where_clauses(self.spec.column):
                 df = df.where(clause)
         return df
+
+    def _no_partition_type_inference(self):
+        """Scoped (set/restore) partitionColumnTypeInference=false: ds must
+        stay a string, but permanently flipping the session conf would
+        change unrelated reads' partition-column types as a side effect."""
+        import contextlib
+
+        spark = self.spark
+
+        @contextlib.contextmanager
+        def scope():
+            key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+            prev = spark.conf.get(key, None)
+            spark.conf.set(key, "false")
+            try:
+                yield
+            finally:
+                if prev is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, prev)
+
+        return scope()
 
     def archive(self, table: str) -> Optional[str]:
         """Rename the table out of the way instead of destroying it
@@ -163,8 +192,6 @@ class ParquetWarehouse:
         # another's in-flight files and the survivor commits a partial
         # added-list. pid+uuid gives each writer its own namespace; the
         # optimistic-concurrency guarantee in _commit_snapshot then holds.
-        import uuid
-
         stage = os.path.join(
             self.path(table), f"_stage.{os.getpid()}.{uuid.uuid4().hex[:8]}"
         )
@@ -226,6 +253,11 @@ class ParquetWarehouse:
         fails loudly if history was physically deleted)."""
         snaps = self.snapshots(table)
         if not snaps:
+            # a PRESENT but empty log dir means "logged table, zero live
+            # files" (a first commit is staging) — only a truly logless
+            # table falls back to plain directory semantics
+            if os.path.isdir(self._snapshot_dir(table)):
+                return []
             return None
         live: set[str] = set()
         for s in snaps:
@@ -243,6 +275,14 @@ class ParquetWarehouse:
         existing = sorted(self._data_files(table))
         if existing:
             self._commit_snapshot(table, "adopt", existing, [])
+        else:
+            # EMPTY fresh table: no adopt snapshot (ids stay 1-based from
+            # the first real commit), but the log directory must exist
+            # before insert_overwrite moves staged files in — a reader
+            # during that window then resolves "log present, zero live
+            # files" (an empty table) instead of falling back to logless
+            # directory semantics and seeing a half-finished commit
+            os.makedirs(self._snapshot_dir(table), exist_ok=True)
 
     def snapshots(self, table: str) -> list[dict]:
         """Commit log, oldest first (Iceberg: `SELECT * FROM tbl.snapshots`)."""
@@ -304,7 +344,9 @@ class ParquetWarehouse:
                 "partitions": sorted(parts),
             }
             final = os.path.join(sdir, f"v{sid:08d}.json")
-            tmp = final + f".tmp.{os.getpid()}"
+            # pid+uuid: two THREADS of one process otherwise share the tmp
+            # path and can publish each other's payload via os.link
+            tmp = final + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
             with open(tmp, "w") as fh:
                 json.dump(snap, fh)
             try:
@@ -318,7 +360,8 @@ class ParquetWarehouse:
             f"snapshot commit contention on {table}: {max_retries} retries"
         )
 
-    def compact(self, table: str, min_files: int = 2) -> dict:
+    def compact(self, table: str, min_files: int = 2,
+                cluster_by: Optional[Sequence[str]] = None) -> dict:
         """Iceberg `rewrite_data_files` analog: partitions fragmented into
         >= `min_files` live files by repeated incremental commits are
         rewritten as one file per partition, committed like any other
@@ -327,6 +370,11 @@ class ParquetWarehouse:
         THE silent scan-cost killer of a long-running incremental
         pipeline: task-per-file scheduling overhead grows with commits,
         not with data.
+
+        `cluster_by`: pass the table's write-time clustering columns so
+        the rewrite PRESERVES the sorted layout (a plain hash rewrite
+        would silently destroy the footer min/max pruning the table paid
+        a range exchange to establish).
         """
         from collections import Counter
 
@@ -340,12 +388,13 @@ class ParquetWarehouse:
             return {"partitions": [], "files_before": 0, "files_after": 0}
         files = [f for f in live if self._partition_of(f) in set(frag)]
         df = self._read_files(table, files)
-        # hash-repartition on the partition column: every ds lands in
-        # exactly one task -> exactly one output file per partition
         from pyspark.sql import functions as F
 
-        df = df.repartition(len(frag), F.col(self.spec.column))
-        self.insert_overwrite(df, table)
+        if not cluster_by:
+            # hash-repartition on the partition column: every ds lands in
+            # exactly one task -> exactly one output file per partition
+            df = df.repartition(len(frag), F.col(self.spec.column))
+        self.insert_overwrite(df, table, cluster_by=cluster_by)
         after = Counter(
             p for f in (self._live_files(table) or [])
             if (p := self._partition_of(f)) in set(frag)
@@ -422,47 +471,62 @@ class ParquetWarehouse:
             except FileNotFoundError:
                 pass
         sdir = self._snapshot_dir(table)
-        for f in os.listdir(sdir):
-            if f.startswith("v") and f.endswith(".json"):
-                if int(f[1:-5]) <= cut_sid:
-                    os.remove(os.path.join(sdir, f))
         baseline = sorted(
             f for f in live_at(cut_sid)
             if os.path.exists(os.path.join(root, f))
         )
-        self._commit_snapshot_with_id(table, cut_sid, "expire", baseline)
+        # rewrite ATOMICALLY and in replay-safe order: first replace
+        # v{cut} in place with the baseline (carrying, as removed_files,
+        # every file a pre-cut snapshot referenced that the baseline does
+        # not re-add — so replaying the not-yet-deleted prefix + baseline
+        # still yields EXACTLY live_at(cut)), then delete the older
+        # snapshot files. A concurrent snapshots() never sees an empty or
+        # torn log at any point.
+        ref_le_cut: set = set()
+        for s in snaps:
+            if s["snapshot_id"] <= cut_sid:
+                ref_le_cut.update(s["added_files"])
+        self._commit_snapshot_with_id(
+            table, cut_sid, "expire", baseline,
+            removed=sorted(ref_le_cut - set(baseline)))
+        for f in os.listdir(sdir):
+            if f.startswith("v") and f.endswith(".json"):
+                if int(f[1:-5]) < cut_sid:
+                    os.remove(os.path.join(sdir, f))
         return len(dead)
 
     def _commit_snapshot_with_id(
-        self, table: str, sid: int, operation: str, added: list[str]
+        self, table: str, sid: int, operation: str, added: list[str],
+        removed: Optional[list[str]] = None,
     ) -> None:
         snap = {
             "snapshot_id": sid,
             "parent_id": None,
             "operation": operation,
             "added_files": added,
-            "removed_files": [],
+            "removed_files": removed or [],
             "partitions": sorted(
                 {p for f in added if (p := self._partition_of(f))}
             ),
         }
         sdir = self._snapshot_dir(table)
         os.makedirs(sdir, exist_ok=True)
-        with open(os.path.join(sdir, f"v{sid:08d}.json"), "w") as fh:
+        final = os.path.join(sdir, f"v{sid:08d}.json")
+        tmp = final + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
             json.dump(snap, fh)
+        os.replace(tmp, final)  # never a torn/partial snapshot file
 
     def _read_files(self, table: str, files: list[str]) -> DataFrame:
         if not files:
             return self.read(table).limit(0)
         base = self.path(table)
-        self.spark.conf.set(
-            "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
-        )
-        return (
-            self.spark.read.option("mergeSchema", "true")
-            .option("basePath", base)
-            .parquet(*[os.path.join(base, f) for f in files])
-        )
+        with self._no_partition_type_inference():
+            return (
+                self.spark.read.option("mergeSchema", "true")
+                .option("basePath", base)
+                .parquet(*[os.path.join(base, f) for f in files])
+            )
 
     def read_at(self, table: str, snapshot_id: int) -> DataFrame:
         """Time travel (Iceberg `VERSION AS OF`): the files live at that
@@ -531,10 +595,16 @@ def recover_partition_column(df: DataFrame, mapping: dict, col: str) -> DataFram
     a real table would otherwise blow up the expression tree)."""
     from pyspark.sql import functions as F
 
-    path_col = F.regexp_replace(
+    # input_file_name() is URI-percent-encoded (a space is %20) while the
+    # mapping keys are raw filesystem paths — decode before matching, or
+    # any table path with a space/%/non-ASCII char silently recovers NULL
+    stripped = F.regexp_replace(
         F.input_file_name(), "^[a-z][a-z0-9+.-]*:(//)?", "")
+    path_col = F.coalesce(F.try_url_decode(stripped), stripped)
     if len(mapping) <= 64:
-        return df.withColumn(col, F.element_at(
+        # try_element_at: ANSI mode makes plain element_at THROW on a
+        # missing key; an unmapped file must yield NULL like the join path
+        return df.withColumn(col, F.try_element_at(
             F.create_map(*[F.lit(x) for kv in mapping.items() for x in kv]),
             path_col))
     spark = df.sparkSession

@@ -776,10 +776,13 @@ class IcebergTable:
             # ds-recovery broadcast join makes them unresolvable): Spark's
             # per-file row ordinal is exactly Iceberg's position-delete pos
             from pyspark.sql import functions as F
+            stripped = F.regexp_replace(F.col("_metadata.file_path"),
+                                        "^[a-z][a-z0-9+.-]*:(//)?", "")
             df = df.select(
                 "*",
-                F.regexp_replace(F.col("_metadata.file_path"),
-                                 "^[a-z][a-z0-9+.-]*:(//)?", "").alias("__fp"),
+                # _metadata.file_path is URI-encoded; seq_map keys are raw
+                F.coalesce(F.try_url_decode(stripped),
+                           stripped).alias("__fp"),
                 F.col("_metadata.row_index").alias("__pos"))
         if ds_col is not None and ds_col not in df.columns:
             # hive-layout tables carry ds only in the path; recover it

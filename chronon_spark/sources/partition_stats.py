@@ -47,13 +47,28 @@ def _footer_stats(batch_iter, part_col: str):
             m = pat.search(path)
             ds = m.group(1) if m else ""
             md = pq.ParquetFile(path).metadata
-            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            # report by the TOP-LEVEL column name derived from the full
+            # dotted leaf path: the bare leaf name collides for nested
+            # columns (every list column's leaf is literally 'element',
+            # which merged unrelated columns' stats and multiply-counted
+            # rows). Nested columns keep row/null counts from their
+            # first leaf only; min/max of non-flat leaves are skipped
+            # (parquet bounds of repeated leaves are element-level, not
+            # row-level, so reporting them as column bounds would lie).
+            paths_ = [md.schema.column(i).path for i in range(md.num_columns)]
+            names = [p.split(".")[0] for p in paths_]
+            is_flat = [p == n for p, n in zip(paths_, names)]
+            first_leaf = {}
+            for ci, n in enumerate(names):
+                first_leaf.setdefault(n, ci)
             agg: dict[str, list] = {
                 n: [0, 0, None, None] for n in names
             }  # rows, nulls, min, max
             for rg in range(md.num_row_groups):
                 grp = md.row_group(rg)
                 for ci in range(grp.num_columns):
+                    if first_leaf[names[ci]] != ci:
+                        continue  # one leaf per top-level column
                     col = grp.column(ci)
                     name = names[ci]
                     a = agg[name]
@@ -64,7 +79,8 @@ def _footer_stats(batch_iter, part_col: str):
                     if st.null_count is not None:
                         a[1] += st.null_count
                     if (
-                        st.has_min_max
+                        is_flat[ci]
+                        and st.has_min_max
                         and isinstance(st.min, (int, float))
                         and not isinstance(st.min, bool)
                     ):

@@ -61,7 +61,6 @@ def scan_df(
     query: Optional[Query] = None,
     rng: Optional[PartitionRange] = None,
     spec: PartitionSpec = DEFAULT_SPEC,
-    extra_selects: Optional[list[str]] = None,
 ) -> DataFrame:
     """Scan a table applying the Query DSL + partition pruning."""
     query = query or Query()
@@ -171,8 +170,18 @@ def scan_source(
     history — reference: GroupBy.getIntersectedRange, GroupBy.scala:631-645).
     """
     if isinstance(source, DataFrameSource):
-        df = source.factory(spark)
         q = source.query
+        # same Query-DSL contract as scan_df: setups run first (select
+        # exprs may call setup-registered UDFs) and the query's OWN
+        # partition bounds intersect the caller's range — JoinSource /
+        # ModelTransformSource / cumulative EventSource all route here,
+        # and ignoring q.start/end_partition silently widened their scans
+        for setup in q.setups or []:
+            spark.sql(setup)
+        if q.start_partition or q.end_partition:
+            q_rng = PartitionRange(q.start_partition, q.end_partition, spec)
+            rng = q_rng if rng is None else rng.intersect(q_rng)
+        df = source.factory(spark)
         for clause in q.wheres or []:
             df = df.where(clause)
         if q.selects is not None:

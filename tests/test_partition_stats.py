@@ -65,3 +65,24 @@ def test_stats_respect_snapshot_log(spark, wh):
     mn = {r["ds"]: r["min_num"]
           for r in partition_stats(wh, "t", columns=["user_id"]).collect()}
     assert mn == {"2024-01-01": 9.0, "2024-01-02": 2.0}
+
+
+def test_nested_list_columns_do_not_collide(spark, wh):
+    """Two list columns share the parquet leaf name 'element' — stats must
+    key on the TOP-LEVEL column (previously both merged into one 'element'
+    row with doubled n_rows and cross-column min/max)."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0], [100.0], "2024-01-01"),
+         (2, [3.0], [200.0, 300.0], "2024-01-01")],
+        "id long, a array<double>, b array<double>, ds string")
+    wh.insert_overwrite(df, "nested")
+    rows = {r["column"]: r for r in partition_stats(wh, "nested").collect()}
+    # (ds lives in the directory layout, not the data files — no stats row)
+    assert set(rows) == {"id", "a", "b"}
+    assert rows["a"]["n_rows"] == 2 and rows["b"]["n_rows"] == 2
+    # element-level bounds of repeated leaves are NOT row-level column
+    # bounds — they must be withheld, while flat numerics keep theirs
+    assert rows["a"]["min_num"] is None and rows["b"]["min_num"] is None
+    assert rows["id"]["min_num"] == 1.0 and rows["id"]["max_num"] == 2.0
+    # filtering by the real column name works again
+    assert partition_stats(wh, "nested", columns=["a"]).count() == 1

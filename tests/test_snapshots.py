@@ -462,3 +462,75 @@ def test_read_at_expired_snapshot_raises(spark, wh):
     wh.expire_snapshots("t", retain_last=2)
     with pytest.raises(ValueError, match="expired"):
         wh.read_at("t", sid_v1)
+
+
+def test_recover_partition_column_uri_encoded_paths(spark, tmp_path):
+    """Paths with spaces: input_file_name() is URI-percent-encoded while
+    mapping keys are raw filesystem paths — the decode bridge must match
+    them (previously every such file recovered NULL ds silently)."""
+    import os
+
+    from chronon_spark.sources.catalog import recover_partition_column
+
+    loc = str(tmp_path / "my table" / "ds=2024 01")
+    os.makedirs(loc)
+    spark.createDataFrame([(1,), (2,)], "id long").coalesce(1) \
+        .write.mode("overwrite").parquet(loc)
+    f = [os.path.join(loc, x) for x in os.listdir(loc)
+         if x.endswith(".parquet")][0]
+    df = spark.read.parquet(loc)
+    out = recover_partition_column(df, {f: "2024 01"}, "ds")
+    assert set(r["ds"] for r in out.collect()) == {"2024 01"}
+    # large-map (join) path too
+    big = {f: "2024 01"}
+    big.update({f"/nonexistent/p{i}.parquet": "x" for i in range(70)})
+    out2 = recover_partition_column(df, big, "ds")
+    assert set(r["ds"] for r in out2.collect()) == {"2024 01"}
+
+
+def test_concurrent_threaded_commits_both_land(spark, wh):
+    """Two THREADS of one process committing to the same table: the
+    pid-only tmp name previously collided (one thread could publish the
+    other's payload); now each commit lands with its own content."""
+    import threading
+
+    wh.insert_overwrite(_day_rows(spark, {"2024-01-01": [(1, 1.0)]}), "tt")
+    errs = []
+
+    def commit(tag):
+        try:
+            wh._commit_snapshot("tt", f"op-{tag}", [f"f-{tag}"], [])
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=commit, args=(i,)) for i in range(4)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs
+    snaps = wh.snapshots("tt")
+    assert [s["snapshot_id"] for s in snaps] == list(range(1, 6))
+    added = [f for s in snaps[1:] for f in s["added_files"]]
+    assert sorted(added) == [f"f-{i}" for i in range(4)]
+
+
+def test_expiry_keeps_log_replay_consistent_mid_rewrite(spark, wh):
+    """The expiry baseline carries removed_files for every pre-cut file it
+    does not re-add, so a replay that still sees the old prefix (the
+    mid-rewrite window) yields exactly the retained state."""
+    import json as _json
+    import os
+
+    for i, ds in enumerate(["2024-01-01", "2024-01-02", "2024-01-01"]):
+        wh.insert_overwrite(_day_rows(spark, {ds: [(i, float(i))]}), "ex")
+    want = {(r["ds"], r["user_id"], r["value"])
+            for r in wh.read("ex").collect()}
+    wh.expire_snapshots("ex", retain_last=1, grace_seconds=0)
+    sdir = wh._snapshot_dir("ex")
+    snaps = wh.snapshots("ex")
+    assert len(snaps) == 1 and snaps[0]["operation"] == "expire"
+    # replay-exactness invariant: baseline adds ∪ removes covers every
+    # file any pre-cut snapshot referenced
+    base = snaps[0]
+    assert set(base["added_files"]).isdisjoint(base["removed_files"])
+    assert {(r["ds"], r["user_id"], r["value"])
+            for r in wh.read("ex").collect()} == want

@@ -152,3 +152,31 @@ def test_partition_format_scan(spark, tmp_path):
     assert rows == ["2024-01-05", "2024-01-06"]  # pruned + normalized
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "20240105" in plan  # predicate rendered in the SOURCE format
+
+
+def test_dataframe_source_honors_query_partition_bounds_and_setups(spark):
+    """The DataFrameSource branch (JoinSource / ModelTransformSource /
+    cumulative EventSource all route here) must apply the query's OWN
+    start/end_partition and run setups, exactly like scan_df — previously
+    both were silently ignored, widening the scan."""
+    from chronon_spark.sources.scan import scan_source
+
+    rows = [(i, float(i), BASE + i * DAY) for i in range(5)]
+    df = spark.createDataFrame(rows, "user_id long, value double, ts long")
+    src = DataFrameSource(
+        lambda s: df,
+        query=Query(
+            selects={"user_id": "user_id", "v2": "value * 2"},
+            time_column="ts",
+            start_partition="2024-01-02",
+            end_partition="2024-01-03",
+            setups=[
+                "CREATE OR REPLACE TEMPORARY VIEW _setup_probe "
+                "AS SELECT 1 AS one"
+            ],
+        ),
+    )
+    out = scan_source(spark, src)
+    got = sorted((r["user_id"], r["ds"]) for r in out.collect())
+    assert got == [(1, "2024-01-02"), (2, "2024-01-03")]
+    assert spark.sql("SELECT * FROM _setup_probe").count() == 1  # setups ran
