@@ -204,6 +204,38 @@ def _perm_consts(num_hashes: int) -> list[tuple[int, int]]:
     return [(2 * i + 1, (9973 * i + 12345) % MINHASH_P) for i in range(num_hashes)]
 
 
+def _auto_bands(num_hashes: int, threshold: float) -> int:
+    """Fewest bands (largest r = rows per band) whose banding still
+    catches a pair at exactly `threshold` Jaccard with probability
+    >= 0.95 — so default banding always delivers the recall the
+    `threshold` parameter promises. P(candidate) = 1-(1-t^r)^(n/r);
+    only divisors of num_hashes are considered. A fixed bands=16 at
+    threshold=0.3 would surface only ~12% of threshold-Jaccard pairs;
+    this picks bands=32 (r=2, ~95%) there and the classic 16 (r=4,
+    >0.999) at the 0.8 default."""
+    for r in range(num_hashes, 0, -1):
+        if num_hashes % r:
+            continue
+        if 1.0 - (1.0 - threshold ** r) ** (num_hashes // r) >= 0.95:
+            return num_hashes // r
+    return num_hashes
+
+
+def _check_bands(num_hashes: int, bands: int) -> int:
+    """rows_per_band, validated: a non-divisor silently ignores trailing
+    signature slots, and bands > num_hashes degenerates every band key to
+    an empty slice — ALL docs then share every key and the candidate
+    self-join goes quadratic."""
+    if bands < 1 or bands > num_hashes or num_hashes % bands:
+        raise ValueError(
+            f"bands={bands} must be a divisor of num_hashes={num_hashes} "
+            "(a non-divisor drops trailing signature slots; bands > "
+            "num_hashes makes every band key an empty slice and the "
+            "candidate join all-pairs)"
+        )
+    return num_hashes // bands
+
+
 def minhash_signature(col: Column, n: int = 3, num_hashes: int = 64) -> Column:
     """MinHash signature as array<long> — Spark-native, one pass."""
     fps = shingle_fps(col, n)
@@ -223,7 +255,7 @@ def minhash_lsh_pairs(
     text_col: str,
     n: int = 3,
     num_hashes: int = 64,
-    bands: int = 16,
+    bands: Optional[int] = None,
     threshold: float = 0.8,
     verify: bool = True,
     max_bucket: Optional[int] = 200,
@@ -232,8 +264,11 @@ def minhash_lsh_pairs(
     r = num_hashes/bands consecutive signature slots become candidates;
     candidates are (optionally) verified with exact shingle Jaccard.
 
-    P(candidate) = 1 - (1 - j^r)^bands — with 64 hashes / 16 bands (r=4)
-    a 0.8-Jaccard pair is caught with p > 0.999.
+    P(candidate) = 1 - (1 - j^r)^bands. `bands=None` (default) derives
+    the banding FROM the threshold so recall at threshold-Jaccard is
+    >= 0.95 (see _auto_bands) — with 64 hashes that is the classic 16
+    bands (r=4, p > 0.999) at threshold 0.8 but 32 bands (r=2) at 0.3,
+    where 16 bands would silently miss ~88% of threshold pairs.
 
     `max_bucket` drops band buckets holding more than that many docs —
     the standard LSH-dedup guard: a bucket of size m contributes m^2
@@ -241,7 +276,9 @@ def minhash_lsh_pairs(
     Pairs inside dropped buckets are still found through their other
     bands unless they collide on every hot band.
     """
-    rows_per_band = num_hashes // bands
+    if bands is None:
+        bands = _auto_bands(num_hashes, threshold)
+    rows_per_band = _check_bands(num_hashes, bands)
     docs = with_shingles_and_signature(df, id_col, text_col, n, num_hashes).cache()
     banded = docs.select(
         "id",
@@ -310,14 +347,57 @@ def simhash64_py(text: str, n: int = 3) -> int:
     return out - (1 << 64) if out >= (1 << 63) else out
 
 
+def simhash64_np(text: Optional[str], n: int = 3) -> int:
+    """Vectorized SimHash, bit-identical to `simhash64_py` (pinned by
+    tests over random unicode): the shingle dedup runs on the WINDOW
+    CONTENT (np.unique axis=0), not on fingerprints, so a theoretical
+    fp collision between distinct shingles still contributes twice —
+    exactly like the python set-of-strings reference and the DuckDB
+    oracle. The rolling hash, the 64-bit mix, and the bit accumulation
+    are all whole-array numpy ops (the python path hashes every char of
+    every shingle in the interpreter — the dominant cost)."""
+    if text is None:
+        return 0
+    codes = (
+        np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+        if text else np.zeros(0, dtype=np.int64)
+    )
+    if len(codes) < n:
+        # single shingle = the whole text ('' hashes to 0, matching the
+        # python path's {''} set)
+        if len(codes) == 0:
+            fps = np.zeros(1, dtype=np.int64)
+        else:
+            w = FP_BASE ** np.arange(len(codes) - 1, -1, -1, dtype=np.int64)
+            fps = np.array([int(codes @ w) % FP_MOD], dtype=np.int64)
+    else:
+        windows = np.lib.stride_tricks.sliding_window_view(codes, n)
+        uniq = np.unique(windows, axis=0)
+        if n <= 8:
+            w = FP_BASE ** np.arange(n - 1, -1, -1, dtype=np.int64)
+            fps = (uniq @ w) % FP_MOD
+        else:
+            fps = np.zeros(len(uniq), dtype=np.int64)
+            for j in range(n):
+                fps = (fps * FP_BASE + uniq[:, j]) % FP_MOD
+    h64 = fps.astype(np.uint64) * np.uint64(2654435761) + np.uint64(0x9E3779B9)
+    h64 ^= (h64 >> np.uint64(29)) * np.uint64(0xBF58476D1CE4E5B9)
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = ((h64[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+    acc = (2 * bits - 1).sum(axis=0)
+    out = int(((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
 def with_simhash(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
-    """Adds `simhash` (bigint). Arrow-batched pandas UDF — the per-shingle
-    bit loop is numpy-vectorized per document."""
+    """Adds `simhash` (bigint). Arrow-batched pandas UDF over the
+    fully-vectorized `simhash64_np` kernel (bit-identical to the
+    `simhash64_py` reference)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
     def _simhash(s: pd.Series) -> pd.Series:
-        return s.map(lambda t: simhash64_py(t, n))
+        return s.map(lambda t: simhash64_np(t, n))
 
     return df.withColumn("simhash", _simhash(F.col(text_col)))
 
@@ -453,7 +533,16 @@ def embedding_neardup_pairs(
 
     docs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if dim is None:
-        dim = len(docs.select("v").first()["v"])
+        # Probe a non-null vector; an empty frame (or all-null vectors)
+        # has no pairs by definition — return the empty result instead
+        # of crashing at plan-build time.
+        probe = docs.where(F.col("v").isNotNull()).select("v").first()
+        if probe is None:
+            id_t = dict(df.dtypes)[id_col]
+            return docs.sparkSession.createDataFrame(
+                [], f"id_a {id_t}, id_b {id_t}, cosine double"
+            )
+        dim = len(probe["v"])
     # cache: the bucket self-join (a x b) would otherwise run the Arrow
     # sketch matmul once per side (plus once for the bucket-size cap)
     sketch = docs.withColumn(
@@ -784,7 +873,7 @@ def minhash_lsh_pairs_incremental(
     text_col: str,
     n: int = 3,
     num_hashes: int = 64,
-    bands: int = 16,
+    bands: Optional[int] = None,
     threshold: float = 0.8,
     max_bucket: Optional[int] = 200,
     corpus_is_index: bool = False,
@@ -802,8 +891,12 @@ def minhash_lsh_pairs_incremental(
 
     Pass `corpus_is_index=True` when `corpus` is a persisted
     `signature_index` output (columns id, sh, sig) to skip re-hashing.
+    `bands=None` derives the banding from `threshold` exactly like
+    `minhash_lsh_pairs` (recall >= 0.95 at threshold-Jaccard).
     """
-    rows_per_band = num_hashes // bands
+    if bands is None:
+        bands = _auto_bands(num_hashes, threshold)
+    rows_per_band = _check_bands(num_hashes, bands)
     new_docs = with_shingles_and_signature(
         new_df, id_col, text_col, n, num_hashes
     ).cache()
@@ -1005,9 +1098,12 @@ def duplicate_spans(
                 "g": (h1 * (1 << 31) + h2)[valid],
             })
 
+    # Preserve the caller's id type — hardcoding `id long` turns string
+    # document ids (e.g. 'img_0001') into an Arrow conversion failure.
+    id_t = df.schema[id_col].dataType.simpleString()
     grams = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("txt")
-    ).mapInPandas(part, schema="id long, pos long, g long")
+    ).mapInPandas(part, schema=f"id {id_t}, pos long, g long")
     if keep_first:
         # the Lee et al. removal policy: the globally FIRST occurrence of
         # each duplicated gram (by (id, pos)) stays clean; only later

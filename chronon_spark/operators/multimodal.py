@@ -99,8 +99,9 @@ def extract_pixel_features(
             ):
                 out["image_id"].append(iid)
                 try:
+                    # TypeError covers NULL payload bytes (np.frombuffer(None))
                     pix = decode_image(data, int(w), int(h), fmt)
-                except (NotImplementedError, ValueError):
+                except (NotImplementedError, ValueError, TypeError):
                     for k in ("phash_check",):
                         out[k].append(None)
                     for k in ("brightness", "contrast", "r_mean", "g_mean",
@@ -134,24 +135,38 @@ def extract_pixel_features(
 
 def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Nearest-neighbor resize; emits re-encoded 'rgb8' bytes. Same
-    mapInPandas shape a real resampler (PIL.resize) would use."""
-    schema = "image_id string, bytes binary, w int, h int, fmt string"
+    mapInPandas shape a real resampler (PIL.resize) would use. Rows whose
+    payload can't be decoded (corrupt/NULL bytes, stubbed codec) come back
+    with bytes=NULL and decode_ok=false — one bad row never fails the
+    job, matching the module-wide integrity-gate contract."""
+    schema = ("image_id string, bytes binary, w int, h int, fmt string, "
+              "decode_ok boolean")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = {"image_id": [], "bytes": [], "w": [], "h": [], "fmt": []}
+            rows = {"image_id": [], "bytes": [], "w": [], "h": [],
+                    "fmt": [], "decode_ok": []}
             for iid, data, w, h, fmt in zip(
                 pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
             ):
-                pix = decode_image(data, int(w), int(h), fmt)
+                rows["image_id"].append(iid)
+                try:
+                    pix = decode_image(data, int(w), int(h), fmt)
+                except (NotImplementedError, ValueError, TypeError):
+                    rows["bytes"].append(None)
+                    rows["w"].append(int(w))
+                    rows["h"].append(int(h))
+                    rows["fmt"].append(fmt)
+                    rows["decode_ok"].append(False)
+                    continue
                 yi = (np.arange(out_h) * h // out_h).astype(np.int64)
                 xi = (np.arange(out_w) * w // out_w).astype(np.int64)
                 res = pix[yi][:, xi]
-                rows["image_id"].append(iid)
                 rows["bytes"].append(res.tobytes())
                 rows["w"].append(out_w)
                 rows["h"].append(out_h)
                 rows["fmt"].append("rgb8")
+                rows["decode_ok"].append(True)
             yield pd.DataFrame(rows)
 
     return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
@@ -201,7 +216,7 @@ def sample_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
             ):
                 try:
                     frames = decode_video(data, int(w), int(h), int(nf), fmt)
-                except (NotImplementedError, ValueError):
+                except (NotImplementedError, ValueError, TypeError):
                     rows["video_id"].append(vid)
                     rows["frame_idx"].append(None)
                     rows["bytes"].append(None)
@@ -260,7 +275,7 @@ def extract_video_features(
                 out["video_id"].append(vid)
                 try:
                     frames = decode_video(data, int(w), int(h), int(nf), fmt)
-                except (NotImplementedError, ValueError):
+                except (NotImplementedError, ValueError, TypeError):
                     out["phash0_check"].append(None)
                     out["n_frames_read"].append(None)
                     out["brightness"].append(None)
@@ -313,12 +328,17 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
                 pdf["audio_id"], pdf["bytes"], pdf["sr"], pdf["fmt"]
             ):
                 out["audio_id"].append(aid)
-                if fmt not in NATIVE_AUDIO_FORMATS:
+                try:
+                    if fmt not in NATIVE_AUDIO_FORMATS:
+                        raise NotImplementedError(fmt)
+                    # ValueError: truncated pcm16 (odd byte count);
+                    # TypeError: NULL payload bytes
+                    feats = audio_features_np(decode_pcm16(data), int(sr))
+                except (NotImplementedError, ValueError, TypeError):
                     for k in ("rms", "zcr", "spectral_centroid_hz", "duration_s"):
                         out[k].append(None)
                     out["decode_ok"].append(False)
                     continue
-                feats = audio_features_np(decode_pcm16(data), int(sr))
                 out["rms"].append(feats["rms"])
                 out["zcr"].append(feats["zcr"])
                 out["spectral_centroid_hz"].append(feats["spectral_centroid_hz"])
@@ -370,16 +390,29 @@ def curate_images(
     from chronon_spark.operators.dedup import hamming_clusters
     from chronon_spark.operators.text import token_count
 
-    feats = extract_pixel_features(images, passthrough=("w", "h", "caption"))
+    has_caption = "caption" in images.columns
+    if min_caption_tokens > 0 and not has_caption:
+        raise ValueError(
+            "min_caption_tokens > 0 requires a 'caption' column on the "
+            "input images table"
+        )
+    pt = ("w", "h", "caption") if has_caption else ("w", "h")
+    feats = extract_pixel_features(images, passthrough=pt)
+    # NULL captions count as 0 tokens (token_count(NULL) is NULL, which
+    # would silently drop decoded rows even at min_caption_tokens=0).
+    caption_gate = (
+        F.coalesce(token_count(F.col("caption")), F.lit(0)) >= min_caption_tokens
+        if has_caption else F.lit(True)
+    )
     kept = feats.where(
         F.col("decode_ok")
         & (F.col("w") >= min_w)
         & (F.col("h") >= min_h)
-        & (token_count(F.col("caption")) >= min_caption_tokens)
+        & caption_gate
     ).select(
         "image_id",
         F.col("phash_check").alias("phash_decoded"),
-        "w", "h", "caption",
+        *(("w", "h", "caption") if has_caption else ("w", "h")),
         "brightness", "contrast",
     )
     # Materialize the gated metadata ONCE: downstream the clustering

@@ -30,7 +30,11 @@ BUCKETS = 10_000  # sampling resolution: basis points
 
 
 def _bps(fraction: float) -> int:
-    """Fraction -> integer basis-point threshold (banker-free round)."""
+    """Fraction -> integer basis-point threshold. Python's round() is
+    half-EVEN (banker's rounding): a fraction landing exactly on a half
+    basis point (e.g. 0.00025 -> 2, not 3) rounds to the even bp. Any
+    engine re-deriving thresholds from fractions must use the same rule
+    or split membership disagrees at the boundary bucket."""
     return int(round(fraction * BUCKETS))
 
 
