@@ -37,7 +37,16 @@ BENCH_QUERIES = [
     "curate_images_48k",       # r3: decode-gate-cluster curation path
     "real_decode_24k",         # r4: from-scratch PNG/JPEG decode throughput
     "corpus_decontaminate",    # r3: eval-set shingle sweep (text corpus)
-    "dedup_incremental",       # r3: batch-vs-corpus minhash probe
+    "dedup_incremental",       # r3: batch-vs-corpus minhash probe.
+    # r4 note: ~2x slower than BENCH_r03 BY DESIGN — the gate query runs at
+    # threshold=0.3 and LSH banding is now derived from the threshold
+    # (bands=32/r=2 instead of a fixed 16/r=4), which is what actually
+    # delivers the >=0.95 recall the threshold parameter promises (16 bands
+    # at 0.3 catches ~12% of threshold-Jaccard pairs; the r3 oracle only
+    # passed because fixture dups are high-Jaccard). The candidate set
+    # grows 41.6k -> 96.1k pairs at sf0.1 — the inherent LSH S-curve price
+    # of a low threshold. At the classic 0.8 dedup threshold the derived
+    # banding is the same 16 bands and the cost is unchanged.
 ]
 
 # North-star workload (BASELINE.json metric: feature vectors/sec on the
