@@ -306,11 +306,18 @@ def _compute_bucketed_part(df, keys, part, rng, spec, dense) -> DataFrame:
             [(spec.epoch_millis(d) // DAY_MS,) for d in rng.partitions()],
             "__day long",
         )
-        spine = daily.select(*keys).distinct().crossJoin(F.broadcast(days_df))
+        # key universe from ALL event rows (df), not the null-bucket-filtered
+        # daily: a key whose buckets are all NULL still has rows, so kernel
+        # parity (and any GROUP BY oracle) gives it an {} map, not no row
+        spine = df.select(*keys).distinct().crossJoin(F.broadcast(days_df))
     else:
         spine = df.withColumn("__day", _day_expr(df)).select(*keys, "__day").distinct()
     kb = dfb.select(*keys, b).distinct()
-    scaffold = spine.join(kb, keys)
+    # LEFT join: identical to inner for keys holding >=1 non-null bucket;
+    # all-null-bucket keys keep one (key, day, bucket=NULL) scaffold row
+    # whose window value nulls out below, folding to the {} map the
+    # temporal kernel emits for the same inputs
+    scaffold = spine.join(kb, keys, "left")
     daily = scaffold.join(daily, keys + ["__day", b], "full_outer")
 
     w_base = W.partitionBy(*keys, b).orderBy("__day")
@@ -402,7 +409,9 @@ def _compute_bucketed_hist_part(df, keys, part, rng, spec, dense) -> DataFrame:
             [(spec.epoch_millis(d) // DAY_MS,) for d in rng.partitions()],
             "__day long",
         )
-        spine = daily.select(*keys).distinct().crossJoin(F.broadcast(days_df))
+        # key universe from ALL event rows (kernel parity for all-null keys;
+        # the spine left-join at the end coalesces them to empty maps)
+        spine = dayed.select(*keys).distinct().crossJoin(F.broadcast(days_df))
     else:
         spine = dayed.select(*keys, "__day").distinct()
     kb = dfb.where(F.col(hv).isNotNull()).select(*keys, b, hv).distinct()
