@@ -2065,6 +2065,10 @@ VIDEO_N, VIDEO_SEED = 200, 77
 _VIDEO_FIXTURE_PATH = f"/root/repo/.fixtures/videos_n{VIDEO_N}_s{VIDEO_SEED}.parquet"
 AUDIO_N, AUDIO_SEED = 300, 55
 _AUDIO_FIXTURE_PATH = f"/root/repo/.fixtures/audio_n{AUDIO_N}_s{AUDIO_SEED}.parquet"
+AUDIO_REAL_N, AUDIO_REAL_SEED = 300, 91
+_AUDIO_REAL_FIXTURE_PATH = (
+    f"/root/repo/.fixtures/audio_real_n{AUDIO_REAL_N}_s{AUDIO_REAL_SEED}.parquet"
+)
 
 
 def _video_fixture_path() -> str:
@@ -2077,6 +2081,12 @@ def _audio_fixture_path() -> str:
     from chronon_spark.fixtures import ensure_audio_fixture
 
     return ensure_audio_fixture(n=AUDIO_N, seed=AUDIO_SEED)
+
+
+def _audio_real_fixture_path() -> str:
+    from chronon_spark.fixtures import ensure_real_audio_fixture
+
+    return ensure_real_audio_fixture(n=AUDIO_REAL_N, seed=AUDIO_REAL_SEED)
 
 
 def q_video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2113,6 +2123,32 @@ def q_audio_clip_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = extract_audio_features(aud)
     return out.select(
         "audio_id",
+        F.round(F.col("rms") + 1e-9, 6).alias("rms"),
+        F.round(F.col("zcr") + 1e-9, 6).alias("zcr"),
+        F.round(F.col("spectral_centroid_hz") + 1e-9, 6).alias("centroid_hz"),
+        F.round(F.col("duration_s") + 1e-9, 6).alias("duration_s"),
+        "decode_ok",
+    )
+
+
+def q_audio_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-format audio decode: WAV/RIFF containers across the encoding
+    matrix (integer PCM 8/16/24/32, IEEE float32/64, G.711 A-law/mu-law,
+    WAVE_FORMAT_EXTENSIBLE, stereo mean-downmix — audio_codecs.py, from
+    scratch per the WAVE/G.711 specs) through the same Arrow feature
+    pass. The oracle reads the fixture's generation-time sidecars
+    (features of the DECODED signal; NULL + decode_ok=false for the
+    deterministic corrupt rows), so a hash match proves the engine
+    reproduces them from the binary payload alone — the audio analog of
+    image_real_decode."""
+    _prep(spark)
+    from chronon_spark.operators.multimodal import extract_audio_features
+
+    aud = spark.read.parquet(_audio_real_fixture_path())
+    out = extract_audio_features(aud)
+    return out.join(aud.select("audio_id", "enc"), "audio_id").select(
+        "audio_id",
+        "enc",
         F.round(F.col("rms") + 1e-9, 6).alias("rms"),
         F.round(F.col("zcr") + 1e-9, 6).alias("zcr"),
         F.round(F.col("spectral_centroid_hz") + 1e-9, 6).alias("centroid_hz"),
@@ -3082,6 +3118,8 @@ _COMPOSITE_SPECS: dict[str, list[str]] = {
     ],
     "dedup_incremental_suite": ["dedup_incremental", "image_phash_incremental"],
     "image_decode_suite": ["image_pixel_features", "image_real_decode"],
+    # synthetic pcm16 sidecar contract + the real WAV/RIFF encoding matrix
+    "audio_suite": ["audio_clip_features", "audio_real_decode"],
     "sources_suite": ["cumulative_source", "groupby_multisource_union"],
     "wire_formats_suite": [
         "iceberg_scan",
@@ -3239,10 +3277,19 @@ _QCOLS: dict[str, list[str]] = {
         "image_id", "phash_match", "brightness_match", "psnr_ok", "fmt",
     ],
     "image_phash_incremental": ["new_id", "corpus_id", "hamming"],
+    "audio_clip_features": [
+        "audio_id", "rms", "zcr", "centroid_hz", "duration_s", "decode_ok",
+    ],
+    "audio_real_decode": [
+        "audio_id", "enc", "rms", "zcr", "centroid_hz", "duration_s",
+        "decode_ok",
+    ],
 }
 
 _BOOL_COLS: dict[str, set[str]] = {
     "image_pixel_features": {"phash_match"},
+    "audio_clip_features": {"decode_ok"},
+    "audio_real_decode": {"decode_ok"},
     "image_real_decode": {"phash_match", "brightness_match", "psnr_ok"},
     "corpus_repetition": {"repetitive"},
     "corpus_decontaminate": {"contaminated"},
@@ -3357,7 +3404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_neardup",
         "image_curation",
         "video_frame_features",
-        "audio_clip_features",
+        "audio_suite",
     ]
     assert len(window) == 50, len(window)
     merged = {**granular, **suites}
@@ -3397,6 +3444,7 @@ def _granular_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_curation": q_image_curation,
         "video_frame_features": q_video_frame_features,
         "audio_clip_features": q_audio_clip_features,
+        "audio_real_decode": q_audio_real_decode,
         "stream_stateful_features": q_stream_stateful,
         "stream_windowed_counts": q_stream_windowed_counts,
         "stream_session_windows": q_stream_session_windows,
@@ -3533,6 +3581,7 @@ def _oracle_sql_granular() -> dict[str, str]:
     _real_image_fixture_path()  # ditto the real-codec (png/jpeg) fixture
     _video_fixture_path()  # ditto video
     _audio_fixture_path()  # ditto audio
+    _audio_real_fixture_path()  # ditto the real-codec (wav) audio fixture
     return {
         "scan_query_dsl": """
             SELECT event_id, user_id, epoch_ms(ts) AS ts,
@@ -4416,6 +4465,18 @@ def _oracle_sql_granular() -> dict[str, str]:
                    ROUND(duration_s + 1e-9, 6) AS duration_s,
                    TRUE AS decode_ok
             FROM '{_AUDIO_FIXTURE_PATH}'
+        """,
+        # real WAV/RIFF fixture: sidecars are NULL + decode_ok=false for
+        # the deterministic corrupt rows; the engine must flag exactly
+        # those and reproduce every other row's features from the bytes
+        "audio_real_decode": f"""
+            SELECT audio_id, enc,
+                   ROUND(rms + 1e-9, 6) AS rms,
+                   ROUND(zcr + 1e-9, 6) AS zcr,
+                   ROUND(spectral_centroid_hz + 1e-9, 6) AS centroid_hz,
+                   ROUND(duration_s + 1e-9, 6) AS duration_s,
+                   decode_ok
+            FROM '{_AUDIO_REAL_FIXTURE_PATH}'
         """,
         "image_asof_features": _IMAGE_ASOF_ORACLE,
         # Iceberg-planned variant must reconstruct the IDENTICAL feature

@@ -587,3 +587,137 @@ def ensure_audio_fixture(
     pq.write_table(table, tmp, row_group_size=FIXTURE_ROW_GROUP)
     os.replace(tmp, path)
     return path
+
+
+# ---------------------------------------------------------------------------
+# Real-format audio fixture: WAV/RIFF containers across the encoding
+# matrix external encoders actually emit (integer PCM 8/16/24/32, IEEE
+# float32/64, G.711 A-law/mu-law, WAVE_FORMAT_EXTENSIBLE headers, mono
+# and stereo), plus raw pcm16 rows and deterministic corrupt rows.
+# Sidecar features are computed from the DECODED payload (for stereo:
+# the mean downmix the engine performs), so a value-hash match proves
+# the engine's Arrow decode pass reproduces them from the bytes alone.
+# ---------------------------------------------------------------------------
+
+# (encoding, channels, extensible) cycle — raw-pcm16 and corrupt rows
+# are interleaved on top of this by index arithmetic below.
+_REAL_AUDIO_LAYOUTS = [
+    ("pcm16", 1, False),
+    ("pcm16", 2, False),
+    ("pcm8", 1, False),
+    ("pcm24", 1, False),
+    ("pcm24", 2, True),
+    ("pcm32", 1, False),
+    ("float32", 1, False),
+    ("float32", 2, True),
+    ("float64", 1, False),
+    ("ulaw", 1, False),
+    ("ulaw", 1, True),
+    ("alaw", 1, False),
+    ("alaw", 2, False),
+    ("pcm16", 2, True),
+]
+
+
+def gen_real_audio_rows(n: int, seed: int = 91, span_days: int = 30):
+    from chronon_spark.audio_codecs import decode_wav, encode_wav
+
+    rows = []
+    for i in range(n):
+        rng = np.random.default_rng(seed * 1_000_003 + i)
+        sr = int(rng.choice([8000, 16000, 22050]))
+        n_samples = int(rng.integers(2000, 8001))
+        t = np.arange(n_samples) / sr
+        f1, f2 = rng.uniform(80, 2000, 2)
+        a1, a2 = rng.uniform(0.2, 0.45, 2)
+        x = np.clip(
+            a1 * np.sin(2 * np.pi * f1 * t)
+            + a2 * np.sin(2 * np.pi * f2 * t)
+            + 0.05 * rng.standard_normal(n_samples),
+            -1.0, 1.0,
+        )
+        if i % 17 == 13:           # raw pcm16 row (legacy layout mixed in)
+            fmt, enc_name = "pcm16", "raw"
+            data = encode_pcm16(x)
+            decoded, dec_sr = decode_pcm16(data), sr
+        else:
+            fmt = "wav"
+            encoding, channels, ext = _REAL_AUDIO_LAYOUTS[
+                i % len(_REAL_AUDIO_LAYOUTS)]
+            enc_name = f"{encoding}x{channels}" + ("_ext" if ext else "")
+            if channels == 2:
+                # second channel: same tones, different phase + gain
+                y = np.clip(
+                    0.8 * a1 * np.sin(2 * np.pi * f1 * t + 0.7)
+                    + 1.1 * a2 * np.sin(2 * np.pi * f2 * t + 1.9)
+                    + 0.05 * rng.standard_normal(n_samples),
+                    -1.0, 1.0,
+                )
+                sig = np.stack([x, y], axis=1)
+            else:
+                sig = x
+            data = encode_wav(sig, sr, encoding, extensible=ext)
+            decoded, dec_sr = decode_wav(data)
+
+        corrupt = i % 23 == 7
+        if corrupt:
+            # two deterministic corruption modes, both guaranteed to raise:
+            # truncation makes the data chunk declare bytes past EOF (and
+            # breaks raw-pcm16 int16 alignment); tag clobber rewrites the
+            # fmt chunk's format tag to ADPCM (0x0002), which the decoder
+            # rejects. Sidecar features are NULL for these rows.
+            if i % 2 == 0 or fmt == "pcm16":
+                data = data[:len(data) - 3]
+            else:
+                data = data[:20] + b"\x02\x00" + data[22:]
+            enc_name += "_corrupt"
+            feats = {"rms": None, "zcr": None,
+                     "spectral_centroid_hz": None, "duration_s": None}
+        else:
+            feats = audio_features_np(decoded, dec_sr)
+
+        ts = BASE_TS + int(rng.integers(0, span_days * DAY_MS))
+        rows.append({
+            "audio_id": f"aud_{i:08d}",
+            "bytes": data,
+            "sr": sr,
+            "n_samples": n_samples,
+            "fmt": fmt,
+            "enc": enc_name,
+            "decode_ok": not corrupt,
+            "ts": ts,
+            **feats,
+        })
+    return rows
+
+
+def ensure_real_audio_fixture(
+    n: int = 300, seed: int = 91, out_dir: str = "/root/repo/.fixtures"
+) -> str:
+    path = os.path.join(out_dir, f"audio_real_n{n}_s{seed}.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(out_dir, exist_ok=True)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = gen_real_audio_rows(n, seed)
+    table = pa.table({
+        "audio_id": [r["audio_id"] for r in rows],
+        "bytes": pa.array([r["bytes"] for r in rows], type=pa.binary()),
+        "sr": pa.array([r["sr"] for r in rows], type=pa.int32()),
+        "n_samples": pa.array([r["n_samples"] for r in rows], type=pa.int32()),
+        "fmt": [r["fmt"] for r in rows],
+        "enc": [r["enc"] for r in rows],
+        "decode_ok": pa.array([r["decode_ok"] for r in rows], type=pa.bool_()),
+        "rms": pa.array([r["rms"] for r in rows], type=pa.float64()),
+        "zcr": pa.array([r["zcr"] for r in rows], type=pa.float64()),
+        "spectral_centroid_hz": pa.array(
+            [r["spectral_centroid_hz"] for r in rows], type=pa.float64()),
+        "duration_s": pa.array([r["duration_s"] for r in rows], type=pa.float64()),
+        "ts": pa.array([r["ts"] for r in rows], type=pa.int64()),
+    })
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp, row_group_size=FIXTURE_ROW_GROUP)
+    os.replace(tmp, path)
+    return path

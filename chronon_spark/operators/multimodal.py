@@ -175,7 +175,7 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
 
 NATIVE_VIDEO_FORMATS = ("vraw",)
-NATIVE_AUDIO_FORMATS = ("pcm16",)
+NATIVE_AUDIO_FORMATS = ("pcm16", "wav")
 
 
 def decode_video(data: bytes, w: int, h: int, n_frames: int, fmt: str) -> np.ndarray:
@@ -311,12 +311,17 @@ AUDIO_FEATURE_SCHEMA = (
 
 def extract_audio_features(df: DataFrame) -> DataFrame:
     """Per-clip audio features in one Arrow pass: RMS level, zero-crossing
-    rate, spectral centroid (rfft), duration. Native codec: 'pcm16'
-    (int16 LE mono). Compressed codecs (mp3/flac/ogg) are STUBBED —
-    decode_ok=false — the container has no audio library; a real
-    deployment drops soundfile/librosa into the decode branch.
+    rate, spectral centroid (rfft), duration. Native codecs: 'pcm16'
+    (raw int16 LE mono) and 'wav' (real RIFF/WAVE container — integer
+    PCM 8/16/24/32, IEEE float32/64, G.711 A-law/mu-law, extensible
+    headers, multi-channel mean-downmix; audio_codecs.py). For 'wav'
+    the sample rate comes from the container header, not the column.
+    Compressed codecs (mp3/flac/ogg) are STUBBED — decode_ok=false —
+    the container has no audio library; a real deployment drops
+    soundfile/librosa into the decode branch.
 
     Input columns: audio_id, bytes, sr, fmt."""
+    from chronon_spark.audio_codecs import decode_wav
     from chronon_spark.fixtures import audio_features_np, decode_pcm16
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -331,9 +336,13 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
                 try:
                     if fmt not in NATIVE_AUDIO_FORMATS:
                         raise NotImplementedError(fmt)
-                    # ValueError: truncated pcm16 (odd byte count);
-                    # TypeError: NULL payload bytes
-                    feats = audio_features_np(decode_pcm16(data), int(sr))
+                    # ValueError: truncated pcm16 (odd byte count) or
+                    # corrupt WAV layout; TypeError: NULL payload bytes
+                    if fmt == "wav":
+                        samples, hdr_sr = decode_wav(data)
+                        feats = audio_features_np(samples, hdr_sr)
+                    else:
+                        feats = audio_features_np(decode_pcm16(data), int(sr))
                 except (NotImplementedError, ValueError, TypeError):
                     for k in ("rms", "zcr", "spectral_centroid_hz", "duration_s"):
                         out[k].append(None)
