@@ -1693,7 +1693,7 @@ def q_image_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 REAL_IMG_N, REAL_IMG_SEED = 200, 42
 _REAL_FIXTURE_PATH = (
-    f"/root/repo/.fixtures/images_real_v3_n{REAL_IMG_N}_s{REAL_IMG_SEED}.parquet"
+    f"/root/repo/.fixtures/images_real_v4_n{REAL_IMG_N}_s{REAL_IMG_SEED}.parquet"
 )
 
 
@@ -1704,9 +1704,10 @@ def _real_image_fixture_path() -> str:
 
 
 def q_image_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL-format decode end-to-end: the fixture's bytes are actual PNG
-    and baseline-JPEG files (chronon_spark/codecs.py — from-scratch spec
-    implementations, no PIL in the container). The engine decodes them in
+    """REAL-format decode end-to-end: the fixture's bytes are actual PNG,
+    baseline-JPEG, GIF (LZW) and BMP files (chronon_spark/codecs.py —
+    from-scratch spec implementations, no PIL in the container; fixture
+    v4 mixes all four). The engine decodes them in
     the same fused Arrow pass as every other format; the oracle pins
     (a) recomputed phash == stored phash-of-decoded, (b) decoded mean
     brightness == the generator's decoded-pixel sidecar, and (c) PSNR of
@@ -2089,6 +2090,18 @@ def _audio_real_fixture_path() -> str:
     return ensure_real_audio_fixture(n=AUDIO_REAL_N, seed=AUDIO_REAL_SEED)
 
 
+VIDEO_REAL_N, VIDEO_REAL_SEED = 200, 83
+_VIDEO_REAL_FIXTURE_PATH = (
+    f"/root/repo/.fixtures/videos_real_n{VIDEO_REAL_N}_s{VIDEO_REAL_SEED}.parquet"
+)
+
+
+def _video_real_fixture_path() -> str:
+    from chronon_spark.fixtures import ensure_real_video_fixture
+
+    return ensure_real_video_fixture(n=VIDEO_REAL_N, seed=VIDEO_REAL_SEED)
+
+
 def q_video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video binary columns ('vraw' = concatenated rgb8 frames): fused
     decode -> frame-sample -> per-video features in ONE Arrow pass
@@ -2108,6 +2121,31 @@ def q_video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_frames_read",
         F.round(F.col("brightness") + 1e-9, 6).alias("brightness"),
         F.round(F.col("motion_energy") + 1e-9, 6).alias("motion_energy"),
+    )
+
+
+def q_video_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-format video decode: animated GIF — LZW frames composited
+    per the spec's disposal/transparency rules (codecs.decode_gif_frames,
+    from scratch; plain + interlaced layouts) — through the same fused
+    Arrow video-feature pass as 'vraw'. The oracle reads the fixture's
+    decoded-frame sidecars (NULL + decode_ok=false for the deterministic
+    truncated rows), so a hash match proves frame-exact decode through
+    the Spark path."""
+    _prep(spark)
+    from chronon_spark.operators.multimodal import extract_video_features
+
+    vids = spark.read.parquet(_video_real_fixture_path())
+    out = extract_video_features(vids, every_n=1)
+    return out.join(vids.select("video_id", "layout", "phash"), "video_id").select(
+        "video_id",
+        "layout",
+        F.when(F.col("decode_ok"),
+               F.col("phash0_check") == F.col("phash")).alias("phash_match"),
+        "n_frames_read",
+        F.round(F.col("brightness") + 1e-9, 6).alias("brightness"),
+        F.round(F.col("motion_energy") + 1e-9, 6).alias("motion_energy"),
+        "decode_ok",
     )
 
 
@@ -3120,6 +3158,8 @@ _COMPOSITE_SPECS: dict[str, list[str]] = {
     "image_decode_suite": ["image_pixel_features", "image_real_decode"],
     # synthetic pcm16 sidecar contract + the real WAV/RIFF encoding matrix
     "audio_suite": ["audio_clip_features", "audio_real_decode"],
+    # synthetic vraw sidecar contract + real animated-GIF frame decode
+    "video_suite": ["video_frame_features", "video_real_decode"],
     "sources_suite": ["cumulative_source", "groupby_multisource_union"],
     "wire_formats_suite": [
         "iceberg_scan",
@@ -3280,6 +3320,14 @@ _QCOLS: dict[str, list[str]] = {
     "audio_clip_features": [
         "audio_id", "rms", "zcr", "centroid_hz", "duration_s", "decode_ok",
     ],
+    "video_frame_features": [
+        "video_id", "phash_match", "n_frames_read", "brightness",
+        "motion_energy",
+    ],
+    "video_real_decode": [
+        "video_id", "layout", "phash_match", "n_frames_read", "brightness",
+        "motion_energy", "decode_ok",
+    ],
     "audio_real_decode": [
         "audio_id", "enc", "rms", "zcr", "centroid_hz", "duration_s",
         "decode_ok",
@@ -3290,6 +3338,8 @@ _BOOL_COLS: dict[str, set[str]] = {
     "image_pixel_features": {"phash_match"},
     "audio_clip_features": {"decode_ok"},
     "audio_real_decode": {"decode_ok"},
+    "video_frame_features": {"phash_match"},
+    "video_real_decode": {"phash_match", "decode_ok"},
     "image_real_decode": {"phash_match", "brightness_match", "psnr_ok"},
     "corpus_repetition": {"repetitive"},
     "corpus_decontaminate": {"contaminated"},
@@ -3403,7 +3453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_asof_suite",
         "image_phash_neardup",
         "image_curation",
-        "video_frame_features",
+        "video_suite",
         "audio_suite",
     ]
     assert len(window) == 50, len(window)
@@ -3443,6 +3493,7 @@ def _granular_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_neardup": q_image_phash_neardup,
         "image_curation": q_image_curation,
         "video_frame_features": q_video_frame_features,
+        "video_real_decode": q_video_real_decode,
         "audio_clip_features": q_audio_clip_features,
         "audio_real_decode": q_audio_real_decode,
         "stream_stateful_features": q_stream_stateful,
@@ -3582,6 +3633,7 @@ def _oracle_sql_granular() -> dict[str, str]:
     _video_fixture_path()  # ditto video
     _audio_fixture_path()  # ditto audio
     _audio_real_fixture_path()  # ditto the real-codec (wav) audio fixture
+    _video_real_fixture_path()  # ditto the real-codec (gif) video fixture
     return {
         "scan_query_dsl": """
             SELECT event_id, user_id, epoch_ms(ts) AS ts,
@@ -4465,6 +4517,17 @@ def _oracle_sql_granular() -> dict[str, str]:
                    ROUND(duration_s + 1e-9, 6) AS duration_s,
                    TRUE AS decode_ok
             FROM '{_AUDIO_FIXTURE_PATH}'
+        """,
+        # real animated-GIF fixture: decoded-frame sidecars (NULL +
+        # decode_ok=false for the deterministic truncated rows)
+        "video_real_decode": f"""
+            SELECT video_id, layout,
+                   CASE WHEN decode_ok THEN TRUE END AS phash_match,
+                   CASE WHEN decode_ok THEN n_frames END AS n_frames_read,
+                   ROUND(brightness + 1e-9, 6) AS brightness,
+                   ROUND(motion + 1e-9, 6) AS motion_energy,
+                   decode_ok
+            FROM '{_VIDEO_REAL_FIXTURE_PATH}'
         """,
         # real WAV/RIFF fixture: sidecars are NULL + decode_ok=false for
         # the deterministic corrupt rows; the engine must flag exactly

@@ -35,7 +35,8 @@ BENCH_QUERIES = [
     "temporal_entity_mutations",  # r2: mutation replay
     "image_asof_fused",        # r3: north-star image+caption backfill
     "curate_images_48k",       # r3: decode-gate-cluster curation path
-    "real_decode_24k",         # r4: from-scratch PNG/JPEG decode throughput
+    "real_decode_24k",         # r4: from-scratch PNG/JPEG/GIF/BMP decode
+                               # throughput (fixture v4 adds the GIF/BMP mix)
     "corpus_decontaminate",    # r3: eval-set shingle sweep (text corpus)
     "dedup_incremental",       # r3: batch-vs-corpus minhash probe.
     # r4 note: ~2x slower than BENCH_r03 BY DESIGN — the gate query runs at
@@ -108,9 +109,11 @@ def run_curate_images(spark):
 
 def run_real_decode(spark):
     """Real-format decode throughput: 24k PNG (RFC 2083 inflate+unfilter)
-    / baseline-JPEG (Huffman+IDCT) images through the fused pixel-feature
-    Arrow pass — the from-scratch codecs under timing, not just under
-    correctness. Images/s is the figure of merit."""
+    / baseline-JPEG (Huffman+IDCT) / GIF (LZW+compositing) / BMP images
+    through the fused pixel-feature Arrow pass — the from-scratch codecs
+    under timing, not just under correctness. Images/s is the figure of
+    merit. (Fixture v4: ~35/35/15/15 png/jpeg/gif/bmp — not directly
+    comparable to the BENCH_r03-era v3 png/jpeg-only number.)"""
     from chronon_spark.fixtures import ensure_real_image_fixture
     from chronon_spark.operators.multimodal import extract_pixel_features
 

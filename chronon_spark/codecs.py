@@ -1030,3 +1030,432 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
         chans.append(plane)
     ycc = np.stack(chans, axis=-1)[:h, :w]
     return _ycbcr_to_rgb(ycc)
+
+
+# ---------------------------------------------------------------------------
+# GIF (GIF87a/GIF89a per the published GRAPHICS INTERCHANGE FORMAT spec):
+# LZW-compressed palette frames, local/global color tables, interlacing,
+# GCE transparency + frame disposal, multi-frame animation.  The decoder
+# composites frames the way browsers do — canvas starts white (the same
+# convention as the PNG alpha-over-white path), transparent pixels keep
+# the underlying canvas, disposal 2 restores the region to white and
+# disposal 3 restores the previous canvas.  decode_gif returns the first
+# composited frame (image path); decode_gif_frames returns every frame
+# (video path — animated GIF is the container's one REAL animation
+# format, so it feeds sample_frames/extract_video_features directly).
+#
+# Robustness contract matches PNG/JPEG: corrupt layouts (header, LZW
+# code stream, block structure, frame rects outside the screen) raise
+# ValueError before any allocation sized from a corrupt header; LZW
+# output is clamped to the frame's pixel count so a crafted code stream
+# cannot balloon memory.
+# ---------------------------------------------------------------------------
+
+_GIF_MAX_FRAMES = 4096
+
+
+def _gif_subblocks(data: bytes, pos: int) -> tuple[bytes, int]:
+    """Concatenate a sub-block chain starting at pos; returns (payload,
+    position after the 0 terminator)."""
+    parts = []
+    while True:
+        if pos >= len(data):
+            raise ValueError("truncated GIF sub-block chain")
+        n = data[pos]
+        pos += 1
+        if n == 0:
+            return b"".join(parts), pos
+        if pos + n > len(data):
+            raise ValueError("GIF sub-block declares bytes past EOF")
+        parts.append(data[pos:pos + n])
+        pos += n
+
+
+def _lzw_decode(payload: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    """GIF-flavor LZW (LSB-first variable-width codes, CLEAR/EOI,
+    4096-entry dictionary) -> exactly n_pixels palette indices."""
+    if not 2 <= min_code_size <= 8:
+        raise ValueError(f"bad LZW min code size: {min_code_size}")
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    base = [bytes([i]) for i in range(clear)]
+    table: list[bytes] = []
+    code_size = min_code_size + 1
+    out: list[bytes] = []
+    out_len = 0
+    prev: bytes | None = None
+    bitbuf = bitcnt = 0
+    i = 0
+    n_bytes = len(payload)
+    while True:
+        while bitcnt < code_size:
+            if i >= n_bytes:
+                raise ValueError("LZW stream ended before EOI")
+            bitbuf |= payload[i] << bitcnt
+            bitcnt += 8
+            i += 1
+        code = bitbuf & ((1 << code_size) - 1)
+        bitbuf >>= code_size
+        bitcnt -= code_size
+        if code == clear:
+            table = list(base) + [b"", b""]  # slots for clear/eoi
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table or base):
+                raise ValueError("first LZW code not a literal")
+            entry = base[code] if not table else table[code]
+            if not table:
+                table = list(base) + [b"", b""]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"LZW code {code} beyond table")
+        out.append(entry)
+        out_len += len(entry)
+        if out_len > n_pixels:
+            raise ValueError("LZW output exceeds frame pixel count")
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+        prev = entry
+        if out_len == n_pixels:
+            break
+    idx = np.frombuffer(b"".join(out), dtype=np.uint8)
+    if len(idx) != n_pixels:
+        raise ValueError(
+            f"LZW decoded {len(idx)} pixels, frame needs {n_pixels}")
+    return idx
+
+
+def _gif_deinterlace(rows: np.ndarray) -> np.ndarray:
+    """Undo GIF 4-pass interlacing on a (h, w) index array."""
+    h = rows.shape[0]
+    order = np.concatenate([
+        np.arange(0, h, 8), np.arange(4, h, 8),
+        np.arange(2, h, 4), np.arange(1, h, 2),
+    ])
+    out = np.empty_like(rows)
+    out[order] = rows
+    return out
+
+
+def decode_gif_frames(data: bytes, max_frames: int | None = None) -> np.ndarray:
+    """GIF bytes -> (n_frames, h, w, 3) uint8, frames composited onto
+    the logical screen per the spec's disposal/transparency rules."""
+    if data is None:
+        raise TypeError("NULL payload")
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh = struct.unpack_from("<HH", data, 6)
+    _check_dims(sw, sh)
+    flags = data[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        if pos + 3 * n > len(data):
+            raise ValueError("global color table past EOF")
+        gct = np.frombuffer(data[pos:pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+
+    canvas = np.full((sh, sw, 3), 255, dtype=np.uint8)
+    frames: list[np.ndarray] = []
+    transparent: int | None = None
+    disposal = 0
+    while True:
+        if pos >= len(data):
+            raise ValueError("GIF stream ended without trailer")
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            if pos >= len(data):
+                raise ValueError("truncated GIF extension")
+            label = data[pos]
+            pos += 1
+            if label == 0xF9:  # graphic control
+                payload, pos = _gif_subblocks(data, pos)
+                if len(payload) < 4:
+                    raise ValueError("short graphic control extension")
+                packed = payload[0]
+                disposal = (packed >> 2) & 0x07
+                transparent = payload[3] if packed & 0x01 else None
+            else:  # application/comment/plain text: skip sub-blocks
+                _, pos = _gif_subblocks(data, pos)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02X}")
+        # image descriptor
+        if pos + 9 > len(data):
+            raise ValueError("truncated image descriptor")
+        left, top, fw, fh = struct.unpack_from("<HHHH", data, pos)
+        iflags = data[pos + 8]
+        pos += 9
+        if left + fw > sw or top + fh > sh or fw == 0 or fh == 0:
+            raise ValueError("frame rect outside logical screen")
+        lct = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            if pos + 3 * n > len(data):
+                raise ValueError("local color table past EOF")
+            lct = np.frombuffer(
+                data[pos:pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if lct is None:
+            raise ValueError("frame has neither local nor global color table")
+        if pos >= len(data):
+            raise ValueError("missing LZW min code size")
+        mcs = data[pos]
+        pos += 1
+        payload, pos = _gif_subblocks(data, pos)
+        idx = _lzw_decode(payload, mcs, fw * fh).reshape(fh, fw)
+        if iflags & 0x40:
+            idx = _gif_deinterlace(idx)
+        if int(idx.max()) >= len(lct):
+            raise ValueError("palette index beyond color table")
+
+        prev_canvas = canvas.copy() if disposal == 3 else None
+        region = canvas[top:top + fh, left:left + fw]
+        rgb = lct[idx]
+        if transparent is not None:
+            opaque = idx != transparent
+            region[opaque] = rgb[opaque]
+        else:
+            region[:] = rgb
+        frames.append(canvas.copy())
+        if len(frames) >= (max_frames or _GIF_MAX_FRAMES):
+            break
+        # disposal applies AFTER the frame is shown
+        if disposal == 2:
+            canvas[top:top + fh, left:left + fw] = 255
+        elif disposal == 3 and prev_canvas is not None:
+            canvas = prev_canvas
+        transparent = None
+        disposal = 0
+    if not frames:
+        raise ValueError("GIF contains no image frames")
+    return np.stack(frames)
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """First composited frame of a GIF -> (h, w, 3) uint8."""
+    return decode_gif_frames(data, max_frames=1)[0]
+
+
+def _lzw_encode(idx: np.ndarray, min_code_size: int) -> bytes:
+    """GIF-flavor LZW encoder (dict reset at 4096, LSB-first packing)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    bitbuf = bitcnt = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal bitbuf, bitcnt
+        bitbuf |= code << bitcnt
+        bitcnt += size
+        while bitcnt >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            bitcnt -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    code_size = min_code_size + 1
+    emit(clear, code_size)
+    buf = b""
+    for b in idx.tobytes():
+        cand = buf + bytes([b])
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], code_size)
+        if next_code < 4096:
+            table[cand] = next_code
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+            next_code += 1
+        else:
+            emit(clear, code_size)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+        buf = bytes([b])
+    if buf:
+        emit(table[buf], code_size)
+    emit(eoi, code_size)
+    if bitcnt:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(
+    frames: np.ndarray,
+    interlace: bool = False,
+    transparent_color: tuple[int, int, int] | None = None,
+    delay_cs: int = 4,
+    disposals: list[int] | None = None,
+) -> bytes:
+    """(h, w, 3) or (n, h, w, 3) uint8 -> GIF89a bytes.  All frames
+    share one global color table built from their unique colors (must
+    quantize to <= 256 first — e.g. (pix // 32) * 32); pixels equal to
+    `transparent_color` are written as the transparent index."""
+    if frames.ndim == 3:
+        frames = frames[None]
+    n, h, w, _ = frames.shape
+    colors = np.unique(frames.reshape(-1, 3), axis=0)
+    if transparent_color is not None:
+        tc = np.array(transparent_color, dtype=np.uint8)
+        colors = colors[~(colors == tc).all(axis=1)]
+        colors = np.concatenate([colors, tc[None]])  # t-index = last
+    if len(colors) > 256:
+        raise ValueError(f"{len(colors)} colors exceed GIF's 256")
+    depth = max(1, int(np.ceil(np.log2(max(len(colors), 2)))))
+    table_n = 1 << depth
+    palette = np.zeros((table_n, 3), dtype=np.uint8)
+    palette[:len(colors)] = colors
+    t_index = len(colors) - 1 if transparent_color is not None else None
+
+    # color -> index lookup via a packed-int sort
+    packed = (colors[:, 0].astype(np.int64) << 16) \
+        | (colors[:, 1].astype(np.int64) << 8) | colors[:, 2]
+    order = np.argsort(packed)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += palette.tobytes()
+    # NETSCAPE2.0 looping application extension (animation realism)
+    if n > 1:
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    mcs = max(2, depth)
+    for fi in range(n):
+        fpx = (frames[fi][:, :, 0].astype(np.int64) << 16) \
+            | (frames[fi][:, :, 1].astype(np.int64) << 8) \
+            | frames[fi][:, :, 2].astype(np.int64)
+        pos_in_sorted = np.searchsorted(packed[order], fpx.reshape(-1))
+        idx = order[pos_in_sorted].astype(np.uint8).reshape(h, w)
+        disposal = (disposals[fi] if disposals else (1 if n > 1 else 0))
+        packed_gce = (disposal & 0x07) << 2 \
+            | (1 if t_index is not None else 0)
+        out += b"\x21\xf9\x04" + struct.pack(
+            "<BHB", packed_gce, delay_cs,
+            t_index if t_index is not None else 0) + b"\x00"
+        out += b"\x2c" + struct.pack(
+            "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+        if interlace:
+            hh = np.concatenate([
+                np.arange(0, h, 8), np.arange(4, h, 8),
+                np.arange(2, h, 4), np.arange(1, h, 2),
+            ])
+            idx = idx[hh]
+        out.append(mcs)
+        lzw = _lzw_encode(idx, mcs)
+        for j in range(0, len(lzw), 255):
+            chunk = lzw[j:j + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# BMP (Windows BITMAPINFOHEADER family): uncompressed BI_RGB at 8
+# (palette) / 24 / 32 bits, BI_BITFIELDS 32-bit with the standard
+# channel masks, bottom-up and top-down row orders, 4-byte row padding.
+# V4/V5 headers (108/124 bytes) parse through the same fixed prefix.
+# ---------------------------------------------------------------------------
+
+def encode_bmp(pix: np.ndarray, bpp: int = 24) -> bytes:
+    """(h, w, 3) uint8 -> BMP bytes (bottom-up BI_RGB)."""
+    h, w, _ = pix.shape
+    if bpp == 24:
+        bgr = pix[::-1, :, ::-1]
+        stride = (w * 3 + 3) & ~3
+        body = np.zeros((h, stride), dtype=np.uint8)
+        body[:, :w * 3] = bgr.reshape(h, w * 3)
+        palette = b""
+        offset = 14 + 40
+    elif bpp == 8:
+        colors, inv = np.unique(pix.reshape(-1, 3), axis=0,
+                                return_inverse=True)
+        if len(colors) > 256:
+            raise ValueError(f"{len(colors)} colors exceed 8-bit palette")
+        palette = np.zeros((256, 4), dtype=np.uint8)
+        palette[:len(colors), 0] = colors[:, 2]  # BGRA quads
+        palette[:len(colors), 1] = colors[:, 1]
+        palette[:len(colors), 2] = colors[:, 0]
+        palette = palette.tobytes()
+        idx = inv.astype(np.uint8).reshape(h, w)[::-1]
+        stride = (w + 3) & ~3
+        body = np.zeros((h, stride), dtype=np.uint8)
+        body[:, :w] = idx
+        offset = 14 + 40 + 1024
+    else:
+        raise ValueError(f"unsupported encode bpp: {bpp}")
+    raw = body.tobytes()
+    hdr = b"BM" + struct.pack("<IHHI", offset + len(raw), 0, 0, offset)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, 0, len(raw),
+                      2835, 2835, 256 if bpp == 8 else 0, 0)
+    return hdr + dib + palette + raw
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """BMP bytes -> (h, w, 3) uint8."""
+    if data is None:
+        raise TypeError("NULL payload")
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", data, 10)
+    (hdr_size,) = struct.unpack_from("<I", data, 14)
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    w, h_signed, _planes, bpp, compression = struct.unpack_from(
+        "<iiHHI", data, 18)
+    top_down = h_signed < 0
+    h = -h_signed if top_down else h_signed
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad BMP dimensions {w}x{h_signed}")
+    _check_dims(w, h)
+    if compression not in (0, 3):
+        raise ValueError(f"unsupported BMP compression {compression}")
+    if compression == 3:
+        if bpp != 32 or hdr_size < 52 and len(data) < 14 + 40 + 12:
+            raise ValueError("BI_BITFIELDS only supported at 32 bpp")
+        masks = struct.unpack_from("<III", data, 14 + 40)
+        if masks != (0x00FF0000, 0x0000FF00, 0x000000FF):
+            raise ValueError(f"unsupported BI_BITFIELDS masks {masks}")
+    if bpp not in (8, 24, 32):
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    stride = (w * (bpp // 8) + 3) & ~3
+    need = stride * h
+    if offset + need > len(data):
+        raise ValueError("BMP pixel data past EOF")
+    body = np.frombuffer(data[offset:offset + need],
+                         dtype=np.uint8).reshape(h, stride)
+    if bpp == 8:
+        (n_colors,) = struct.unpack_from("<I", data, 46)
+        n_colors = n_colors or 256
+        pal_off = 14 + hdr_size
+        if pal_off + 4 * n_colors > offset:
+            raise ValueError("BMP palette overlaps pixel data")
+        pal = np.frombuffer(data[pal_off:pal_off + 4 * n_colors],
+                            dtype=np.uint8).reshape(n_colors, 4)
+        idx = body[:, :w]
+        if int(idx.max()) >= n_colors:
+            raise ValueError("palette index beyond BMP color table")
+        rgb = pal[idx][:, :, [2, 1, 0]]  # BGRA quads -> RGB
+    elif bpp == 24:
+        rgb = body[:, :w * 3].reshape(h, w, 3)[:, :, ::-1]
+    else:
+        rgb = body[:, :w * 4].reshape(h, w, 4)[:, :, [2, 1, 0]]
+    if not top_down:
+        rgb = rgb[::-1]
+    return np.ascontiguousarray(rgb)

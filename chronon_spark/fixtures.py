@@ -64,6 +64,14 @@ def encode_image(pix: np.ndarray, fmt: str) -> bytes:
         from chronon_spark.codecs import encode_jpeg
 
         return encode_jpeg(pix, quality=92)
+    if fmt == "gif":
+        from chronon_spark.codecs import encode_gif
+
+        return encode_gif(pix)  # caller quantizes to <= 256 colors
+    if fmt == "bmp":
+        from chronon_spark.codecs import encode_bmp
+
+        return encode_bmp(pix)
     raise ValueError(f"unknown fmt {fmt}")
 
 
@@ -85,6 +93,14 @@ def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         from chronon_spark.codecs import decode_jpeg
 
         return decode_jpeg(data)
+    if fmt == "gif":
+        from chronon_spark.codecs import decode_gif
+
+        return decode_gif(data)
+    if fmt == "bmp":
+        from chronon_spark.codecs import decode_bmp
+
+        return decode_bmp(data)
     raise ValueError(f"unknown fmt {fmt}")
 
 
@@ -228,10 +244,20 @@ def ensure_image_fixture(
     return path
 
 
+def _quantize_to_palette(pix: np.ndarray, max_colors: int = 256) -> np.ndarray:
+    """Deterministically coarsen until <= max_colors distinct colors
+    (GIF / 8-bit-BMP palette bound)."""
+    for step in (32, 64, 128):
+        q = (pix // step) * step
+        if len(np.unique(q.reshape(-1, 3), axis=0)) <= max_colors:
+            return q
+    return (pix // 128) * 128  # 8 colors max; always fits
+
+
 def gen_real_image_rows(n: int, seed: int = 42, span_days: int = 30,
                         offset: int = 0):
-    """Real-interchange-format rows (PNG + baseline JPEG bytes from
-    chronon_spark.codecs). Same (seed, index)-determinism as
+    """Real-interchange-format rows (PNG / baseline JPEG / GIF / BMP
+    bytes from chronon_spark.codecs). Same (seed, index)-determinism as
     gen_image_rows, plus two sidecars derived at generation time:
 
       dec_brightness — round(mean gray of the DECODED pixels, 2): the
@@ -250,8 +276,28 @@ def gen_real_image_rows(n: int, seed: int = 42, span_days: int = 30,
         rng = np.random.default_rng(seed * 2_000_003 + i)
         w, h = sizes[int(rng.integers(0, len(sizes)))]
         pix = gen_pixels(rng, w, h)
-        fmt = "png" if rng.random() < 0.5 else "jpeg"
-        if fmt == "jpeg":
+        fv = rng.random()
+        fmt = ("png" if fv < 0.35 else "jpeg" if fv < 0.7
+               else "gif" if fv < 0.85 else "bmp")
+        if fmt == "gif":
+            # GIF is palette-limited: quantize first (sidecars follow the
+            # quantized pixels — the round trip itself is lossless). The
+            # step is adaptive: smooth gradient content at //32 usually
+            # lands well under 256 colors, but large rows can exceed it,
+            # so coarsen deterministically until the palette fits.
+            from chronon_spark.codecs import encode_gif
+
+            pix = _quantize_to_palette(pix)
+            data = encode_gif(pix, interlace=bool(rng.random() < 0.4))
+        elif fmt == "bmp":
+            from chronon_spark.codecs import encode_bmp
+
+            if rng.random() < 0.3:  # 8-bit palette layout needs <= 256 colors
+                pix = _quantize_to_palette(pix)
+                data = encode_bmp(pix, bpp=8)
+            else:
+                data = encode_bmp(pix, bpp=24)
+        elif fmt == "jpeg":
             # cover the real-world layout spread: 4:2:0 vs 4:4:4, with and
             # without restart intervals — all must clear the 40dB bar
             from chronon_spark.codecs import encode_jpeg
@@ -331,9 +377,10 @@ def ensure_real_image_fixture(
     index, so bytes are identical regardless of worker count."""
     # v3: jpeg rows sample 4:2:0/4:4:4 x restart-interval variants and png
     # rows sample truecolor/interlaced/RGBA/palette/grayscale layouts (the
-    # r4 codec completion); the version tag invalidates caches whose bytes
-    # predate the layout spread
-    path = os.path.join(out_dir, f"images_real_v3_n{n}_s{seed}.parquet")
+    # r4 codec completion); v4 adds GIF (LZW, plain + interlaced) and BMP
+    # (24-bit + 8-bit palette) rows. The version tag invalidates caches
+    # whose bytes predate the layout spread.
+    path = os.path.join(out_dir, f"images_real_v4_n{n}_s{seed}.parquet")
     if os.path.exists(path):
         return path
     os.makedirs(out_dir, exist_ok=True)
@@ -715,6 +762,98 @@ def ensure_real_audio_fixture(
         "spectral_centroid_hz": pa.array(
             [r["spectral_centroid_hz"] for r in rows], type=pa.float64()),
         "duration_s": pa.array([r["duration_s"] for r in rows], type=pa.float64()),
+        "ts": pa.array([r["ts"] for r in rows], type=pa.int64()),
+    })
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp, row_group_size=FIXTURE_ROW_GROUP)
+    os.replace(tmp, path)
+    return path
+
+
+# ---------------------------------------------------------------------------
+# Real-format video fixture: animated GIF — the one real animation
+# container a no-ffmpeg environment can decode, via the from-scratch
+# LZW/compositing decoder in chronon_spark.codecs.  Frames roll a
+# palette-quantized base pattern, so motion energy is non-trivial while
+# the 256-color limit holds.  Sidecars (phash of frame 0, brightness,
+# motion) come from the DECODED frames; deterministic corrupt rows carry
+# NULL sidecars + decode_ok=false.
+# ---------------------------------------------------------------------------
+
+def gen_real_video_rows(n: int, seed: int = 83, span_days: int = 30):
+    from chronon_spark.codecs import decode_gif_frames, encode_gif
+
+    sizes = [(16, 16), (24, 16), (16, 24)]
+    rows = []
+    for i in range(n):
+        rng = np.random.default_rng(seed * 1_000_003 + i)
+        w, h = sizes[int(rng.integers(0, len(sizes)))]
+        n_frames = int(rng.integers(4, 13))
+        base = (gen_pixels(rng, w, h) // 32) * 32  # palette-limited
+        frames = np.stack(
+            [np.roll(base, shift=2 * f, axis=1) for f in range(n_frames)]
+        )
+        interlace = bool(rng.random() < 0.3)
+        data = encode_gif(frames, interlace=interlace)
+        layout = "gif_i" if interlace else "gif"
+
+        corrupt = i % 19 == 11
+        if corrupt:
+            data = data[:len(data) - 5]  # truncated sub-block chain
+            layout += "_corrupt"
+            feats = {"phash": None, "brightness": None, "motion": None}
+        else:
+            dec = decode_gif_frames(data)
+            assert dec.shape == (n_frames, h, w, 3)
+            feats = {
+                "phash": phash64(dec[0]),
+                "brightness": float(dec.astype(np.float64).mean()),
+                "motion": video_motion_energy(dec),
+            }
+        ts = BASE_TS + int(rng.integers(0, span_days * DAY_MS))
+        rows.append({
+            "video_id": f"rvid_{i:08d}",
+            "bytes": data,
+            "w": int(w),
+            "h": int(h),
+            "n_frames": n_frames,
+            "fps": 8,
+            "fmt": "gif",
+            "layout": layout,
+            "decode_ok": not corrupt,
+            "caption": gen_caption(rng),
+            "ts": ts,
+            **feats,
+        })
+    return rows
+
+
+def ensure_real_video_fixture(
+    n: int = 200, seed: int = 83, out_dir: str = "/root/repo/.fixtures"
+) -> str:
+    path = os.path.join(out_dir, f"videos_real_n{n}_s{seed}.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(out_dir, exist_ok=True)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = gen_real_video_rows(n, seed)
+    table = pa.table({
+        "video_id": [r["video_id"] for r in rows],
+        "bytes": pa.array([r["bytes"] for r in rows], type=pa.binary()),
+        "w": pa.array([r["w"] for r in rows], type=pa.int32()),
+        "h": pa.array([r["h"] for r in rows], type=pa.int32()),
+        "n_frames": pa.array([r["n_frames"] for r in rows], type=pa.int32()),
+        "fps": pa.array([r["fps"] for r in rows], type=pa.int32()),
+        "fmt": [r["fmt"] for r in rows],
+        "layout": [r["layout"] for r in rows],
+        "decode_ok": pa.array([r["decode_ok"] for r in rows], type=pa.bool_()),
+        "caption": [r["caption"] for r in rows],
+        "phash": pa.array([r["phash"] for r in rows], type=pa.int64()),
+        "brightness": pa.array(
+            [r["brightness"] for r in rows], type=pa.float64()),
+        "motion": pa.array([r["motion"] for r in rows], type=pa.float64()),
         "ts": pa.array([r["ts"] for r in rows], type=pa.int64()),
     })
     tmp = path + ".tmp"

@@ -32,7 +32,7 @@ from chronon_spark.fixtures import decode_image as _decode_native
 from chronon_spark.fixtures import decode_video as _decode_video_native
 from chronon_spark.fixtures import phash64
 
-NATIVE_FORMATS = ("rgb8", "half", "png", "jpeg")
+NATIVE_FORMATS = ("rgb8", "half", "png", "jpeg", "gif", "bmp")
 
 
 def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
@@ -121,6 +121,10 @@ def extract_pixel_features(
                 out["aspect"].append(float(w) / float(h))
                 out["decode_ok"].append(True)
             res = pd.DataFrame(out)
+            # int/None lists coerce to float64 in pandas, silently rounding
+            # 64-bit hashes past 2^53 when a corrupt row shares the batch —
+            # force the nullable-int extension dtype so Arrow gets exact longs
+            res["phash_check"] = pd.array(out["phash_check"], dtype="Int64")
             for c in passthrough:
                 res[c] = pdf[c].reset_index(drop=True)
             yield res
@@ -174,12 +178,26 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     )
 
 
-NATIVE_VIDEO_FORMATS = ("vraw",)
+NATIVE_VIDEO_FORMATS = ("vraw", "gif")
 NATIVE_AUDIO_FORMATS = ("pcm16", "wav")
 
 
 def decode_video(data: bytes, w: int, h: int, n_frames: int, fmt: str) -> np.ndarray:
-    """Decode one video to (n_frames, h, w, 3) uint8."""
+    """Decode one video to (n_frames, h, w, 3) uint8.  'gif' is a REAL
+    animation container (codecs.decode_gif_frames — LZW, disposal and
+    transparency composited per spec); 'vraw' is the synthetic engine
+    layout.  The decoded geometry must match the metadata columns —
+    drift raises so it becomes a decode_ok=false row, never silently
+    mis-shaped frames."""
+    if fmt == "gif":
+        from chronon_spark.codecs import decode_gif_frames
+
+        frames = decode_gif_frames(data)
+        if frames.shape != (n_frames, h, w, 3):
+            raise ValueError(
+                f"gif decoded {frames.shape}, metadata says "
+                f"({n_frames}, {h}, {w}, 3)")
+        return frames
     if fmt in NATIVE_VIDEO_FORMATS:
         return _decode_video_native(data, w, h, n_frames)
     # STUB: real codecs (h264/vp9/...) need ffmpeg/pyav — not present in
@@ -291,6 +309,10 @@ def extract_video_features(
                 out["motion_energy"].append(motion)
                 out["decode_ok"].append(True)
             res = pd.DataFrame(out)
+            # same float64-coercion hazard as the image path: a corrupt row
+            # in the batch must not round the other rows' 64-bit hashes
+            res["phash0_check"] = pd.array(out["phash0_check"], dtype="Int64")
+            res["n_frames_read"] = pd.array(out["n_frames_read"], dtype="Int32")
             for c in passthrough:
                 res[c] = pdf[c].reset_index(drop=True)
             yield res

@@ -124,8 +124,8 @@ def test_jpeg_phash_near_stable_at_q92():
 
 
 def test_real_fixture_pipeline_decodes(spark):
-    """png/jpeg flow through the fused Arrow decode pass: every row
-    decode_ok, phash integrity holds, PSNR sidecar >= 40."""
+    """png/jpeg/gif/bmp flow through the fused Arrow decode pass: every
+    row decode_ok, phash integrity holds, PSNR sidecar >= 40."""
     from chronon_spark.fixtures import ensure_real_image_fixture
     from chronon_spark.operators.multimodal import with_image_features
 
@@ -145,7 +145,9 @@ def test_real_fixture_pipeline_decodes(spark):
     assert all(r.pm for r in rows)
     assert all(r.ok40 for r in rows)
     fmts = {r.fmt for r in rows}
-    assert fmts == {"png", "jpeg"}
+    # v4 fixture mixes all four real interchange formats; at n=40 the
+    # deterministic seed draws every one of them
+    assert fmts == {"png", "jpeg", "gif", "bmp"}
 
 
 # ---------------------------------------------------------------------------

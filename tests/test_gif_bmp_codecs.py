@@ -1,0 +1,351 @@
+"""GIF (LZW / disposal / transparency / interlace) and BMP (BI_RGB /
+BI_BITFIELDS / palette / row order) codec tests, plus the Spark-path
+regression for the nullable-Int64 phash columns.
+
+Reference parity note: the reference engine treats image payloads as
+opaque binary decoded by external libs; these codecs exist because the
+container has no PIL/ffmpeg — they are from-scratch implementations of
+the PUBLIC GIF89a and BITMAPINFOHEADER specs (same posture as the
+PNG/JPEG/WAV codecs in chronon_spark/codecs.py).
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from chronon_spark.codecs import (
+    decode_bmp,
+    decode_gif,
+    decode_gif_frames,
+    encode_bmp,
+    encode_gif,
+)
+
+
+def _palette_pixels(rng, h, w, levels=4):
+    return (rng.integers(0, levels, (h, w, 3)) * (256 // levels)).astype(
+        np.uint8
+    )
+
+
+# ---------------------------------------------------------------- GIF
+
+
+def test_gif_single_frame_round_trip_exact():
+    rng = np.random.default_rng(1)
+    for h, w in [(16, 16), (17, 23), (1, 1), (2, 64)]:
+        pix = _palette_pixels(rng, h, w)
+        out = decode_gif(encode_gif(pix))
+        assert out.shape == (h, w, 3)
+        assert np.array_equal(out, pix)
+
+
+def test_gif_interlaced_round_trip_exact():
+    rng = np.random.default_rng(2)
+    # heights straddling the Adam-style 8/4/2 pass boundaries
+    for h in (1, 2, 3, 5, 8, 9, 16, 21):
+        pix = _palette_pixels(rng, h, 13)
+        assert np.array_equal(decode_gif(encode_gif(pix, interlace=True)), pix)
+
+
+def test_gif_animation_frames_exact():
+    rng = np.random.default_rng(3)
+    base = _palette_pixels(rng, 12, 18)
+    frames = np.stack([np.roll(base, 3 * f, axis=1) for f in range(7)])
+    for interlace in (False, True):
+        dec = decode_gif_frames(encode_gif(frames, interlace=interlace))
+        assert dec.shape == frames.shape
+        assert np.array_equal(dec, frames)
+
+
+def test_gif_max_frames_cap():
+    rng = np.random.default_rng(4)
+    frames = np.stack([_palette_pixels(rng, 8, 8) for _ in range(6)])
+    dec = decode_gif_frames(encode_gif(frames), max_frames=2)
+    assert dec.shape[0] == 2
+    assert np.array_equal(dec, frames[:2])
+
+
+def test_gif_single_color_min_code_size_floor():
+    # 1 distinct color -> encoder must still emit a legal min code size >= 2
+    pix = np.full((9, 7, 3), 128, dtype=np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(pix)), pix)
+
+
+def test_gif_exactly_256_colors():
+    # full 8-bit palette: every index used once, 16x16
+    colors = np.stack(
+        [np.arange(256) % 7 * 36, np.arange(256) // 16 * 16,
+         np.arange(256) % 16 * 16], axis=1
+    ).astype(np.uint8)
+    # make rows unique colors (np.unique of these 256 rows may dedupe;
+    # force uniqueness via the index in the blue channel)
+    colors[:, 2] = np.arange(256) % 256
+    colors[:, 1] = np.arange(256) // 16
+    pix = colors.reshape(16, 16, 3)
+    assert len(np.unique(pix.reshape(-1, 3), axis=0)) == 256
+    assert np.array_equal(decode_gif(encode_gif(pix)), pix)
+
+
+def test_gif_too_many_colors_raises():
+    rng = np.random.default_rng(5)
+    pix = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    assert len(np.unique(pix.reshape(-1, 3), axis=0)) > 256
+    with pytest.raises(ValueError, match="256"):
+        encode_gif(pix)
+
+
+def test_gif_lzw_dictionary_reset_path():
+    # enough pixels/colors that the LZW dict hits 4096 and resets
+    rng = np.random.default_rng(6)
+    pix = _palette_pixels(rng, 128, 128, levels=6)
+    assert np.array_equal(decode_gif(encode_gif(pix)), pix)
+
+
+def test_gif_transparency_keeps_canvas():
+    # frame 0 paints everything; frame 1 marks a color transparent, so the
+    # composite keeps frame 0's pixels where frame 1 is transparent
+    f0 = np.full((6, 6, 3), 64, dtype=np.uint8)
+    f1 = np.full((6, 6, 3), 192, dtype=np.uint8)
+    f1[2:4, 2:4] = (0, 0, 0)  # the transparent key color
+    frames = np.stack([f0, f1])
+    dec = decode_gif_frames(
+        encode_gif(frames, transparent_color=(0, 0, 0))
+    )
+    assert np.array_equal(dec[0], f0)
+    expect = f1.copy()
+    expect[2:4, 2:4] = 64  # shows through from frame 0
+    assert np.array_equal(dec[1], expect)
+
+
+def test_gif_disposal_restore_background_and_previous():
+    a = np.full((4, 4, 3), 32, dtype=np.uint8)
+    b = np.full((4, 4, 3), 96, dtype=np.uint8)
+    c = np.full((4, 4, 3), 160, dtype=np.uint8)
+    c[1:3, 1:3] = (0, 0, 0)  # transparent in frame 2
+    frames = np.stack([a, b, c])
+    # disposal 2 after frame b -> canvas restored to white before frame c,
+    # so c's transparent hole shows WHITE not b
+    dec2 = decode_gif_frames(
+        encode_gif(frames, transparent_color=(0, 0, 0),
+                   disposals=[1, 2, 1])
+    )
+    expect = c.copy()
+    expect[1:3, 1:3] = 255
+    assert np.array_equal(dec2[2], expect)
+    # disposal 3 after frame b -> canvas restored to frame-a composite,
+    # so c's hole shows a's pixels
+    dec3 = decode_gif_frames(
+        encode_gif(frames, transparent_color=(0, 0, 0),
+                   disposals=[1, 3, 1])
+    )
+    expect3 = c.copy()
+    expect3[1:3, 1:3] = 32
+    assert np.array_equal(dec3[2], expect3)
+
+
+def test_gif_skips_comment_and_application_extensions():
+    pix = np.full((3, 3, 3), 200, dtype=np.uint8)
+    data = bytearray(encode_gif(pix))
+    # splice a comment extension + a NETSCAPE application extension right
+    # after the header/GCT, before the first graphic-control block
+    hdr_end = 13 + 3 * (2 << (data[10] & 0x07))
+    comment = b"\x21\xfe\x05hello\x00"
+    netscape = b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    spliced = bytes(data[:hdr_end]) + comment + netscape + bytes(data[hdr_end:])
+    assert np.array_equal(decode_gif(spliced), pix)
+
+
+def test_gif_local_color_table_and_subrect_frame():
+    # hand-assemble: 6x4 screen, no GCT; one 2x2 frame at (left=2, top=1)
+    # with a local color table -> rest of canvas stays white
+    lct = bytes([255, 0, 0, 0, 0, 255] + [0] * 0)  # 2 colors: red, blue
+    idx = bytes([0, 1, 1, 0])  # 2x2
+    # LZW-encode indices via the module's encoder (public contract is the
+    # byte layout, not the encoder): min code size 2
+    from chronon_spark.codecs import _lzw_encode
+
+    lzw = _lzw_encode(np.frombuffer(idx, dtype=np.uint8).reshape(2, 2), 2)
+    gif = (
+        b"GIF89a" + struct.pack("<HH", 6, 4) + bytes([0x00, 0, 0])  # no GCT
+        + b"\x2c" + struct.pack("<HHHH", 2, 1, 2, 2)
+        + bytes([0x80 | 0x00])  # local color table, size bits 0 -> 2 entries
+        + lct
+        + bytes([2]) + bytes([len(lzw)]) + lzw + b"\x00"
+        + b"\x3b"
+    )
+    out = decode_gif(gif)
+    assert out.shape == (4, 6, 3)
+    assert tuple(out[1, 2]) == (255, 0, 0)
+    assert tuple(out[1, 3]) == (0, 0, 255)
+    assert tuple(out[0, 0]) == (255, 255, 255)  # untouched canvas
+
+
+def test_gif_corruptions_raise():
+    rng = np.random.default_rng(7)
+    pix = _palette_pixels(rng, 10, 10)
+    good = encode_gif(pix)
+    with pytest.raises(ValueError):
+        decode_gif(good[:-4])  # truncated sub-block chain / trailer
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTGIF" + good[6:])
+    # frame rect pushed outside the logical screen
+    bad = bytearray(good)
+    pos = bad.index(0x2C, 13)  # first image descriptor
+    struct.pack_into("<H", bad, pos + 1, 9999)  # left
+    with pytest.raises(ValueError):
+        decode_gif(bytes(bad))
+    with pytest.raises(TypeError):
+        decode_gif(None)
+
+
+def test_gif_fuzz_never_escapes_valueerror():
+    rng = np.random.default_rng(8)
+    pix = _palette_pixels(rng, 12, 12)
+    payloads = [encode_gif(pix), encode_gif(pix, interlace=True),
+                encode_gif(np.stack([pix, pix]))]
+    for trial in range(150):
+        data = bytearray(payloads[trial % len(payloads)])
+        k = int(rng.integers(1, 4))
+        for _ in range(k):
+            mode = int(rng.integers(0, 3))
+            if mode == 0 and len(data) > 14:
+                i = int(rng.integers(6, len(data)))
+                data[i] ^= 1 << int(rng.integers(0, 8))
+            elif mode == 1 and len(data) > 20:
+                data = data[: int(rng.integers(14, len(data)))]
+            else:
+                i = int(rng.integers(6, len(data) + 1))
+                data = data[:i] + bytes([int(rng.integers(0, 256))]) + data[i:]
+        try:
+            out = decode_gif_frames(bytes(data))
+            assert out.dtype == np.uint8 and out.ndim == 4
+        except (ValueError, TypeError):
+            pass  # the contract: corrupt bytes -> ValueError/TypeError only
+
+
+# ---------------------------------------------------------------- BMP
+
+
+def test_bmp_24bit_round_trip_exact_with_padding():
+    rng = np.random.default_rng(9)
+    for h, w in [(8, 8), (5, 3), (7, 2), (1, 1)]:  # odd widths hit padding
+        pix = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(pix, bpp=24)), pix)
+
+
+def test_bmp_8bit_palette_round_trip_exact():
+    rng = np.random.default_rng(10)
+    pix = _palette_pixels(rng, 11, 6)
+    assert np.array_equal(decode_bmp(encode_bmp(pix, bpp=8)), pix)
+
+
+def test_bmp_8bit_too_many_colors_raises():
+    rng = np.random.default_rng(11)
+    pix = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="palette"):
+        encode_bmp(pix, bpp=8)
+
+
+def _bmp32(pix: np.ndarray, compression: int, top_down: bool) -> bytes:
+    """Hand-assemble a 32-bpp BMP (BI_RGB=0 or BI_BITFIELDS=3)."""
+    h, w, _ = pix.shape
+    rows = pix if top_down else pix[::-1]
+    bgrx = np.zeros((h, w, 4), dtype=np.uint8)
+    bgrx[:, :, 0] = rows[:, :, 2]
+    bgrx[:, :, 1] = rows[:, :, 1]
+    bgrx[:, :, 2] = rows[:, :, 0]
+    raw = bgrx.tobytes()
+    extra = struct.pack("<III", 0x00FF0000, 0x0000FF00, 0x000000FF) \
+        if compression == 3 else b""
+    offset = 14 + 40 + len(extra)
+    hdr = b"BM" + struct.pack("<IHHI", offset + len(raw), 0, 0, offset)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, 32,
+        compression, len(raw), 2835, 2835, 0, 0)
+    return hdr + dib + extra + raw
+
+
+def test_bmp_32bit_and_bitfields_and_topdown():
+    rng = np.random.default_rng(12)
+    pix = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(_bmp32(pix, 0, False)), pix)
+    assert np.array_equal(decode_bmp(_bmp32(pix, 3, False)), pix)
+    assert np.array_equal(decode_bmp(_bmp32(pix, 0, True)), pix)
+
+
+def test_bmp_corruptions_raise():
+    rng = np.random.default_rng(13)
+    pix = rng.integers(0, 256, (6, 6, 3), dtype=np.uint8)
+    good = encode_bmp(pix, bpp=24)
+    with pytest.raises(ValueError):
+        decode_bmp(good[:30])  # truncated header
+    with pytest.raises(ValueError):
+        decode_bmp(b"XX" + good[2:])
+    bad = bytearray(good)
+    struct.pack_into("<i", bad, 18, -4)  # negative width
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(bad))
+    bad2 = bytearray(good)
+    struct.pack_into("<I", bad2, 30, 1)  # BI_RLE8 compression
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(bad2))
+    with pytest.raises(ValueError):
+        decode_bmp(good[: len(good) - 8])  # pixel data past EOF
+    pal = encode_bmp(_palette_pixels(rng, 4, 4), bpp=8)
+    badp = bytearray(pal)
+    badp[-1] = 255  # palette index beyond declared colors? n_colors=256 ok
+    # instead: shrink declared color count below the max index
+    struct.pack_into("<I", badp, 46, 1)
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(badp))
+    with pytest.raises(TypeError):
+        decode_bmp(None)
+
+
+# ------------------------------------------- Spark-path Int64 regression
+
+
+def test_corrupt_row_in_batch_keeps_exact_int64_phash(spark):
+    """A corrupt payload sharing an Arrow batch with valid rows must not
+    coerce the batch's phash column to float64 (rounds 64-bit hashes past
+    2^53). Regression for the nullable-Int64 fix in multimodal.py."""
+    from chronon_spark.fixtures import encode_image, phash64
+    from chronon_spark.operators.multimodal import (
+        extract_pixel_features,
+        extract_video_features,
+    )
+
+    rng = np.random.default_rng(14)
+    # images: make enough rows that at least one has |phash| > 2^53
+    img_rows, expect = [], {}
+    for i in range(12):
+        pix = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        img_rows.append((f"i{i}", encode_image(pix, "png"), 16, 16, "png"))
+        expect[f"i{i}"] = phash64(pix)
+    assert any(abs(v) > 2 ** 53 for v in expect.values())
+    img_rows.append(("bad", b"\x89PNG\r\n\x1a\njunk", 16, 16, "png"))
+    df = spark.createDataFrame(
+        img_rows, "image_id string, bytes binary, w int, h int, fmt string"
+    ).coalesce(1)  # one partition -> corrupt row shares every batch
+    got = {
+        r.image_id: r.phash_check
+        for r in extract_pixel_features(df).collect()
+    }
+    assert got.pop("bad") is None
+    assert got == expect
+
+    # videos: same property through the gif decode path
+    base = _palette_pixels(rng, 16, 16)
+    frames = np.stack([np.roll(base, f, axis=0) for f in range(4)])
+    data = encode_gif(frames)
+    vdf = spark.createDataFrame(
+        [("v0", data, 16, 16, 4, "gif"),
+         ("vbad", data[:-6], 16, 16, 4, "gif")],
+        "video_id string, bytes binary, w int, h int, n_frames int, fmt string",
+    ).coalesce(1)
+    vout = {r.video_id: (r.phash0_check, r.decode_ok)
+            for r in extract_video_features(vdf).collect()}
+    assert vout["vbad"] == (None, False)
+    assert vout["v0"] == (phash64(frames[0]), True)
