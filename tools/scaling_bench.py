@@ -230,18 +230,21 @@ oracle-pinned separately by the `image_asof_iceberg` gate query).
     real = (pair_stats(levels, "real_decode", 4, 16)
             if ("real_decode", 16) in levels else None)
     real_block = "" if real is None else f"""
-## Real-format decode, {real["rows"]:,} PNG/JPEG images (4 -> 16 cores)
+## Real-format decode, {real["rows"]:,} PNG/JPEG/GIF/BMP images (4 -> 16 cores)
 
 The from-scratch interchange codecs (r4) under the scaling rule: decode
 every payload — PNG via RFC 2083 inflate + per-scanline unfilter, baseline
-JPEG via de-stuffed sliding-window Huffman + batched-BLAS IDCT — and
-extract pixel features in one Arrow pass. Zero shuffles; the
-embarrassingly-parallel regime that must scale ~linearly if the Arrow
-batching and parquet scan splits are right. Fixture v3 (late r4): the
-JPEG rows span 4:2:0/4:4:4 x restart-interval variants and the PNG rows
-span truecolor/Adam7-interlaced/RGBA/palette/grayscale layouts, so this
-pair measures the COMPLETE codec surface; the input grew 192k -> 200k
-with the layout spread, superseding the v1 series in the log via the
+JPEG via de-stuffed sliding-window Huffman + batched-BLAS IDCT, GIF via
+variable-width LZW + disposal/transparency compositing, BMP via BI_RGB /
+BI_BITFIELDS plane reads — and extract pixel features in one Arrow pass.
+Zero shuffles; the embarrassingly-parallel regime that must scale
+~linearly if the Arrow batching and parquet scan splits are right.
+Fixture v4: ~35/35/15/15 png/jpeg/gif/bmp, JPEG rows spanning
+4:2:0/4:4:4 x restart-interval variants, PNG rows spanning
+truecolor/Adam7-interlaced/RGBA/palette/grayscale layouts, GIF rows
+plain + interlaced, BMP rows 8-bpp palette + 24-bpp — the COMPLETE codec
+surface. The input grew 192k (v1) -> 200k (v3) -> 208k (v4) with each
+layout spread, each superseding the prior series in the log via the
 largest-rows rule.
 
 | parallelism | best wall (s) | passes | input images/sec |
