@@ -3066,6 +3066,41 @@ def q_corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "quality", "q_rank")
 
 
+def q_corpus_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style LM quality scoring (the CCNet/KenLM-gate analog):
+    fit an add-alpha unigram LM on the corpus itself, score every doc as
+    bits per token. The oracle refits the model from raw text (token
+    split, counts, N/V constants, smoothing) and recomputes every score —
+    a hash match certifies model fit AND scoring end-to-end."""
+    _prep(spark)
+    from chronon_spark.operators.text import unigram_lm_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = unigram_lm_scores(docs)  # uncapped vocab: cross-engine-exact
+    return out.select(
+        "doc_id",
+        F.col("n_lm_tokens").cast("long").alias("n_lm_tokens"),
+        F.round(F.col("bits_per_token") + 1e-9, 6).alias("bits_per_token"),
+    )
+
+
+def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget cap (the mixture-recipe knob: "at most B
+    tokens of this source"): deterministic hash-order prefix per source.
+    The engine runs the two-phase bucket plan (no full per-source sort);
+    the oracle runs the NAIVE window-cumsum prefix rule — a hash match
+    proves the scale-shaped plan computes exactly the spec."""
+    _prep(spark)
+    from chronon_spark.operators.sampling import token_budget_sample
+    from chronon_spark.operators.text import token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "n_tokens", token_count(F.col("text")).cast("long")
+    )
+    out = token_budget_sample(docs, 600, "n_tokens")
+    return out.select("doc_id", "source", "n_tokens")
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup — the daily-ingest shape: an incoming batch
     (doc_id % 10 = 0) probed against the existing corpus through banded
@@ -3147,12 +3182,14 @@ _COMPOSITE_SPECS: dict[str, list[str]] = {
         "corpus_stratified_sample",
         "corpus_weighted_mix",
         "corpus_pack",
+        "corpus_token_budget",
     ],
     "corpus_filters_suite": [
         "corpus_quality_gate",
         "corpus_repetition",
         "corpus_redact_pii",
         "corpus_decontaminate",
+        "corpus_lm_score",
     ],
     "dedup_incremental_suite": ["dedup_incremental", "image_phash_incremental"],
     "image_decode_suite": ["image_pixel_features", "image_real_decode"],
@@ -3301,6 +3338,8 @@ _QCOLS: dict[str, list[str]] = {
     "corpus_weighted_mix": ["doc_id", "mix_source", "mix_copy"],
     "corpus_pack": ["pack_key", "id", "tokens", "bin"],
     "corpus_quality_gate": ["doc_id", "lang", "quality", "q_rank"],
+    "corpus_lm_score": ["doc_id", "n_lm_tokens", "bits_per_token"],
+    "corpus_token_budget": ["doc_id", "source", "n_tokens"],
     "corpus_repetition": [
         "doc_id", "top2_char_frac", "top3_char_frac", "top4_char_frac",
         "dup5_frac", "repetitive",
@@ -3547,6 +3586,8 @@ def _granular_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "image_phash_incremental": q_image_phash_incremental,
         "corpus_quality_gate": q_corpus_quality_gate,
+        "corpus_lm_score": q_corpus_lm_score,
+        "corpus_token_budget": q_corpus_token_budget,
         "corpus_curation": q_corpus_curation,
         "staging_recompute": q_staging_recompute,
         "dedup_substring_spans": q_dedup_substring_spans,
@@ -5434,6 +5475,58 @@ def _oracle_sql_granular() -> dict[str, str]:
             )
             SELECT doc_id, lang, quality, q_rank FROM ranked
             WHERE q_rank >= 0.5
+        """,
+        # unigram-LM quality scoring: the oracle REFITS the whole model
+        # from raw text (token split mirrors text._lm_tokens, add-alpha
+        # smoothing, N/V constants) and rescores every doc — model fit
+        # and scoring both inside the hash
+        "corpus_lm_score": r"""
+            WITH tok AS (
+              SELECT doc_id, t.token AS token
+              FROM documents,
+                   UNNEST(list_filter(
+                     string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '')) AS t(token)
+            ),
+            vocab AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+            const AS (
+              SELECT CAST(SUM(c) AS DOUBLE) AS n_total,
+                     CAST(COUNT(*) AS DOUBLE) AS v_total
+              FROM vocab
+            ),
+            scored AS (
+              SELECT doc_id, COUNT(*) AS n_lm_tokens,
+                     -AVG(ln((v.c + 0.5)
+                             / (const.n_total + 0.5 * (const.v_total + 1))))
+                       / ln(2) AS bpt
+              FROM tok JOIN vocab v USING (token) CROSS JOIN const
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(s.n_lm_tokens, 0) AS BIGINT) AS n_lm_tokens,
+                   ROUND(s.bpt + 1e-9, 6) AS bits_per_token
+            FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+        """,
+        # per-source token budget: the oracle runs the NAIVE prefix rule
+        # (window cumsum in (hash, id) order, keep while <= budget); the
+        # engine's two-phase bucket plan must reproduce it exactly
+        "corpus_token_budget": f"""
+            WITH d AS (
+              SELECT doc_id, source,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+')) END
+                  AS n_tokens,
+                {_fp_bucket_sql('doc_id', 'budget')} AS bk
+              FROM documents
+            ),
+            c AS (
+              SELECT *, SUM(n_tokens) OVER (
+                  PARTITION BY source ORDER BY bk, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM d
+            )
+            SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens
+            FROM c WHERE cum <= 600
         """,
         # incremental dedup: exact cross-pair Jaccard between the batch
         # and the corpus (derived oracle — banding recall 1.0 pinned).

@@ -288,3 +288,82 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select(
         "*", *counts, cur.alias(f"{text_col}_redacted")
     )
+
+
+def _lm_tokens(col: Column) -> Column:
+    """Lowercased alphanumeric word tokens — the unigram-LM alphabet.
+    Pure split/filter expressions, reproduced verbatim by the DuckDB
+    oracle (string_split_regex + list_filter), so token identity is
+    cross-engine-stable like every other hash in this package."""
+    return F.filter(
+        F.split(F.lower(col), r"[^a-z0-9]+"), lambda t: t != ""
+    )
+
+
+def unigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    top_v: int | None = None,
+) -> DataFrame:
+    """Perplexity-style quality scoring (the CCNet/Gopher "LM filter"
+    stage of a training-data pipeline, self-trained): fit an add-alpha
+    unigram language model ON the corpus itself, then score every
+    document as bits per token under that model. High bits/token =
+    improbable token stream = boilerplate, lists, mojibake; the classic
+    cheap proxy for the KenLM perplexity gate.
+
+        p(t) = (count(t) + alpha) / (N + alpha * (V + 1))
+        bits_per_token(doc) = -mean(log2 p(t_i))
+
+    Unseen/capped tokens score at the count=0 floor (the "+1" vocab slot).
+
+    Scale shape: ONE groupBy over exploded tokens builds the model
+    (map-side combined — the shuffle carries (token, count) partials, not
+    token instances); `top_v` caps the table to the most frequent tokens
+    (deterministic count-desc/token-asc order) so the scoring join
+    BROADCASTS at any corpus size — dropped tail tokens score as unseen,
+    the standard restricted-vocab LM trade. Scoring is the broadcast join
+    + one per-doc aggregation: two shuffles end-to-end, none of them over
+    raw text. Zero UDFs anywhere.
+
+    Returns one row per input row: id, n_lm_tokens, bits_per_token
+    (NULL for token-less documents).
+    """
+    import numpy as np
+    from pyspark.sql.window import Window
+
+    toks = df.select(F.col(id_col), _lm_tokens(F.col(text_col)).alias("__t"))
+    exploded = toks.select(id_col, F.explode("__t").alias("token"))
+    counts = exploded.groupBy("token").agg(F.count("*").alias("c"))
+    # N and V are model constants: tiny 2-value aggregate, broadcast
+    tot = counts.agg(
+        F.sum("c").alias("N"), F.count("*").alias("V")
+    ).collect()[0]
+    n_total, v_total = int(tot["N"] or 0), int(tot["V"] or 0)
+    denom = n_total + alpha * (v_total + 1)
+    if top_v is not None:
+        keep = Window.orderBy(F.desc("c"), F.asc("token"))
+        counts = (
+            counts.withColumn("__r", F.row_number().over(keep))
+            .filter(F.col("__r") <= top_v).drop("__r")
+        )
+    vocab = counts.select(
+        "token", (F.log((F.col("c") + F.lit(alpha)) / F.lit(denom))).alias("__lp")
+    )
+    floor_lp = float(np.log(alpha / denom)) if denom > 0 else 0.0
+    scored = (
+        exploded.join(F.broadcast(vocab), "token", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_lm_tokens"),
+            (-F.avg(F.coalesce(F.col("__lp"), F.lit(floor_lp)))
+             / float(np.log(2.0))).alias("bits_per_token"),
+        )
+    )
+    return df.select(id_col).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_lm_tokens", F.lit(0)).alias("n_lm_tokens"),
+        "bits_per_token",
+    )

@@ -231,3 +231,78 @@ def test_curate_corpus_invariants(spark):
 def test_weighted_mix_rejects_plan_blowup_epochs(docs):
     with pytest.raises(ValueError):
         weighted_mix([("a", docs, 33.0)], "doc_id")
+
+
+# ---------------------------------------------------------------- budget
+
+
+def _naive_budget(rows, budget):
+    """Python replica of the naive prefix rule the oracle runs."""
+    kept = set()
+    by_src: dict = {}
+    for i, src, tok in rows:
+        by_src.setdefault(src, []).append((py_bucket(i, "budget"), i, tok))
+    for src, lst in by_src.items():
+        cum = 0
+        for _, i, tok in sorted(lst):
+            cum += tok
+            if cum <= budget:
+                kept.add(i)
+    return kept
+
+
+def _budget_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, n_tokens long"
+    )
+
+
+def test_token_budget_matches_naive_prefix(spark):
+    from chronon_spark.operators.sampling import token_budget_sample
+
+    rng = np.random.default_rng(3)
+    rows = [(i, f"s{i % 5}", int(rng.integers(0, 40))) for i in range(400)]
+    df = _budget_df(spark, rows)
+    for budget in (0, 37, 150, 10_000):
+        got = {
+            r["doc_id"]
+            for r in token_budget_sample(df, budget, "n_tokens").collect()
+        }
+        assert got == _naive_budget(rows, budget), budget
+
+
+def test_token_budget_zero_token_docs_at_exact_boundary(spark):
+    """A doc with 0 tokens whose prefix lands EXACTLY on the budget is
+    kept (cumulative stays == budget) — the <= vs < edge in the
+    two-phase bucket plan."""
+    from chronon_spark.operators.sampling import token_budget_sample
+
+    rows = [(i, "s", t) for i, t in [(1, 5), (2, 5), (3, 0), (4, 7), (5, 0)]]
+    # budget equal to some prefix sum in hash order
+    order = sorted((py_bucket(i, "budget"), i, t) for i, t, in
+                   [(r[0], r[2]) for r in rows])
+    prefix = 0
+    for k, (_, i, t) in enumerate(order):
+        prefix += t
+        if t > 0 and k < len(order) - 1:
+            budget = prefix
+            break
+    df = _budget_df(spark, rows)
+    got = {r["doc_id"] for r in
+           token_budget_sample(df, budget, "n_tokens").collect()}
+    assert got == _naive_budget(rows, budget)
+    # every zero-token doc whose prefix is <= budget must be present
+    cum = 0
+    for _, i, t in order:
+        cum += t
+        if t == 0 and cum <= budget:
+            assert i in got
+
+
+def test_token_budget_keeps_all_when_budget_exceeds_total(spark):
+    from chronon_spark.operators.sampling import token_budget_sample
+
+    rows = [(i, f"s{i % 3}", 10) for i in range(30)]
+    out = token_budget_sample(_budget_df(spark, rows), 1_000, "n_tokens")
+    assert out.count() == 30
+    assert set(out.columns) == {"doc_id", "source", "n_tokens"}

@@ -143,3 +143,47 @@ def test_redact_pii_planted(spark):
     assert out[2]["text_redacted"] == out[2]["text"]
     assert (out[2]["n_email"], out[2]["n_ip"], out[2]["n_phone"]) == (0, 0, 0)
     assert out[3]["n_email"] == 2 and out[3]["n_ip"] == 1
+
+
+def test_unigram_lm_scores_hand_computed(spark):
+    import math
+
+    from chronon_spark.operators.text import unigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "---"), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in unigram_lm_scores(docs).collect()}
+    # corpus: a=2 b=2 c=1 -> N=5 V=3, denom = 5 + 0.5*4 = 7
+    denom = 7.0
+    lp = {t: math.log((c + 0.5) / denom) for t, c in
+          {"a": 2, "b": 2, "c": 1}.items()}
+    exp1 = -(2 * lp["a"] + lp["b"]) / 3 / math.log(2)
+    exp2 = -(lp["b"] + lp["c"]) / 2 / math.log(2)
+    assert abs(out[1]["bits_per_token"] - exp1) < 1e-12
+    assert abs(out[2]["bits_per_token"] - exp2) < 1e-12
+    assert out[1]["n_lm_tokens"] == 3 and out[2]["n_lm_tokens"] == 2
+    # token-less docs (punctuation-only, NULL): zero tokens, NULL score
+    for d in (3, 4):
+        assert out[d]["n_lm_tokens"] == 0
+        assert out[d]["bits_per_token"] is None
+
+
+def test_unigram_lm_top_v_cap_scores_tail_as_unseen(spark):
+    import math
+
+    from chronon_spark.operators.text import unigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(1, "x x x x"), (2, "y y"), (3, "z")],
+        "doc_id long, text string",
+    )
+    # top_v=1 keeps only 'x' (count 4); y and z score at the count-0 floor
+    out = {r["doc_id"]: r for r in
+           unigram_lm_scores(docs, top_v=1).collect()}
+    denom = 7 + 0.5 * 4  # N=7, V=3 -> 9.0 (constants use the FULL vocab)
+    floor = -math.log(0.5 / denom) / math.log(2)
+    assert abs(out[2]["bits_per_token"] - floor) < 1e-12
+    assert abs(out[3]["bits_per_token"] - floor) < 1e-12
+    assert out[1]["bits_per_token"] < floor
