@@ -2062,6 +2062,44 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING exact dedup (applyInPandasWithState): events replayed as
+    an availableNow file stream, first-seen row per fingerprint kept with
+    a running duplicate count. The survivor is the (ts, id)-lexicographic
+    MINIMUM over all rows — batch-boundary-independent, so the final
+    state matches the plain-SQL window oracle however the stream was
+    chunked. Fingerprint = cents % 1000 (deliberately low-cardinality so
+    every group holds many duplicates and the state fold does real work)."""
+    _prep(spark)
+    from chronon_spark.streaming.stream_dedup import stream_dedup
+
+    stream = _events_stream(spark, sf_dir, [
+        "CAST(round(value * 100, 0) AS BIGINT) % 1000 AS fp",
+        "event_id",
+        "unix_millis(cast(ts as timestamp)) AS tsm",
+    ])
+    out = stream_dedup(stream, "fp", "event_id", "tsm")
+    qname = f"sdedup_{abs(hash(sf_dir)) % 100_000}"
+    q = (
+        out.writeStream.format("memory").queryName(qname)
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    _await_stream(q, "stream_dedup")
+    from pyspark.sql.window import Window as W
+
+    final = (
+        spark.sql(f"SELECT * FROM {qname}")
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy("fp").orderBy(F.col("n_seen").desc())
+            ),
+        )
+        .where("_rn = 1")
+    )
+    return final.select("fp", "first_id", "first_ts", "n_seen")
+
+
 VIDEO_N, VIDEO_SEED = 200, 77
 _VIDEO_FIXTURE_PATH = f"/root/repo/.fixtures/videos_n{VIDEO_N}_s{VIDEO_SEED}.parquet"
 AUDIO_N, AUDIO_SEED = 300, 55
@@ -3210,6 +3248,7 @@ _COMPOSITE_SPECS: dict[str, list[str]] = {
         "stream_stateful_features",
         "stream_windowed_counts",
         "stream_session_windows",
+        "stream_dedup",
     ],
     # mutation replay: kernel-direct scenario + the EntitySource scan path
     # with renamed mutationTimeColumn/reversalColumn expressions
@@ -3248,6 +3287,7 @@ _QCOLS: dict[str, list[str]] = {
         "user_id", "window_start", "window_end", "n_events",
         "session_start", "session_end",
     ],
+    "stream_dedup": ["fp", "first_id", "first_ts", "n_seen"],
     "temporal_entity_mutations": [
         "user_id", "ts", "ent_sum_7d", "ent_count", "ent_avg_7d",
         "ent_min_7d", "ent_uniq_7d",
@@ -3536,6 +3576,7 @@ def _granular_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_clip_features": q_audio_clip_features,
         "audio_real_decode": q_audio_real_decode,
         "stream_stateful_features": q_stream_stateful,
+        "stream_dedup": q_stream_dedup,
         "stream_windowed_counts": q_stream_windowed_counts,
         "stream_session_windows": q_stream_session_windows,
         "snapshot_join_yesterday": q_snapshot_join_yesterday,
@@ -4536,6 +4577,25 @@ def _oracle_sql_granular() -> dict[str, str]:
                    session_end + {30 * 60 * 1000} AS window_end,
                    n_events, session_start, session_end
             FROM agg, mx WHERE session_end + {30 * 60 * 1000} < mx.m
+        """,
+        # streaming dedup: survivor per fingerprint = (ts, id)-minimum
+        # over the whole table, duplicates counted — the state fold's
+        # batch-boundary-independent final state as one window query
+        "stream_dedup": """
+            WITH e AS (
+              SELECT CAST(round(value * 100, 0) AS BIGINT) % 1000 AS fp,
+                     event_id, epoch_ms(ts) AS tsm
+              FROM events
+            ),
+            r AS (
+              SELECT *,
+                     ROW_NUMBER() OVER (PARTITION BY fp
+                                        ORDER BY tsm, event_id) AS rn,
+                     COUNT(*) OVER (PARTITION BY fp) AS n_seen
+              FROM e
+            )
+            SELECT fp, event_id AS first_id, tsm AS first_ts, n_seen
+            FROM r WHERE rn = 1
         """,
         # video/audio fixture oracles: the sidecar feature columns were
         # computed from the DECODED payload at generation time; the engine

@@ -303,3 +303,87 @@ def test_stream_sawtooth_serve_merges_batch_ir_and_day_tail(spark, tmp_path):
     with _pytest.raises(ValueError):
         stream_sawtooth_serve(stream, wh, "irs", ["user_id"],
                               [("x", "last", "value")], out_dir, ck)
+
+
+def test_stream_dedup_matches_batch_across_microbatches(spark, tmp_path):
+    """Streaming first-seen dedup: survivor per fingerprint = global
+    (ts, id)-minimum, INDEPENDENT of micro-batch boundaries
+    (maxFilesPerTrigger=1 forces several); n_seen counts every
+    duplicate; NULL fingerprints are dropped."""
+    from chronon_spark.streaming.stream_dedup import stream_dedup
+
+    rng = np.random.default_rng(53)
+    rows = []
+    for i in range(500):
+        fp = int(rng.integers(0, 40))  # heavy duplication
+        rows.append((None if i % 97 == 13 else fp, i,
+                     int(BASE + int(rng.integers(0, 10_000)) * 1000)))
+    df = spark.createDataFrame(rows, "fp long, event_id long, ts long")
+    src_dir = str(tmp_path / "dedup_src")
+    df.repartition(5).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema("fp long, event_id long, ts long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out = stream_dedup(stream, "fp", "event_id", "ts")
+    q = (
+        out.writeStream.format("memory").queryName("sdedup_out")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(180)
+    res = spark.sql("SELECT * FROM sdedup_out").collect()
+    assert len(res) > 40, "expected updates from multiple micro-batches"
+    final = {}
+    for r in res:  # last emission per fp carries the highest n_seen
+        if r["fp"] not in final or r["n_seen"] > final[r["fp"]]["n_seen"]:
+            final[r["fp"]] = r
+    import collections
+
+    expect = collections.defaultdict(list)
+    for fp, eid, ts in rows:
+        if fp is not None:
+            expect[fp].append((ts, eid))
+    assert set(final) == set(expect)
+    for fp, evs in expect.items():
+        ts, eid = min(evs)
+        r = final[fp]
+        assert (r["first_ts"], r["first_id"]) == (ts, eid), fp
+        assert r["n_seen"] == len(evs)
+
+
+def test_stream_dedup_timeout_mode_processes_and_keeps_serving(spark, tmp_path):
+    """timeout_minutes wires a processing-time timeout. Note the runtime
+    consequence: the query stays ACTIVE after draining (Spark keeps it
+    alive to fire pending state timeouts), so this mode is for continuous
+    streams — drain with processAllAvailable() and stop explicitly."""
+    from chronon_spark.streaming.stream_dedup import stream_dedup
+
+    df = spark.createDataFrame(
+        [(1, 1, BASE), (1, 2, BASE + 1000)], "fp long, event_id long, ts long"
+    )
+    src_dir = str(tmp_path / "dedup_ttl_src")
+    df.write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema("fp long, event_id long, ts long")
+        .parquet(src_dir)
+    )
+    out = stream_dedup(stream, "fp", "event_id", "ts", timeout_minutes=10)
+    q = (
+        out.writeStream.format("memory").queryName("sdedup_ttl")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 120
+        res = []
+        while time.time() < deadline:
+            res = spark.sql("SELECT * FROM sdedup_ttl").collect()
+            if res:
+                break
+            time.sleep(2)
+    finally:
+        q.stop()
+    assert len(res) == 1
+    assert res[0]["first_id"] == 1 and res[0]["n_seen"] == 2
