@@ -3139,6 +3139,25 @@ def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "n_tokens")
 
 
+def q_corpus_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bounded document chunking with overlap (context-window prep):
+    whitespace tokens, chunk i covers [i*32, i*32+40). Zero shuffles —
+    the whole op is a scan-stage posexplode. The oracle re-derives every
+    chunk's text by list-slicing in DuckDB, so boundaries, overlap and
+    the tail-chunk length all sit inside the value hash."""
+    _prep(spark)
+    from chronon_spark.operators.sampling import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = chunk_documents(docs, max_tokens=40, overlap=8)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("n_chunk_tokens").cast("long").alias("n_chunk_tokens"),
+        "chunk_text",
+    )
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup — the daily-ingest shape: an incoming batch
     (doc_id % 10 = 0) probed against the existing corpus through banded
@@ -3221,6 +3240,7 @@ _COMPOSITE_SPECS: dict[str, list[str]] = {
         "corpus_weighted_mix",
         "corpus_pack",
         "corpus_token_budget",
+        "corpus_chunk",
     ],
     "corpus_filters_suite": [
         "corpus_quality_gate",
@@ -3380,6 +3400,7 @@ _QCOLS: dict[str, list[str]] = {
     "corpus_quality_gate": ["doc_id", "lang", "quality", "q_rank"],
     "corpus_lm_score": ["doc_id", "n_lm_tokens", "bits_per_token"],
     "corpus_token_budget": ["doc_id", "source", "n_tokens"],
+    "corpus_chunk": ["doc_id", "chunk_idx", "n_chunk_tokens", "chunk_text"],
     "corpus_repetition": [
         "doc_id", "top2_char_frac", "top3_char_frac", "top4_char_frac",
         "dup5_frac", "repetitive",
@@ -3629,6 +3650,7 @@ def _granular_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_quality_gate": q_corpus_quality_gate,
         "corpus_lm_score": q_corpus_lm_score,
         "corpus_token_budget": q_corpus_token_budget,
+        "corpus_chunk": q_corpus_chunk,
         "corpus_curation": q_corpus_curation,
         "staging_recompute": q_staging_recompute,
         "dedup_substring_spans": q_dedup_substring_spans,
@@ -5587,6 +5609,30 @@ def _oracle_sql_granular() -> dict[str, str]:
             )
             SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens
             FROM c WHERE cum <= 600
+        """,
+        # token-bounded chunking: DuckDB re-derives every chunk by
+        # list-slicing the token array (1-based inclusive, length-clamped
+        # like Spark's slice)
+        "corpus_chunk": r"""
+            WITH t AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            nn AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+            k AS (
+              SELECT *, GREATEST(1,
+                CAST(FLOOR((n - 8 + 31) / 32.0) AS BIGINT)) AS nk
+              FROM nn
+            ),
+            e AS (
+              SELECT doc_id, toks, n, UNNEST(range(nk)) AS chunk_idx FROM k
+            )
+            SELECT doc_id, chunk_idx,
+                   LEAST(40, n - chunk_idx * 32) AS n_chunk_tokens,
+                   array_to_string(
+                     toks[chunk_idx * 32 + 1 : chunk_idx * 32 + 40], ' '
+                   ) AS chunk_text
+            FROM e
         """,
         # incremental dedup: exact cross-pair Jaccard between the batch
         # and the corpus (derived oracle — banding recall 1.0 pinned).

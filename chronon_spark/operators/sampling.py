@@ -284,3 +284,57 @@ def token_budget_sample(
         "__cum", F.col("__before") + F.sum(tokens_col).over(wdoc)
     ).filter(F.col("__cum") <= F.lit(budget_tokens))
     return kept.drop("__bk", "__before", "__touch", "__cum")
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into token-bounded chunks on whitespace-token
+    boundaries with optional overlap — the context-window prep stage
+    (embedding pipelines, long-doc training): chunk i covers tokens
+    [i*(max_tokens-overlap), i*(max_tokens-overlap) + max_tokens).
+
+    Chunk text is the space-rejoin of the token slice (the standard
+    tokenize-rejoin trade: original whitespace runs collapse). Token-less
+    documents produce no rows.
+
+    Scale shape: pure scan-stage projection + posexplode — ZERO shuffles,
+    no UDFs; the explode multiplies rows by ~n/(max-overlap) inside the
+    scan stage, so downstream consumers (packing, embedding) partition
+    the already-chunked stream however they need.
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(f"need 0 <= overlap({overlap}) < max_tokens({max_tokens})")
+    step = max_tokens - overlap
+    c = F.col(text_col)
+    toks = F.when(
+        F.length(F.trim(c)) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(c), r"\s+"))
+    n = F.size(toks)
+    # ceil((n - overlap) / step), min 1 for any non-empty doc — small-int
+    # double division is exact below 2^53 and mirrors the SQL oracle
+    n_chunks = F.greatest(
+        F.lit(1), F.floor((n - F.lit(overlap) + F.lit(step - 1)) / F.lit(step))
+    ).cast("int")
+    base = df.select(
+        F.col(id_col), toks.alias("__toks"), n.alias("__n"),
+        n_chunks.alias("__k"),
+    ).where(F.col("__n") > 0)
+    exploded = base.select(
+        id_col, "__toks", "__n",
+        F.posexplode(F.sequence(F.lit(0), F.col("__k") - 1)).alias(
+            "chunk_idx", "__start_chunk"),
+    )
+    start = F.col("chunk_idx") * step
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        F.least(F.lit(max_tokens), F.col("__n") - start).alias("n_chunk_tokens"),
+        F.array_join(
+            F.slice(F.col("__toks"), start + 1, max_tokens), " "
+        ).alias("chunk_text"),
+    )

@@ -306,3 +306,56 @@ def test_token_budget_keeps_all_when_budget_exceeds_total(spark):
     out = token_budget_sample(_budget_df(spark, rows), 1_000, "n_tokens")
     assert out.count() == 30
     assert set(out.columns) == {"doc_id", "source", "n_tokens"}
+
+
+# ---------------------------------------------------------------- chunking
+
+
+def test_chunk_documents_boundaries_and_overlap(spark):
+    from chronon_spark.operators.sampling import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [(1, text), (2, "a b"), (3, "   "), (4, None), (5, "x " * 8)],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        ((r["doc_id"], r["chunk_idx"], r["n_chunk_tokens"], r["chunk_text"])
+         for r in chunk_documents(docs, 10, overlap=2).collect())
+    )
+    # doc 1: 25 tokens, step 8 -> chunks at 0/8/16, tail has 9
+    assert [(d, i, n) for d, i, n, _ in out if d == 1] == [
+        (1, 0, 10), (1, 1, 10), (1, 2, 9)]
+    chunks1 = {i: t for d, i, _, t in out if d == 1}
+    assert chunks1[0].split() == [f"w{i}" for i in range(10)]
+    assert chunks1[1].split() == [f"w{i}" for i in range(8, 18)]
+    assert chunks1[2].split() == [f"w{i}" for i in range(16, 25)]
+    # overlap: last 2 tokens of chunk 0 open chunk 1
+    assert chunks1[0].split()[-2:] == chunks1[1].split()[:2]
+    # short doc -> one chunk; blank/NULL docs -> no rows
+    assert [(d, i, n) for d, i, n, _ in out if d == 2] == [(2, 0, 2)]
+    assert not any(d in (3, 4) for d, _, _, _ in out)
+    # trailing-whitespace doc: trim first, 8 tokens -> one chunk
+    assert [(d, i, n) for d, i, n, _ in out if d == 5] == [(5, 0, 8)]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from chronon_spark.operators.sampling import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(docs, 10, overlap=10)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, 10, overlap=-1)
+
+
+def test_chunk_documents_zero_shuffle_plan(spark):
+    """The chunk plan must stay scan-stage: no Exchange anywhere."""
+    from chronon_spark.operators.sampling import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * 50) for i in range(10)], "doc_id long, text string"
+    )
+    plan = chunk_documents(docs, 16, overlap=4)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
