@@ -2106,7 +2106,7 @@ AUDIO_N, AUDIO_SEED = 300, 55
 _AUDIO_FIXTURE_PATH = f"/root/repo/.fixtures/audio_n{AUDIO_N}_s{AUDIO_SEED}.parquet"
 AUDIO_REAL_N, AUDIO_REAL_SEED = 300, 91
 _AUDIO_REAL_FIXTURE_PATH = (
-    f"/root/repo/.fixtures/audio_real_n{AUDIO_REAL_N}_s{AUDIO_REAL_SEED}.parquet"
+    f"/root/repo/.fixtures/audio_real_v2_n{AUDIO_REAL_N}_s{AUDIO_REAL_SEED}.parquet"
 )
 
 
@@ -2210,13 +2210,15 @@ def q_audio_clip_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_audio_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real-format audio decode: WAV/RIFF containers across the encoding
     matrix (integer PCM 8/16/24/32, IEEE float32/64, G.711 A-law/mu-law,
-    WAVE_FORMAT_EXTENSIBLE, stereo mean-downmix — audio_codecs.py, from
-    scratch per the WAVE/G.711 specs) through the same Arrow feature
-    pass. The oracle reads the fixture's generation-time sidecars
-    (features of the DECODED signal; NULL + decode_ok=false for the
-    deterministic corrupt rows), so a hash match proves the engine
-    reproduces them from the binary payload alone — the audio analog of
-    image_real_decode."""
+    WAVE_FORMAT_EXTENSIBLE, stereo mean-downmix — audio_codecs.py) AND
+    compressed FLAC (fixed-predictor/rice frames, mono + independent +
+    mid/side stereo, CRC-verified — flac_codec.py; fixture v2 mixes both
+    containers plus a bit-flipped FLAC row the frame CRC must catch)
+    through the same Arrow feature pass. The oracle reads the fixture's
+    generation-time sidecars (features of the DECODED signal; NULL +
+    decode_ok=false for the deterministic corrupt rows), so a hash match
+    proves the engine reproduces them from the binary payload alone —
+    the audio analog of image_real_decode."""
     _prep(spark)
     from chronon_spark.operators.multimodal import extract_audio_features
 

@@ -687,6 +687,25 @@ def gen_real_audio_rows(n: int, seed: int = 91, span_days: int = 30):
             fmt, enc_name = "pcm16", "raw"
             data = encode_pcm16(x)
             decoded, dec_sr = decode_pcm16(data), sr
+        elif i % 4 == 1:           # v2: real COMPRESSED format (FLAC)
+            from chronon_spark.flac_codec import decode_flac, encode_flac
+
+            fmt = "flac"
+            mode = ("mono", "independent", "mid_side")[i % 3]
+            if mode == "mono":
+                data = encode_flac(x, sr)
+                enc_name = "flac_mono"
+            else:
+                y = np.clip(
+                    0.8 * a1 * np.sin(2 * np.pi * f1 * t + 0.7)
+                    + 1.1 * a2 * np.sin(2 * np.pi * f2 * t + 1.9)
+                    + 0.05 * rng.standard_normal(n_samples),
+                    -1.0, 1.0,
+                )
+                data = encode_flac(np.stack([x, y], axis=1), sr,
+                                   stereo_mode=mode)
+                enc_name = f"flac_{mode}"
+            decoded, dec_sr = decode_flac(data)
         else:
             fmt = "wav"
             encoding, channels, ext = _REAL_AUDIO_LAYOUTS[
@@ -713,7 +732,12 @@ def gen_real_audio_rows(n: int, seed: int = 91, span_days: int = 30):
             # breaks raw-pcm16 int16 alignment); tag clobber rewrites the
             # fmt chunk's format tag to ADPCM (0x0002), which the decoder
             # rejects. Sidecar features are NULL for these rows.
-            if i % 2 == 0 or fmt == "pcm16":
+            if fmt == "flac" and i % 2 != 0:
+                # flip a bit mid-frame: CRC-16 catches it on decode
+                b = bytearray(data)
+                b[len(b) // 2] ^= 0x10
+                data = bytes(b)
+            elif i % 2 == 0 or fmt == "pcm16":
                 data = data[:len(data) - 3]
             else:
                 data = data[:20] + b"\x02\x00" + data[22:]
@@ -741,7 +765,7 @@ def gen_real_audio_rows(n: int, seed: int = 91, span_days: int = 30):
 def ensure_real_audio_fixture(
     n: int = 300, seed: int = 91, out_dir: str = "/root/repo/.fixtures"
 ) -> str:
-    path = os.path.join(out_dir, f"audio_real_n{n}_s{seed}.parquet")
+    path = os.path.join(out_dir, f"audio_real_v2_n{n}_s{seed}.parquet")
     if os.path.exists(path):
         return path
     os.makedirs(out_dir, exist_ok=True)

@@ -179,7 +179,7 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
 
 NATIVE_VIDEO_FORMATS = ("vraw", "gif")
-NATIVE_AUDIO_FORMATS = ("pcm16", "wav")
+NATIVE_AUDIO_FORMATS = ("pcm16", "wav", "flac")
 
 
 def decode_video(data: bytes, w: int, h: int, n_frames: int, fmt: str) -> np.ndarray:
@@ -336,15 +336,18 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
     rate, spectral centroid (rfft), duration. Native codecs: 'pcm16'
     (raw int16 LE mono) and 'wav' (real RIFF/WAVE container — integer
     PCM 8/16/24/32, IEEE float32/64, G.711 A-law/mu-law, extensible
-    headers, multi-channel mean-downmix; audio_codecs.py). For 'wav'
-    the sample rate comes from the container header, not the column.
-    Compressed codecs (mp3/flac/ogg) are STUBBED — decode_ok=false —
+    headers, multi-channel mean-downmix; audio_codecs.py) and 'flac'
+    (real compressed FLAC — fixed/LPC subframes, rice/rice2 residuals,
+    all four stereo decorrelations, CRC-verified frames; flac_codec.py).
+    For container formats the sample rate comes from the header, not
+    the column. Lossy codecs (mp3/ogg) are STUBBED — decode_ok=false —
     the container has no audio library; a real deployment drops
     soundfile/librosa into the decode branch.
 
     Input columns: audio_id, bytes, sr, fmt."""
     from chronon_spark.audio_codecs import decode_wav
     from chronon_spark.fixtures import audio_features_np, decode_pcm16
+    from chronon_spark.flac_codec import decode_flac
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -362,6 +365,9 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
                     # corrupt WAV layout; TypeError: NULL payload bytes
                     if fmt == "wav":
                         samples, hdr_sr = decode_wav(data)
+                        feats = audio_features_np(samples, hdr_sr)
+                    elif fmt == "flac":
+                        samples, hdr_sr = decode_flac(data)
                         feats = audio_features_np(samples, hdr_sr)
                     else:
                         feats = audio_features_np(decode_pcm16(data), int(sr))

@@ -211,23 +211,28 @@ def test_real_audio_fixture_contract():
     from its payload; every corrupt row's payload raises."""
     from chronon_spark.fixtures import decode_pcm16, gen_real_audio_rows
 
+    from chronon_spark.flac_codec import decode_flac
+
     rows = gen_real_audio_rows(80, seed=91)
     encs = {r["enc"].replace("_corrupt", "") for r in rows}
     assert {"pcm16x2", "pcm8x1", "pcm24x2_ext", "float32x1", "ulawx1",
             "alawx2", "raw"} <= encs
+    # fixture v2: compressed FLAC rows across the stereo modes
+    assert {"flac_mono", "flac_independent", "flac_mid_side"} <= encs
+    decoders = {"wav": decode_wav, "flac": decode_flac}
     n_corrupt = 0
     for r in rows:
         if not r["decode_ok"]:
             n_corrupt += 1
             with pytest.raises((ValueError, TypeError)):
-                if r["fmt"] == "wav":
-                    decode_wav(r["bytes"])
+                if r["fmt"] in decoders:
+                    decoders[r["fmt"]](r["bytes"])
                 else:
                     decode_pcm16(r["bytes"])
             assert r["rms"] is None
         else:
-            if r["fmt"] == "wav":
-                dec, sr = decode_wav(r["bytes"])
+            if r["fmt"] in decoders:
+                dec, sr = decoders[r["fmt"]](r["bytes"])
                 assert sr == r["sr"]
             else:
                 dec = decode_pcm16(r["bytes"])
