@@ -1459,3 +1459,114 @@ def decode_bmp(data: bytes) -> np.ndarray:
     if not top_down:
         rgb = rgb[::-1]
     return np.ascontiguousarray(rgb)
+
+
+# ---------------------------------------------------------------------------
+# AVI / Motion-JPEG (the OpenDML/AVI RIFF layout Microsoft published; each
+# video frame is a standalone baseline-JPEG compressed by THIS module's
+# encoder): the second REAL video container next to animated GIF, and the
+# lossy one — per-frame image quality rides the same JPEG >=40dB bar as
+# still images. The RIFF chunk-walking discipline (even-byte padding,
+# unknown chunks skipped, declared sizes validated against the payload)
+# is shared with the WAV codec's container handling.
+#
+# Robustness contract: corrupt layouts raise ValueError — truncated or
+# oversized chunk declarations, a non-MJPG stream handler, frame
+# dimension drift between the header and the decoded JPEGs, zero frames.
+# ---------------------------------------------------------------------------
+
+_AVI_MAX_FRAMES = 100_000
+
+
+def encode_avi_mjpeg(frames: np.ndarray, fps: int = 8,
+                     quality: int = 92) -> bytes:
+    """(n, h, w, 3) uint8 -> AVI bytes with one baseline-JPEG per frame."""
+    if frames.ndim != 4 or frames.shape[-1] != 3:
+        raise ValueError(f"expected (n, h, w, 3) frames, got {frames.shape}")
+    n, h, w, _ = frames.shape
+    if n == 0:
+        raise ValueError("empty frame stack")
+    jpegs = [encode_jpeg(f, quality=quality) for f in frames]
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) & 1 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(fourcc: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + payload)
+
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, 0, 0, 0, n, 0, 1, 0, w, h, 0, 0, 0, 0)
+    strh = b"vids" + b"MJPG" + struct.pack(
+        "<10I", 0, 0, 0, 1, fps, 0, n, 0, 0xFFFFFFFF, 0) \
+        + struct.pack("<4h", 0, 0, w, h)
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", j) for j in jpegs))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_frames(data: bytes, max_frames: int | None = None
+                      ) -> tuple[np.ndarray, int]:
+    """AVI/MJPEG bytes -> ((n, h, w, 3) uint8 frames, fps)."""
+    if data is None:
+        raise TypeError("NULL payload")
+    if len(data) < 24 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    pos, end = 12, len(data)
+    dims = None
+    fps = None
+    handler_ok = False
+    jpegs: list[bytes] = []
+
+    def walk(pos: int, end: int, depth: int) -> None:
+        nonlocal dims, fps, handler_ok
+        if depth > 4:
+            raise ValueError("AVI LIST nesting too deep")
+        while pos + 8 <= end:
+            cid = data[pos:pos + 4]
+            (size,) = struct.unpack_from("<I", data, pos + 4)
+            if pos + 8 + size > end:
+                raise ValueError("AVI chunk declares bytes past EOF")
+            body_at = pos + 8
+            if cid == b"LIST":
+                walk(body_at + 4, body_at + size, depth + 1)
+            elif cid == b"avih":
+                if size < 40:
+                    raise ValueError("short avih header")
+                vals = struct.unpack_from("<10I", data, body_at)
+                uspf, nframes, width, height = vals[0], vals[4], vals[8], vals[9]
+                if nframes > _AVI_MAX_FRAMES:
+                    raise ValueError(f"AVI declares {nframes} frames")
+                dims = (width, height)
+                if uspf:
+                    fps = round(1_000_000 / uspf)
+            elif cid == b"strh":
+                if size >= 8 and data[body_at:body_at + 4] == b"vids":
+                    if data[body_at + 4:body_at + 8] != b"MJPG":
+                        raise ValueError("AVI video stream is not MJPG")
+                    handler_ok = True
+            elif cid in (b"00dc", b"00db"):
+                if len(jpegs) >= (max_frames or _AVI_MAX_FRAMES):
+                    pos += 8 + size + (size & 1)
+                    continue
+                jpegs.append(data[body_at:body_at + size])
+            pos += 8 + size + (size & 1)
+
+    walk(pos, end, 0)
+    if not handler_ok:
+        raise ValueError("AVI has no MJPG video stream header")
+    if not jpegs:
+        raise ValueError("AVI contains no video frames")
+    frames = [decode_jpeg(j) for j in jpegs]
+    h0, w0 = frames[0].shape[:2]
+    if dims is not None and (w0, h0) != dims:
+        raise ValueError(
+            f"decoded frame {w0}x{h0} != header {dims[0]}x{dims[1]}")
+    for f in frames[1:]:
+        if f.shape != frames[0].shape:
+            raise ValueError("AVI frame dimensions drift mid-stream")
+    return np.stack(frames), int(fps or 0)

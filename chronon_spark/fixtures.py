@@ -805,7 +805,12 @@ def ensure_real_audio_fixture(
 # ---------------------------------------------------------------------------
 
 def gen_real_video_rows(n: int, seed: int = 83, span_days: int = 30):
-    from chronon_spark.codecs import decode_gif_frames, encode_gif
+    from chronon_spark.codecs import (
+        decode_avi_frames,
+        decode_gif_frames,
+        encode_avi_mjpeg,
+        encode_gif,
+    )
 
     sizes = [(16, 16), (24, 16), (16, 24)]
     rows = []
@@ -813,21 +818,41 @@ def gen_real_video_rows(n: int, seed: int = 83, span_days: int = 30):
         rng = np.random.default_rng(seed * 1_000_003 + i)
         w, h = sizes[int(rng.integers(0, len(sizes)))]
         n_frames = int(rng.integers(4, 13))
-        base = (gen_pixels(rng, w, h) // 32) * 32  # palette-limited
-        frames = np.stack(
-            [np.roll(base, shift=2 * f, axis=1) for f in range(n_frames)]
-        )
-        interlace = bool(rng.random() < 0.3)
-        data = encode_gif(frames, interlace=interlace)
-        layout = "gif_i" if interlace else "gif"
+        if i % 3 == 2:
+            # v2: Motion-JPEG AVI rows — the LOSSY real container; the
+            # sidecars come from the DECODED frames, so the engine must
+            # reproduce the exact JPEG reconstruction per frame
+            fmt = "avi"
+            base = gen_pixels(rng, w, h)
+            frames = np.stack(
+                [np.roll(base, shift=2 * f, axis=1) for f in range(n_frames)]
+            )
+            data = encode_avi_mjpeg(frames, fps=8)
+            layout = "avi_mjpeg"
+        else:
+            fmt = "gif"
+            base = (gen_pixels(rng, w, h) // 32) * 32  # palette-limited
+            frames = np.stack(
+                [np.roll(base, shift=2 * f, axis=1) for f in range(n_frames)]
+            )
+            interlace = bool(rng.random() < 0.3)
+            data = encode_gif(frames, interlace=interlace)
+            layout = "gif_i" if interlace else "gif"
 
         corrupt = i % 19 == 11
         if corrupt:
-            data = data[:len(data) - 5]  # truncated sub-block chain
+            if fmt == "avi" and i % 2 == 0:
+                # clobber the stream handler: decoder must reject non-MJPG
+                data = data.replace(b"vidsMJPG", b"vidsXVID", 1)
+            else:
+                data = data[:len(data) - 5]  # truncated chunk/sub-block
             layout += "_corrupt"
             feats = {"phash": None, "brightness": None, "motion": None}
         else:
-            dec = decode_gif_frames(data)
+            if fmt == "avi":
+                dec, _fps = decode_avi_frames(data)
+            else:
+                dec = decode_gif_frames(data)
             assert dec.shape == (n_frames, h, w, 3)
             feats = {
                 "phash": phash64(dec[0]),
@@ -842,7 +867,7 @@ def gen_real_video_rows(n: int, seed: int = 83, span_days: int = 30):
             "h": int(h),
             "n_frames": n_frames,
             "fps": 8,
-            "fmt": "gif",
+            "fmt": fmt,
             "layout": layout,
             "decode_ok": not corrupt,
             "caption": gen_caption(rng),
@@ -855,7 +880,7 @@ def gen_real_video_rows(n: int, seed: int = 83, span_days: int = 30):
 def ensure_real_video_fixture(
     n: int = 200, seed: int = 83, out_dir: str = "/root/repo/.fixtures"
 ) -> str:
-    path = os.path.join(out_dir, f"videos_real_n{n}_s{seed}.parquet")
+    path = os.path.join(out_dir, f"videos_real_v2_n{n}_s{seed}.parquet")
     if os.path.exists(path):
         return path
     os.makedirs(out_dir, exist_ok=True)

@@ -178,24 +178,30 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     )
 
 
-NATIVE_VIDEO_FORMATS = ("vraw", "gif")
+NATIVE_VIDEO_FORMATS = ("vraw", "gif", "avi")
 NATIVE_AUDIO_FORMATS = ("pcm16", "wav", "flac")
 
 
 def decode_video(data: bytes, w: int, h: int, n_frames: int, fmt: str) -> np.ndarray:
-    """Decode one video to (n_frames, h, w, 3) uint8.  'gif' is a REAL
-    animation container (codecs.decode_gif_frames — LZW, disposal and
-    transparency composited per spec); 'vraw' is the synthetic engine
-    layout.  The decoded geometry must match the metadata columns —
-    drift raises so it becomes a decode_ok=false row, never silently
-    mis-shaped frames."""
-    if fmt == "gif":
-        from chronon_spark.codecs import decode_gif_frames
+    """Decode one video to (n_frames, h, w, 3) uint8.  'gif' (LZW +
+    disposal/transparency compositing) and 'avi' (RIFF Motion-JPEG —
+    every frame a standalone baseline JPEG) are REAL containers decoded
+    by chronon_spark.codecs; 'vraw' is the synthetic engine layout.  The
+    decoded geometry must match the metadata columns — drift raises so
+    it becomes a decode_ok=false row, never silently mis-shaped
+    frames."""
+    if fmt in ("gif", "avi"):
+        if fmt == "gif":
+            from chronon_spark.codecs import decode_gif_frames
 
-        frames = decode_gif_frames(data)
+            frames = decode_gif_frames(data)
+        else:
+            from chronon_spark.codecs import decode_avi_frames
+
+            frames, _fps = decode_avi_frames(data)
         if frames.shape != (n_frames, h, w, 3):
             raise ValueError(
-                f"gif decoded {frames.shape}, metadata says "
+                f"{fmt} decoded {frames.shape}, metadata says "
                 f"({n_frames}, {h}, {w}, 3)")
         return frames
     if fmt in NATIVE_VIDEO_FORMATS:

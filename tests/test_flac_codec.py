@@ -294,3 +294,40 @@ def test_flac_rows_flow_through_audio_features(spark):
     expect = audio_features_np(_q16(x).astype(np.float64), 8000)
     assert out["f0"].rms == pytest.approx(expect["rms"])
     assert out["f0"].zcr == pytest.approx(expect["zcr"])
+
+
+def test_flac_hypothesis_round_trip_property():
+    """Randomized signals (content, length, channel count, stereo mode)
+    always round-trip bit-exactly."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        seed=st.integers(0, 10_000),
+        n=st.integers(1, 6000),
+        stereo=st.booleans(),
+        mode=st.sampled_from(["independent", "mid_side", "auto"]),
+        sr=st.sampled_from([8000, 16000, 44100]),
+    )
+    def prop(seed, n, stereo, mode, sr):
+        rng = np.random.default_rng(seed)
+        kind = seed % 3
+        if kind == 0:       # pure noise (rice stress)
+            x = rng.uniform(-1, 1, n)
+        elif kind == 1:     # smooth (predictor stress)
+            x = 0.8 * np.sin(np.arange(n) * rng.uniform(0.001, 0.2))
+        else:               # constant / near-silence
+            x = np.full(n, rng.uniform(-1, 1) * (seed % 2))
+        if stereo:
+            y = np.roll(x, 1) * 0.9
+            sig = np.stack([x, y], axis=1)
+            expect = (_q16(x) + _q16(y)) / 2
+            data = encode_flac(sig, sr, stereo_mode=mode)
+        else:
+            expect = _q16(x)
+            data = encode_flac(x, sr)
+        dec, got_sr = decode_flac(data)
+        assert got_sr == sr
+        assert np.array_equal(dec, expect)
+
+    prop()

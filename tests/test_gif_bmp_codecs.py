@@ -349,3 +349,78 @@ def test_corrupt_row_in_batch_keeps_exact_int64_phash(spark):
             for r in extract_video_features(vdf).collect()}
     assert vout["vbad"] == (None, False)
     assert vout["v0"] == (phash64(frames[0]), True)
+
+
+# ---------------------------------------------------------------- AVI/MJPEG
+
+
+def test_avi_mjpeg_round_trip_psnr():
+    from chronon_spark.codecs import decode_avi_frames, encode_avi_mjpeg
+    from chronon_spark.fixtures import gen_pixels
+    from chronon_spark.operators.multimodal import psnr
+
+    rng = np.random.default_rng(20)
+    base = gen_pixels(rng, 40, 32)
+    frames = np.stack([np.roll(base, 3 * f, axis=0) for f in range(5)])
+    dec, fps = decode_avi_frames(encode_avi_mjpeg(frames, fps=12))
+    assert dec.shape == frames.shape and fps == 12
+    for a, b in zip(frames, dec):
+        assert psnr(a, b) >= 40.0  # lossy bar, same as still JPEG
+
+
+def test_avi_mjpeg_max_frames_and_padding():
+    from chronon_spark.codecs import decode_avi_frames, encode_avi_mjpeg
+    from chronon_spark.fixtures import gen_pixels
+
+    rng = np.random.default_rng(21)
+    # odd-sized JPEG payloads exercise the RIFF even-byte padding walk
+    frames = np.stack([gen_pixels(rng, 17, 15) for _ in range(4)])
+    data = encode_avi_mjpeg(frames)
+    dec, _ = decode_avi_frames(data, max_frames=2)
+    assert dec.shape[0] == 2
+
+
+def test_avi_mjpeg_corruptions_raise():
+    from chronon_spark.codecs import decode_avi_frames, encode_avi_mjpeg
+    from chronon_spark.fixtures import gen_pixels
+
+    rng = np.random.default_rng(22)
+    frames = np.stack([gen_pixels(rng, 16, 16) for _ in range(3)])
+    good = encode_avi_mjpeg(frames)
+    with pytest.raises(ValueError):
+        decode_avi_frames(good[:-6])           # truncated chunk
+    with pytest.raises(ValueError):
+        decode_avi_frames(b"RIFX" + good[4:])  # bad magic
+    with pytest.raises(ValueError):
+        decode_avi_frames(good.replace(b"vidsMJPG", b"vidsXVID", 1))
+    # frame bytes corrupted -> inner JPEG decode fails (clobber the SOI
+    # marker at the start of the first frame chunk's body)
+    i = good.index(b"00dc") + 8
+    bad = bytearray(good)
+    bad[i:i + 2] = b"\x00\x00"
+    with pytest.raises(ValueError):
+        decode_avi_frames(bytes(bad))
+    with pytest.raises(TypeError):
+        decode_avi_frames(None)
+
+
+def test_avi_flows_through_video_features(spark):
+    from chronon_spark.codecs import decode_avi_frames, encode_avi_mjpeg
+    from chronon_spark.fixtures import gen_pixels, phash64
+    from chronon_spark.operators.multimodal import extract_video_features
+
+    rng = np.random.default_rng(23)
+    base = gen_pixels(rng, 24, 16)
+    frames = np.stack([np.roll(base, 2 * f, axis=1) for f in range(4)])
+    data = encode_avi_mjpeg(frames)
+    dec, _ = decode_avi_frames(data)
+    df = spark.createDataFrame(
+        [("a0", data, 24, 16, 4, "avi"),
+         ("abad", data.replace(b"vidsMJPG", b"vidsH264", 1), 24, 16, 4, "avi")],
+        "video_id string, bytes binary, w int, h int, n_frames int, fmt string",
+    )
+    out = {r.video_id: r for r in extract_video_features(df).collect()}
+    assert out["abad"].decode_ok is False
+    assert out["a0"].decode_ok is True
+    assert out["a0"].phash0_check == phash64(dec[0])
+    assert out["a0"].n_frames_read == 4
