@@ -38,8 +38,10 @@ import struct
 
 import numpy as np
 
-_MAX_TOTAL_SAMPLES = 1 << 36  # STREAMINFO field width; sanity-capped below
-_SANE_SAMPLES = 200_000_000   # ~70 min stereo @48k — decode-side allocation cap
+# STREAMINFO's total-samples field is 36 bits; decode-side allocations are
+# additionally sanity-capped well below that so a corrupt header cannot
+# balloon memory (~70 min stereo @ 48k)
+_SANE_SAMPLES = 200_000_000
 
 
 # ---------------------------------------------------------------- CRCs
@@ -190,15 +192,6 @@ def _rice_read(r: _BitReader, k: int, count: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------------- fixed predictors
-
-_FIXED_COEFS = {
-    0: [],
-    1: [1],
-    2: [2, -1],
-    3: [3, -3, 1],
-    4: [4, -6, 4, -1],
-}
-
 
 def _fixed_residual(x: np.ndarray, order: int) -> np.ndarray:
     return np.diff(x.astype(np.int64), n=order)

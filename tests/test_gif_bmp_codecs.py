@@ -424,3 +424,30 @@ def test_avi_flows_through_video_features(spark):
     assert out["a0"].decode_ok is True
     assert out["a0"].phash0_check == phash64(dec[0])
     assert out["a0"].n_frames_read == 4
+
+
+def test_avi_fuzz_never_escapes_valueerror():
+    from chronon_spark.codecs import decode_avi_frames, encode_avi_mjpeg
+    from chronon_spark.fixtures import gen_pixels
+
+    rng = np.random.default_rng(24)
+    base = gen_pixels(rng, 16, 16)
+    good = encode_avi_mjpeg(
+        np.stack([np.roll(base, f, axis=0) for f in range(3)]))
+    for trial in range(100):
+        data = bytearray(good)
+        for _ in range(int(rng.integers(1, 4))):
+            mode = int(rng.integers(0, 3))
+            if mode == 0:
+                i = int(rng.integers(4, len(data)))
+                data[i] ^= 1 << int(rng.integers(0, 8))
+            elif mode == 1 and len(data) > 40:
+                data = data[: int(rng.integers(30, len(data)))]
+            else:
+                i = int(rng.integers(4, len(data) + 1))
+                data = data[:i] + bytes([int(rng.integers(0, 256))]) + data[i:]
+        try:
+            frames, fps = decode_avi_frames(bytes(data))
+            assert frames.dtype == np.uint8 and frames.ndim == 4
+        except (ValueError, TypeError):
+            pass
