@@ -272,8 +272,13 @@ def token_budget_sample(
         # below keeps only that zero-token prefix
         (F.col("__before") <= F.lit(budget_tokens)).alias("__touch"),
     )
+    # verdicts is bounded by (#groups x 10k buckets) — small for typical
+    # budget recipes, but NOT forcibly broadcast: at extreme group
+    # cardinality (per-domain budgets over millions of domains) a forced
+    # broadcast would collect it to the driver; AQE picks broadcast vs
+    # shuffle join from the actual size
     joined = rows.join(
-        F.broadcast(verdicts), [group_col, "__bk"], "inner"
+        verdicts, [group_col, "__bk"], "inner"
     ).filter(F.col("__touch"))
     wdoc = (
         Window.partitionBy(group_col, "__bk")

@@ -332,7 +332,6 @@ def unigram_lm_scores(
     (NULL for token-less documents).
     """
     import numpy as np
-    from pyspark.sql.window import Window
 
     toks = df.select(F.col(id_col), _lm_tokens(F.col(text_col)).alias("__t"))
     exploded = toks.select(id_col, F.explode("__t").alias("token"))
@@ -344,11 +343,11 @@ def unigram_lm_scores(
     n_total, v_total = int(tot["N"] or 0), int(tot["V"] or 0)
     denom = n_total + alpha * (v_total + 1)
     if top_v is not None:
-        keep = Window.orderBy(F.desc("c"), F.asc("token"))
-        counts = (
-            counts.withColumn("__r", F.row_number().over(keep))
-            .filter(F.col("__r") <= top_v).drop("__r")
-        )
+        # orderBy+limit compiles to TakeOrderedAndProject — a DISTRIBUTED
+        # top-k (per-partition heaps merged at the driver), unlike a
+        # global row_number window which would sort the whole vocab in
+        # one task; (count desc, token asc) keeps the cut deterministic
+        counts = counts.orderBy(F.desc("c"), F.asc("token")).limit(top_v)
     vocab = counts.select(
         "token", (F.log((F.col("c") + F.lit(alpha)) / F.lit(denom))).alias("__lp")
     )
