@@ -2130,7 +2130,7 @@ def _audio_real_fixture_path() -> str:
 
 VIDEO_REAL_N, VIDEO_REAL_SEED = 200, 83
 _VIDEO_REAL_FIXTURE_PATH = (
-    f"/root/repo/.fixtures/videos_real_v2_n{VIDEO_REAL_N}_s{VIDEO_REAL_SEED}.parquet"
+    f"/root/repo/.fixtures/videos_real_v3_n{VIDEO_REAL_N}_s{VIDEO_REAL_SEED}.parquet"
 )
 
 
@@ -2163,14 +2163,16 @@ def q_video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_video_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real-format video decode: animated GIF (LZW frames composited per
-    the spec's disposal/transparency rules; plain + interlaced) AND
-    Motion-JPEG AVI (RIFF container, every frame a standalone baseline
-    JPEG — the LOSSY real container; fixture v2 mixes both) through the
-    same fused Arrow video-feature pass as 'vraw'. The oracle reads the
-    fixture's decoded-frame sidecars (NULL + decode_ok=false for the
-    deterministic truncated/handler-clobbered rows), so a hash match
-    proves frame-exact decode through the Spark path."""
+    """Real-format video decode across ALL THREE real containers:
+    animated GIF (LZW frames composited per the spec's disposal/
+    transparency rules; plain + interlaced), animated PNG (acTL/fcTL/
+    fdAT, lossless truecolor) and Motion-JPEG AVI (RIFF container,
+    every frame a standalone baseline JPEG — the lossy one); fixture v3
+    mixes all three through the same fused Arrow video-feature pass as
+    'vraw'. The oracle reads the fixture's decoded-frame sidecars (NULL
+    + decode_ok=false for the deterministic truncated/handler-clobbered
+    rows), so a hash match proves frame-exact decode through the Spark
+    path."""
     _prep(spark)
     from chronon_spark.operators.multimodal import extract_video_features
 

@@ -223,7 +223,11 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     return out.astype(np.uint8)
 
 
-def _decode_png_inner(data: bytes) -> np.ndarray:
+def _decode_png_rgba(data: bytes) -> np.ndarray:
+    """Core PNG decode to (h, w, 4) uint8 RGBA — alpha NOT composited.
+    decode_png composites this over white (the still-image contract);
+    the APNG path composites frames onto the animation canvas instead,
+    which needs the true per-pixel alpha."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     pos, w = 8, None
@@ -310,25 +314,23 @@ def _decode_png_inner(data: bytes) -> np.ndarray:
     else:
         arr = arr.reshape(h, w, channels)
 
-    def _over_white(rgb: np.ndarray, a: np.ndarray) -> np.ndarray:
-        rgb = rgb.astype(np.int32)  # max intermediate 255*255 + 255*255
-        a = a.astype(np.int32)[:, :, None]
-        return ((rgb * a + 255 * (255 - a) + 127) // 255).astype(np.uint8)
+    def _rgba(rgb: np.ndarray, a: np.ndarray) -> np.ndarray:
+        return np.concatenate([rgb, a[:, :, None]], axis=2)
 
-    def _with_tmask(rgb: np.ndarray) -> np.ndarray:
+    def _opaque_with_tmask(rgb: np.ndarray) -> np.ndarray:
+        a = np.full((h, w), 255, np.uint8)
         if tmask is not None and tmask.any():
-            rgb = rgb.copy()
-            rgb[tmask] = 255  # binary alpha composited over white
-        return rgb
+            a[tmask] = 0  # binary transparency
+        return _rgba(rgb, a)
 
     if ctype == 2:
-        return _with_tmask(arr)
+        return _opaque_with_tmask(arr)
     if ctype == 0:
-        return _with_tmask(np.repeat(arr, 3, axis=2))
+        return _opaque_with_tmask(np.repeat(arr, 3, axis=2))
     if ctype == 4:
-        return _over_white(np.repeat(arr[:, :, :1], 3, axis=2), arr[:, :, 1])
+        return _rgba(np.repeat(arr[:, :, :1], 3, axis=2), arr[:, :, 1])
     if ctype == 6:
-        return _over_white(arr[:, :, :3], arr[:, :, 3])
+        return arr.copy()
     # ctype 3: palette lookup (+ optional tRNS per-index alpha)
     if plte is None:
         raise ValueError("palette PNG missing PLTE")
@@ -337,10 +339,24 @@ def _decode_png_inner(data: bytes) -> np.ndarray:
         raise ValueError("palette index out of range")
     rgb = plte[idx]
     if trns is not None and len(trns):
-        a = np.full(len(plte), 255, np.uint8)
-        a[: len(trns)] = trns
-        return _over_white(rgb, a[idx])
-    return rgb
+        a8 = np.full(len(plte), 255, np.uint8)
+        a8[: len(trns)] = trns
+        return _rgba(rgb, a8[idx])
+    return _rgba(rgb, np.full((h, w), 255, np.uint8))
+
+
+def _rgba_over_white(rgba: np.ndarray) -> np.ndarray:
+    """Composite (h, w, 4) over white — EXACTLY the historical rounding
+    ((rgb*a + 255*(255-a) + 127) // 255), so still-image outputs are
+    bit-identical to the pre-RGBA-refactor decoder. For fully opaque
+    pixels the formula reduces to identity."""
+    rgb = rgba[:, :, :3].astype(np.int32)
+    a = rgba[:, :, 3].astype(np.int32)[:, :, None]
+    return ((rgb * a + 255 * (255 - a) + 127) // 255).astype(np.uint8)
+
+
+def _decode_png_inner(data: bytes) -> np.ndarray:
+    return _rgba_over_white(_decode_png_rgba(data))
 
 
 # ---------------------------------------------------------------------------
@@ -1570,3 +1586,203 @@ def decode_avi_frames(data: bytes, max_frames: int | None = None
         if f.shape != frames[0].shape:
             raise ValueError("AVI frame dimensions drift mid-stream")
     return np.stack(frames), int(fps or 0)
+
+
+# ---------------------------------------------------------------------------
+# APNG (the animated-PNG extension standardized into the PNG spec, third
+# edition): acTL / fcTL / fdAT chunks over the ordinary PNG stream. The
+# third REAL animation container next to GIF and MJPEG-AVI — and the
+# lossless truecolor one. Each frame's pixel data is an ordinary
+# IDAT-format zlib stream for the frame's sub-rectangle, decoded by
+# synthesizing a standalone PNG around it and running the SAME RGBA core
+# as still images (_decode_png_rgba), then composited onto a persistent
+# RGBA canvas per the spec's dispose/blend rules:
+#
+#   dispose 0 none / 1 background (region -> transparent) / 2 previous;
+#   blend   0 source (replace region) / 1 over (alpha compositing).
+#
+# Returned frames follow the module's video contract: RGB composited
+# over white (same as the GIF path). Corrupt layouts raise ValueError:
+# out-of-order sequence numbers, frame rects outside the canvas, frame
+# count drift vs acTL, truncated chunks.
+# ---------------------------------------------------------------------------
+
+_APNG_MAX_FRAMES = 4096
+
+
+def _png_chunks(data: bytes):
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        typ = data[pos + 4:pos + 8]
+        if pos + 12 + length > len(data):
+            raise ValueError("PNG chunk declares bytes past EOF")
+        yield typ, data[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if typ == b"IEND":
+            return
+    raise ValueError("PNG stream ended without IEND")
+
+
+def decode_apng_frames(data: bytes, max_frames: int | None = None
+                       ) -> np.ndarray:
+    """APNG bytes -> (n_frames, h, w, 3) uint8 composited frames."""
+    if data is None:
+        raise TypeError("NULL payload")
+    ihdr = None
+    plte_raw = trns_raw = None
+    n_declared = None
+    fctl = None          # pending frame control for the next data chunk
+    idat_is_frame = False
+    cur_data = bytearray()
+    frames_meta: list[tuple] = []   # (fctl, payload bytes)
+    expected_seq = 0
+
+    def flush_frame():
+        nonlocal fctl, cur_data
+        if fctl is not None and cur_data:
+            frames_meta.append((fctl, bytes(cur_data)))
+            fctl, cur_data = None, bytearray()
+
+    for typ, body in _png_chunks(data):
+        if typ == b"IHDR":
+            ihdr = body
+        elif typ == b"PLTE":
+            plte_raw = body
+        elif typ == b"tRNS":
+            trns_raw = body
+        elif typ == b"acTL":
+            if len(body) < 8:
+                raise ValueError("short acTL chunk")
+            (n_declared,) = struct.unpack(">I", body[:4])
+            if not 1 <= n_declared <= _APNG_MAX_FRAMES:
+                raise ValueError(f"APNG declares {n_declared} frames")
+        elif typ == b"fcTL":
+            if len(body) < 26:
+                raise ValueError("short fcTL chunk")
+            (seq,) = struct.unpack(">I", body[:4])
+            if seq != expected_seq:
+                raise ValueError(
+                    f"APNG sequence number {seq}, expected {expected_seq}")
+            expected_seq += 1
+            flush_frame()
+            fw, fh, fx, fy = struct.unpack(">IIII", body[4:20])
+            _dn, _dd = struct.unpack(">HH", body[20:24])
+            dispose, blend = body[24], body[25]
+            if dispose > 2 or blend > 1:
+                raise ValueError(
+                    f"reserved APNG dispose/blend {dispose}/{blend}")
+            fctl = (fw, fh, fx, fy, dispose, blend)
+            idat_is_frame = not frames_meta and not cur_data
+        elif typ == b"IDAT":
+            if fctl is not None and idat_is_frame:
+                cur_data += body     # IDAT doubles as the first frame
+        elif typ == b"fdAT":
+            if len(body) < 4:
+                raise ValueError("short fdAT chunk")
+            (seq,) = struct.unpack(">I", body[:4])
+            if seq != expected_seq:
+                raise ValueError(
+                    f"APNG sequence number {seq}, expected {expected_seq}")
+            expected_seq += 1
+            if fctl is None:
+                raise ValueError("fdAT without a preceding fcTL")
+            cur_data += body[4:]
+    flush_frame()
+    if ihdr is None:
+        raise ValueError("APNG missing IHDR")
+    if n_declared is None:
+        raise ValueError("PNG has no acTL chunk (not an APNG)")
+    if len(frames_meta) != n_declared:
+        raise ValueError(
+            f"APNG has {len(frames_meta)} frames, acTL declares {n_declared}")
+
+    w, h, depth, ctype, comp, filt, _interlace = struct.unpack(
+        ">IIBBBBB", ihdr)
+    _check_dims(w, h)
+
+    def frame_png(fw: int, fh: int, payload: bytes) -> bytes:
+        sub_ihdr = struct.pack(">IIBBBBB", fw, fh, depth, ctype, comp,
+                               filt, 0)
+        out = bytearray(_PNG_SIG)
+        out += _png_chunk(b"IHDR", sub_ihdr)
+        if plte_raw is not None:
+            out += _png_chunk(b"PLTE", plte_raw)
+        if trns_raw is not None:
+            out += _png_chunk(b"tRNS", trns_raw)
+        out += _png_chunk(b"IDAT", payload)
+        out += _png_chunk(b"IEND", b"")
+        return bytes(out)
+
+    canvas = np.zeros((h, w, 4), dtype=np.uint8)  # transparent
+    out_frames: list[np.ndarray] = []
+    for (fw, fh, fx, fy, dispose, blend), payload in frames_meta:
+        if fx + fw > w or fy + fh > h or fw == 0 or fh == 0:
+            raise ValueError("APNG frame rect outside the canvas")
+        sub = _decode_png_rgba(frame_png(fw, fh, payload))
+        if sub.shape[:2] != (fh, fw):
+            raise ValueError("APNG frame data does not match fcTL rect")
+        prev = canvas.copy() if dispose == 2 else None
+        region = canvas[fy:fy + fh, fx:fx + fw]
+        if blend == 0:
+            region[:] = sub
+        else:  # over: integer-free float compositing, rounded once
+            fa = sub[:, :, 3:4].astype(np.float64) / 255.0
+            ca = region[:, :, 3:4].astype(np.float64) / 255.0
+            oa = fa + ca * (1.0 - fa)
+            rgb = np.where(
+                oa > 0,
+                (sub[:, :, :3] * fa + region[:, :, :3] * ca * (1.0 - fa))
+                / np.maximum(oa, 1e-12),
+                0.0,
+            )
+            region[:, :, :3] = np.round(rgb).astype(np.uint8)
+            region[:, :, 3] = np.round(oa[:, :, 0] * 255.0).astype(np.uint8)
+        out_frames.append(_rgba_over_white(canvas))
+        if len(out_frames) >= (max_frames or _APNG_MAX_FRAMES):
+            break
+        if dispose == 1:
+            canvas[fy:fy + fh, fx:fx + fw] = 0
+        elif dispose == 2 and prev is not None:
+            canvas = prev
+    return np.stack(out_frames)
+
+
+def encode_apng(frames: np.ndarray, delay_cs: int = 4) -> bytes:
+    """(n, h, w, 3) or (h, w, 3) uint8 -> APNG bytes (truecolor frames,
+    full-rect, blend source, dispose none). Frame payloads reuse the
+    still-image PNG encoder (its emitted IDAT stream is lifted into
+    fdAT), so every scanline-filter behavior is shared."""
+    if frames.ndim == 3:
+        frames = frames[None]
+    if frames.ndim != 4 or frames.shape[-1] != 3:
+        raise ValueError(f"expected (n, h, w, 3) frames, got {frames.shape}")
+    n, h, w, _ = frames.shape
+    if n == 0:
+        raise ValueError("empty frame stack")
+
+    def idat_of(pix: np.ndarray) -> bytes:
+        payload = bytearray()
+        for typ, body in _png_chunks(encode_png(pix)):
+            if typ == b"IDAT":
+                payload += body
+        return bytes(payload)
+
+    out = bytearray(_PNG_SIG)
+    out += _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+    out += _png_chunk(b"acTL", struct.pack(">II", n, 0))
+    seq = 0
+    for i, f in enumerate(frames):
+        fctl = struct.pack(">IIIIIHHBB", seq, w, h, 0, 0, delay_cs, 100, 0, 0)
+        out += _png_chunk(b"fcTL", fctl)
+        seq += 1
+        data = idat_of(f)
+        if i == 0:
+            out += _png_chunk(b"IDAT", data)
+        else:
+            out += _png_chunk(b"fdAT", struct.pack(">I", seq) + data)
+            seq += 1
+    out += _png_chunk(b"IEND", b"")
+    return bytes(out)

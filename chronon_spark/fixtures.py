@@ -818,7 +818,18 @@ def gen_real_video_rows(n: int, seed: int = 83, span_days: int = 30):
         rng = np.random.default_rng(seed * 1_000_003 + i)
         w, h = sizes[int(rng.integers(0, len(sizes)))]
         n_frames = int(rng.integers(4, 13))
-        if i % 3 == 2:
+        if i % 6 == 4:
+            # v3: animated-PNG rows — the lossless truecolor container
+            fmt = "apng"
+            from chronon_spark.codecs import decode_apng_frames, encode_apng
+
+            base = gen_pixels(rng, w, h)
+            frames = np.stack(
+                [np.roll(base, shift=2 * f, axis=1) for f in range(n_frames)]
+            )
+            data = encode_apng(frames)
+            layout = "apng"
+        elif i % 3 == 2:
             # v2: Motion-JPEG AVI rows — the LOSSY real container; the
             # sidecars come from the DECODED frames, so the engine must
             # reproduce the exact JPEG reconstruction per frame
@@ -851,6 +862,10 @@ def gen_real_video_rows(n: int, seed: int = 83, span_days: int = 30):
         else:
             if fmt == "avi":
                 dec, _fps = decode_avi_frames(data)
+            elif fmt == "apng":
+                from chronon_spark.codecs import decode_apng_frames
+
+                dec = decode_apng_frames(data)
             else:
                 dec = decode_gif_frames(data)
             assert dec.shape == (n_frames, h, w, 3)
@@ -880,7 +895,7 @@ def gen_real_video_rows(n: int, seed: int = 83, span_days: int = 30):
 def ensure_real_video_fixture(
     n: int = 200, seed: int = 83, out_dir: str = "/root/repo/.fixtures"
 ) -> str:
-    path = os.path.join(out_dir, f"videos_real_v2_n{n}_s{seed}.parquet")
+    path = os.path.join(out_dir, f"videos_real_v3_n{n}_s{seed}.parquet")
     if os.path.exists(path):
         return path
     os.makedirs(out_dir, exist_ok=True)

@@ -178,23 +178,29 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     )
 
 
-NATIVE_VIDEO_FORMATS = ("vraw", "gif", "avi")
+NATIVE_VIDEO_FORMATS = ("vraw", "gif", "avi", "apng")
 NATIVE_AUDIO_FORMATS = ("pcm16", "wav", "flac")
 
 
 def decode_video(data: bytes, w: int, h: int, n_frames: int, fmt: str) -> np.ndarray:
     """Decode one video to (n_frames, h, w, 3) uint8.  'gif' (LZW +
-    disposal/transparency compositing) and 'avi' (RIFF Motion-JPEG —
-    every frame a standalone baseline JPEG) are REAL containers decoded
-    by chronon_spark.codecs; 'vraw' is the synthetic engine layout.  The
+    disposal/transparency compositing), 'apng' (animated PNG — acTL/
+    fcTL/fdAT over the ordinary PNG stream, lossless truecolor) and
+    'avi' (RIFF Motion-JPEG — every frame a standalone baseline JPEG)
+    are REAL containers decoded by chronon_spark.codecs; 'vraw' is the
+    synthetic engine layout.  The
     decoded geometry must match the metadata columns — drift raises so
     it becomes a decode_ok=false row, never silently mis-shaped
     frames."""
-    if fmt in ("gif", "avi"):
+    if fmt in ("gif", "avi", "apng"):
         if fmt == "gif":
             from chronon_spark.codecs import decode_gif_frames
 
             frames = decode_gif_frames(data)
+        elif fmt == "apng":
+            from chronon_spark.codecs import decode_apng_frames
+
+            frames = decode_apng_frames(data)
         else:
             from chronon_spark.codecs import decode_avi_frames
 

@@ -451,3 +451,142 @@ def test_avi_fuzz_never_escapes_valueerror():
             assert frames.dtype == np.uint8 and frames.ndim == 4
         except (ValueError, TypeError):
             pass
+
+
+# ---------------------------------------------------------------- APNG
+
+
+def test_apng_round_trip_exact():
+    from chronon_spark.codecs import decode_apng_frames, encode_apng
+    from chronon_spark.fixtures import gen_pixels
+
+    rng = np.random.default_rng(30)
+    base = gen_pixels(rng, 24, 16)
+    frames = np.stack([np.roll(base, 3 * f, axis=1) for f in range(5)])
+    dec = decode_apng_frames(encode_apng(frames))
+    assert np.array_equal(dec, frames)  # lossless container
+    one = decode_apng_frames(encode_apng(frames[0]))
+    assert np.array_equal(one[0], frames[0])
+    capped = decode_apng_frames(encode_apng(frames), max_frames=2)
+    assert np.array_equal(capped, frames[:2])
+
+
+def _apng_hand(w, h, frame_specs, n_frames):
+    """Hand-assemble an APNG: each spec is (fw, fh, fx, fy, dispose,
+    blend, rgba_pixels). Frames are RGBA (ctype 6) filter-0 scanlines."""
+    import struct as st
+    import zlib
+
+    from chronon_spark.codecs import _PNG_SIG, _png_chunk
+
+    out = bytearray(_PNG_SIG)
+    out += _png_chunk(b"IHDR", st.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+    out += _png_chunk(b"acTL", st.pack(">II", n_frames, 0))
+    seq = 0
+    for i, (fw, fh, fx, fy, dispose, blend, rgba) in enumerate(frame_specs):
+        out += _png_chunk(b"fcTL", st.pack(
+            ">IIIIIHHBB", seq, fw, fh, fx, fy, 4, 100, dispose, blend))
+        seq += 1
+        raw = b"".join(b"\x00" + rgba[r].tobytes() for r in range(fh))
+        data = zlib.compress(raw)
+        if i == 0:
+            out += _png_chunk(b"IDAT", data)
+        else:
+            out += _png_chunk(b"fdAT", st.pack(">I", seq) + data)
+            seq += 1
+    out += _png_chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def test_apng_subrect_dispose_and_blend_over():
+    from chronon_spark.codecs import decode_apng_frames
+
+    # frame 0: full 4x4 opaque red; frame 1: 2x2 half-transparent blue at
+    # (1,1) blended OVER; frame 2 after dispose-1 of frame 1's region
+    red = np.zeros((4, 4, 4), np.uint8)
+    red[:, :] = (255, 0, 0, 255)
+    blue = np.zeros((2, 2, 4), np.uint8)
+    blue[:, :] = (0, 0, 255, 128)
+    green = np.zeros((1, 1, 4), np.uint8)
+    green[:, :] = (0, 255, 0, 255)
+    d = _apng_hand(4, 4, [
+        (4, 4, 0, 0, 0, 0, red),
+        (2, 2, 1, 1, 1, 1, blue),   # blend over, then dispose background
+        (1, 1, 0, 0, 0, 0, green),
+    ], 3)
+    dec = decode_apng_frames(d)
+    assert dec.shape == (3, 4, 4, 3)
+    assert tuple(dec[0][0, 0]) == (255, 0, 0)
+    # frame 1: blended pixel = 128/255 blue over red
+    fa = 128 / 255
+    exp_r = round((0 * fa + 255 * 1.0 * (1 - fa)) / (fa + (1 - fa)))
+    assert tuple(dec[1][1, 1]) == (exp_r, 0, round(255 * fa / 1.0))
+    assert tuple(dec[1][0, 0]) == (255, 0, 0)  # outside the rect
+    # frame 2: dispose-1 cleared (1,1)-(2,2) to transparent -> white
+    assert tuple(dec[2][1, 1]) == (255, 255, 255)
+    assert tuple(dec[2][0, 0]) == (0, 255, 0)  # green painted at origin
+    assert tuple(dec[2][3, 3]) == (255, 0, 0)  # untouched red
+
+
+def test_apng_dispose_previous():
+    from chronon_spark.codecs import decode_apng_frames
+
+    a = np.zeros((2, 2, 4), np.uint8)
+    a[:, :] = (10, 20, 30, 255)
+    b = np.zeros((2, 2, 4), np.uint8)
+    b[:, :] = (200, 0, 0, 255)
+    c = np.zeros((1, 1, 4), np.uint8)
+    c[:, :] = (0, 0, 0, 255)
+    d = _apng_hand(2, 2, [
+        (2, 2, 0, 0, 0, 0, a),
+        (2, 2, 0, 0, 2, 0, b),   # dispose previous: canvas reverts to a
+        (1, 1, 0, 0, 0, 0, c),
+    ], 3)
+    dec = decode_apng_frames(d)
+    assert tuple(dec[1][0, 0]) == (200, 0, 0)
+    assert tuple(dec[2][1, 1]) == (10, 20, 30)  # reverted
+    assert tuple(dec[2][0, 0]) == (0, 0, 0)
+
+
+def test_apng_corruptions_raise():
+    from chronon_spark.codecs import decode_apng_frames, encode_apng, decode_png
+    from chronon_spark.fixtures import gen_pixels
+
+    rng = np.random.default_rng(31)
+    frames = np.stack([gen_pixels(rng, 8, 8) for _ in range(3)])
+    good = encode_apng(frames)
+    with pytest.raises(ValueError):
+        decode_apng_frames(good[:-8])          # truncated
+    with pytest.raises(ValueError, match="acTL"):
+        from chronon_spark.codecs import encode_png
+
+        decode_apng_frames(encode_png(frames[0]))  # plain PNG, no acTL
+    # out-of-order sequence number
+    i = good.index(b"fdAT")
+    bad = bytearray(good)
+    bad[i + 4 + 3] ^= 0x55
+    with pytest.raises(ValueError, match="sequence"):
+        decode_apng_frames(bytes(bad))
+    with pytest.raises(TypeError):
+        decode_apng_frames(None)
+    # a plain still PNG decoder must still read the APNG's default image
+    assert np.array_equal(decode_png(good), frames[0])
+
+
+def test_apng_flows_through_video_features(spark):
+    from chronon_spark.codecs import encode_apng
+    from chronon_spark.fixtures import gen_pixels, phash64
+    from chronon_spark.operators.multimodal import extract_video_features
+
+    rng = np.random.default_rng(32)
+    base = gen_pixels(rng, 16, 16)
+    frames = np.stack([np.roll(base, f, axis=0) for f in range(4)])
+    data = encode_apng(frames)
+    df = spark.createDataFrame(
+        [("p0", data, 16, 16, 4, "apng"), ("pbad", data[:-6], 16, 16, 4, "apng")],
+        "video_id string, bytes binary, w int, h int, n_frames int, fmt string",
+    )
+    out = {r.video_id: r for r in extract_video_features(df).collect()}
+    assert out["pbad"].decode_ok is False
+    assert out["p0"].decode_ok is True
+    assert out["p0"].phash0_check == phash64(frames[0])  # lossless
