@@ -1729,6 +1729,69 @@ def q_image_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EXIF_N, EXIF_SEED = 600, 101
+_EXIF_FIXTURE_PATH = (
+    f"/root/repo/.fixtures/images_exif_v1_n{EXIF_N}_s{EXIF_SEED}.parquet"
+)
+
+
+def _exif_fixture_path() -> str:
+    from chronon_spark.fixtures import ensure_exif_fixture
+
+    return ensure_exif_fixture(n=EXIF_N, seed=EXIF_SEED)
+
+
+def q_image_exif_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-PII surface end-to-end (exif_codec.py — from-scratch TIFF
+    6.0 / EXIF 2.32): parse camera metadata + decimal GPS out of real
+    JPEG APP1 / PNG eXIf containers, then BOTH scrub modes —
+    mode='gps' (in-place GPS IFD surgery: gps must vanish, make must
+    survive) and mode='all' (every metadata segment dropped, txt chunks
+    included) — with the decoded-pixel hash pinned unchanged across the
+    surgery. Deterministic corrupt-EXIF rows (truncated TIFF in a valid
+    container) must flow through as parse_ok=false rows, never a crash.
+    The oracle reads the generation-time sidecars, so every parsed
+    field, both post-scrub states, and the pixel pin sit in the value
+    hash."""
+    _prep(spark)
+    from chronon_spark.operators.multimodal import (
+        extract_pixel_features,
+        image_metadata,
+        scrub_image_metadata,
+    )
+
+    imgs = spark.read.parquet(_exif_fixture_path())
+    meta = image_metadata(imgs).select(
+        "image_id", "parse_ok", "has_exif", "orientation", "make",
+        "artist", "gps_lat", "gps_lon", "txt_chunks",
+    )
+    gps_scrubbed = scrub_image_metadata(imgs, mode="gps",
+                                        passthrough=("fmt",))
+    re_gps = image_metadata(gps_scrubbed).select(
+        "image_id",
+        F.col("gps_present").alias("gps_after"),
+        F.col("make").alias("make_after"),
+    )
+    all_scrubbed = scrub_image_metadata(imgs, mode="all",
+                                        passthrough=("fmt", "w", "h",
+                                                     "phash"))
+    re_all = image_metadata(all_scrubbed).select(
+        "image_id",
+        F.col("has_exif").alias("clean_exif"),
+        F.col("txt_chunks").alias("clean_txt"),
+    )
+    pix = extract_pixel_features(all_scrubbed, passthrough=("phash",)).select(
+        "image_id",
+        (F.col("phash_check") == F.col("phash")).alias("pix_ok"),
+    )
+    return (
+        meta.join(re_gps, "image_id")
+        .join(re_all, "image_id")
+        .join(pix, "image_id")
+        .join(imgs.select("image_id", "fmt"), "image_id")
+    )
+
+
 def q_image_asof_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """input_hint pipeline: point-in-time features keyed on phash — for
     each image capture, how many captures of the SAME content (phash)
@@ -3255,7 +3318,8 @@ _COMPOSITE_SPECS: dict[str, list[str]] = {
         "corpus_lm_score",
     ],
     "dedup_incremental_suite": ["dedup_incremental", "image_phash_incremental"],
-    "image_decode_suite": ["image_pixel_features", "image_real_decode"],
+    "image_decode_suite": ["image_pixel_features", "image_real_decode",
+                           "image_exif_scrub"],
     # synthetic pcm16 sidecar contract + the real WAV/RIFF encoding matrix
     "audio_suite": ["audio_clip_features", "audio_real_decode"],
     # synthetic vraw sidecar contract + real animated-GIF frame decode
@@ -3421,6 +3485,11 @@ _QCOLS: dict[str, list[str]] = {
     "image_real_decode": [
         "image_id", "phash_match", "brightness_match", "psnr_ok", "fmt",
     ],
+    "image_exif_scrub": [
+        "image_id", "parse_ok", "has_exif", "orientation", "make",
+        "artist", "gps_lat", "gps_lon", "txt_chunks", "gps_after",
+        "make_after", "clean_exif", "clean_txt", "pix_ok", "fmt",
+    ],
     "image_phash_incremental": ["new_id", "corpus_id", "hamming"],
     "audio_clip_features": [
         "audio_id", "rms", "zcr", "centroid_hz", "duration_s", "decode_ok",
@@ -3446,6 +3515,8 @@ _BOOL_COLS: dict[str, set[str]] = {
     "video_frame_features": {"phash_match"},
     "video_real_decode": {"phash_match", "decode_ok"},
     "image_real_decode": {"phash_match", "brightness_match", "psnr_ok"},
+    "image_exif_scrub": {"parse_ok", "has_exif", "gps_after", "clean_exif",
+                         "pix_ok"},
     "corpus_repetition": {"repetitive"},
     "corpus_decontaminate": {"contaminated"},
 }
@@ -3593,6 +3664,7 @@ def _granular_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "image_pixel_features": q_image_pixel_features,
         "image_real_decode": q_image_real_decode,
+        "image_exif_scrub": q_image_exif_scrub,
         "image_asof_features": q_image_asof_features,
         "image_asof_iceberg": q_image_asof_iceberg,
         "image_phash_neardup": q_image_phash_neardup,
@@ -3739,6 +3811,7 @@ def oracle_sql() -> dict[str, str]:
 def _oracle_sql_granular() -> dict[str, str]:
     _image_fixture_path()  # the image oracles read the fixture parquet
     _real_image_fixture_path()  # ditto the real-codec (png/jpeg) fixture
+    _exif_fixture_path()  # ditto the EXIF-metadata fixture
     _video_fixture_path()  # ditto video
     _audio_fixture_path()  # ditto audio
     _audio_real_fixture_path()  # ditto the real-codec (wav) audio fixture
@@ -4473,6 +4546,29 @@ def _oracle_sql_granular() -> dict[str, str]:
                    TRUE AS psnr_ok,
                    fmt
             FROM '{_REAL_FIXTURE_PATH}'
+        """,
+        # EXIF parse + scrub: sidecars are the generation-time truth;
+        # post-scrub expectations are deterministic per row class —
+        # gps always gone (NULL for corrupt-EXIF rows, whose bytes pass
+        # through unchanged), benign metadata survives the gps surgery,
+        # mode='all' leaves nothing, pixels pinned via the phash
+        "image_exif_scrub": rf"""
+            SELECT image_id,
+                   x_parse_ok AS parse_ok,
+                   x_has_exif AS has_exif,
+                   x_orientation AS orientation,
+                   x_make AS make,
+                   x_artist AS artist,
+                   x_lat AS gps_lat,
+                   x_lon AS gps_lon,
+                   x_txt AS txt_chunks,
+                   CASE WHEN x_parse_ok THEN FALSE ELSE NULL END AS gps_after,
+                   CASE WHEN x_parse_ok THEN x_make ELSE NULL END AS make_after,
+                   FALSE AS clean_exif,
+                   0 AS clean_txt,
+                   TRUE AS pix_ok,
+                   fmt
+            FROM '{_EXIF_FIXTURE_PATH}'
         """,
         # image near-dup: pigeonhole banding has recall exactly 1 (and the
         # engine verifies with exact bit_count), so the pair set equals

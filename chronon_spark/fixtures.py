@@ -924,3 +924,157 @@ def ensure_real_video_fixture(
     pq.write_table(table, tmp, row_group_size=FIXTURE_ROW_GROUP)
     os.replace(tmp, path)
     return path
+
+
+# ---------------------------------------------------------------------------
+# EXIF-metadata fixture: real JPEG/PNG containers CARRYING EXIF blobs
+# (exif_codec.encode_exif — both byte orders, GPS rationals, nested Exif
+# IFD, PNG tEXt chunks), plus deterministic corrupt-EXIF rows (valid
+# container, truncated TIFF) and EXIF-channel-free BMP rows. Sidecars
+# x_* are the generation-time truth the engine must reproduce from the
+# bytes alone; x_parse_ok=false marks the corrupt rows (engine must
+# yield parse_ok=false, never crash).
+# ---------------------------------------------------------------------------
+
+_EXIF_MAKES = ["CanonX", "Nikorr", "PixelCam", "Fujix"]
+_EXIF_MODELS = ["A100", "Z9-mini", "P7", "QV-2"]
+_EXIF_ARTISTS = ["alice example", "bob b.", "carol c", "dave d"]
+
+
+def gen_exif_image_rows(n: int, seed: int = 101, span_days: int = 30,
+                        offset: int = 0):
+    from chronon_spark import exif_codec
+    from chronon_spark.codecs import encode_bmp, encode_jpeg, encode_png
+
+    sizes = [(32, 32), (48, 32), (32, 48)]
+    rows = []
+    for i in range(offset, offset + n):
+        rng = np.random.default_rng(seed * 3_000_017 + i)
+        w, h = sizes[int(rng.integers(0, len(sizes)))]
+        pix = gen_pixels(rng, w, h)
+        fv = rng.random()
+        fmt = "jpeg" if fv < 0.45 else "png" if fv < 0.9 else "bmp"
+        if fmt == "jpeg":
+            data = encode_jpeg(pix, quality=92)
+        elif fmt == "png":
+            data = encode_png(pix)
+        else:
+            data = encode_bmp(pix, bpp=24)
+
+        x = {"x_has_exif": False, "x_orientation": None, "x_make": None,
+             "x_artist": None, "x_gps": False, "x_lat": None, "x_lon": None,
+             "x_txt": 0, "x_parse_ok": True}
+        if fmt != "bmp" and rng.random() < 0.75:
+            corrupt = rng.random() < 0.08
+            fields = {
+                "make": _EXIF_MAKES[int(rng.integers(0, 4))],
+                "model": _EXIF_MODELS[int(rng.integers(0, 4))],
+                "orientation": int(rng.integers(1, 9)),
+                "datetime": "2026:08:%02d 12:00:00" % int(rng.integers(1, 29)),
+            }
+            if rng.random() < 0.4:
+                fields["artist"] = _EXIF_ARTISTS[int(rng.integers(0, 4))]
+            if rng.random() < 0.5:
+                lat = float(np.round(rng.uniform(-80, 80), 5))
+                lon = float(np.round(rng.uniform(-179, 179), 5))
+                fields["gps"] = (lat, lon)
+            bo = "II" if rng.random() < 0.5 else "MM"
+            tiff = exif_codec.encode_exif(fields, byte_order=bo)
+            if corrupt:
+                # valid container, truncated TIFF: IFD walk must raise,
+                # the row must become parse_ok=false (not a crash)
+                tiff = tiff[:10]
+                x = dict(x, x_parse_ok=False, x_has_exif=None, x_gps=None,
+                         x_txt=None)
+            else:
+                x["x_has_exif"] = True
+                x["x_orientation"] = fields["orientation"]
+                x["x_make"] = fields["make"]
+                x["x_artist"] = fields.get("artist")
+                if "gps" in fields:
+                    lat, lon = fields["gps"]
+                    x["x_gps"] = True
+                    # engine rounds decimal degrees to 6dp; DMS rationals
+                    # quantize seconds at 1/10000 — recompute the exact
+                    # value the decoder will produce
+                    x["x_lat"] = exif_codec._dms_to_deg(
+                        exif_codec._deg_to_dms(lat), "N" if lat >= 0 else "S")
+                    x["x_lon"] = exif_codec._dms_to_deg(
+                        exif_codec._deg_to_dms(lon), "E" if lon >= 0 else "W")
+            if fmt == "jpeg":
+                data = exif_codec.insert_jpeg_exif(data, tiff)
+            else:
+                texts = {}
+                if rng.random() < 0.5:
+                    texts = {"Author": "someone", "Software": "genpix"}
+                    if x["x_txt"] is not None:
+                        x["x_txt"] = len(texts)
+                data = exif_codec.insert_png_exif(data, tiff, texts=texts)
+        decoded = decode_image(data, w, h, fmt)
+        ts = BASE_TS + int(rng.integers(0, span_days * DAY_MS))
+        rows.append({
+            "image_id": f"ximg_{i:08d}",
+            "bytes": data, "w": int(w), "h": int(h), "fmt": fmt,
+            "caption": gen_caption(rng), "phash": phash64(decoded),
+            "ts": ts, **x,
+        })
+    return rows
+
+
+def _exif_rows_table(rows):
+    import pyarrow as pa
+
+    base = _image_rows_table(rows)
+    cols = {
+        "x_has_exif": pa.bool_(), "x_orientation": pa.int32(),
+        "x_make": pa.string(), "x_artist": pa.string(),
+        "x_gps": pa.bool_(), "x_lat": pa.float64(), "x_lon": pa.float64(),
+        "x_txt": pa.int32(), "x_parse_ok": pa.bool_(),
+    }
+    for name, typ in cols.items():
+        base = base.append_column(
+            name, pa.array([r[name] for r in rows], type=typ))
+    return base
+
+
+def _exif_chunk_writer(task):
+    import pyarrow.parquet as pq
+
+    tmp_dir, seed, ci, lo, cnt = task
+    rows = gen_exif_image_rows(cnt, seed, offset=lo)
+    pq.write_table(_exif_rows_table(rows),
+                   os.path.join(tmp_dir, f"part-{ci:05d}.parquet"),
+                   row_group_size=FIXTURE_ROW_GROUP)
+
+
+def ensure_exif_fixture(
+    n: int = 2_000, seed: int = 101, out_dir: str = "/root/repo/.fixtures",
+    n_jobs: int | None = None,
+) -> str:
+    """Write the EXIF-bearing image fixture once; idempotent on (n, seed)."""
+    path = os.path.join(out_dir, f"images_exif_v1_n{n}_s{seed}.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(out_dir, exist_ok=True)
+    import pyarrow.parquet as pq
+
+    if n >= 4_000:
+        chunk = 2_000
+        tmp_dir = path + ".tmp"
+        os.makedirs(tmp_dir, exist_ok=True)
+        tasks = [(tmp_dir, seed, ci, lo, min(chunk, n - lo))
+                 for ci, lo in enumerate(range(0, n, chunk))]
+        import multiprocessing as mp
+
+        jobs = n_jobs or min(16, mp.cpu_count())
+        with mp.get_context("spawn").Pool(jobs) as pool:
+            pool.map(_exif_chunk_writer, tasks)
+        os.replace(tmp_dir, path)
+        return path
+
+    rows = gen_exif_image_rows(n, seed)
+    tmp = path + ".tmp"
+    pq.write_table(_exif_rows_table(rows), tmp,
+                   row_group_size=FIXTURE_ROW_GROUP)
+    os.replace(tmp, path)
+    return path

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from chronon_spark.fixtures import decode_image as _decode_native
 from chronon_spark.fixtures import decode_video as _decode_video_native
 from chronon_spark.fixtures import phash64
+from struct import error as struct_error
 
 NATIVE_FORMATS = ("rgb8", "half", "png", "jpeg", "gif", "bmp")
 
@@ -484,3 +485,123 @@ def curate_images(
         kept, "image_id", "phash_decoded", max_hamming, max_bucket
     )
     return kept.join(clusters, "image_id")
+
+
+IMAGE_METADATA_SCHEMA = (
+    "image_id string, has_exif boolean, orientation int, make string, "
+    "model string, exif_datetime string, artist string, "
+    "gps_present boolean, gps_lat double, gps_lon double, "
+    "txt_chunks int, parse_ok boolean"
+)
+
+
+def image_metadata(
+    df: DataFrame, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
+    """EXIF / container metadata as queryable columns — one Arrow pass
+    over (image_id, bytes, fmt), the image-PII analog of
+    operators/text.redact_pii's detection side (exif_codec.py is the
+    from-scratch TIFF 6.0 / EXIF 2.32 walker; no image lib in the
+    container). Camera make/model, orientation, capture datetime, artist
+    and decimal-degree GPS become flat columns; PNG textual chunks /
+    JPEG comments are counted in txt_chunks. Containers without an EXIF
+    channel (gif/bmp) and EXIF-free files yield has_exif=false rows;
+    structurally corrupt containers yield parse_ok=false rows (same
+    integrity-gate contract as the decode pass — never a crash).
+
+    Scale shape: scan-stage mapInPandas, binary column never shuffled;
+    passthrough columns ride the Arrow batch exactly as in
+    extract_pixel_features."""
+    from chronon_spark import exif_codec
+
+    pt_fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    pt_schema = "".join(f", `{c}` {pt_fields[c]}" for c in passthrough)
+    cols = ("has_exif", "orientation", "make", "model", "exif_datetime",
+            "artist", "gps_present", "gps_lat", "gps_lon", "txt_chunks")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("image_id",) + cols + ("parse_ok",)}
+            for iid, data, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                      pdf["fmt"]):
+                out["image_id"].append(iid)
+                try:
+                    if data is None:
+                        raise ValueError("null payload")
+                    m = exif_codec.extract_exif(bytes(data), fmt)
+                except (ValueError, TypeError, struct_error):
+                    for k in cols:
+                        out[k].append(None)
+                    out["parse_ok"].append(False)
+                    continue
+                out["has_exif"].append(bool(m["has_exif"]))
+                out["orientation"].append(m["orientation"])
+                out["make"].append(m["make"])
+                out["model"].append(m["model"])
+                out["exif_datetime"].append(m["datetime"])
+                out["artist"].append(m["artist"])
+                out["gps_present"].append(bool(m["gps_present"]))
+                out["gps_lat"].append(m["gps_lat"])
+                out["gps_lon"].append(m["gps_lon"])
+                out["txt_chunks"].append(int(m["txt_chunks"]))
+                out["parse_ok"].append(True)
+            res = pd.DataFrame(out)
+            res["orientation"] = pd.array(out["orientation"], dtype="Int32")
+            res["txt_chunks"] = pd.array(out["txt_chunks"], dtype="Int32")
+            for c in passthrough:
+                res[c] = pdf[c].reset_index(drop=True)
+            yield res
+
+    in_cols = list(dict.fromkeys(["image_id", "bytes", "fmt"]
+                                 + list(passthrough)))
+    return df.select(*in_cols).mapInPandas(
+        batches, schema=IMAGE_METADATA_SCHEMA + pt_schema
+    )
+
+
+def scrub_image_metadata(
+    df: DataFrame, mode: str = "all", passthrough: tuple[str, ...] = ()
+) -> DataFrame:
+    """Rewrite the bytes column with metadata removed — pixels untouched
+    (JPEG entropy segments / PNG IDAT copied verbatim; exif_codec
+    docstring has the per-mode contract). mode='all' drops every
+    metadata segment; mode='gps' surgically zeroes only the GPS IFD so
+    benign camera metadata survives at unchanged byte length. `changed`
+    reports whether the payload differs; scrub_ok=false marks corrupt
+    containers (bytes passed through unmodified so a quarantine branch
+    can still route them)."""
+    from chronon_spark import exif_codec
+
+    pt_fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    pt_schema = "".join(f", `{c}` {pt_fields[c]}" for c in passthrough)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"image_id": [], "bytes": [], "changed": [], "scrub_ok": []}
+            for iid, data, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                      pdf["fmt"]):
+                out["image_id"].append(iid)
+                try:
+                    if data is None:
+                        raise ValueError("null payload")
+                    nb = exif_codec.scrub_metadata(bytes(data), fmt, mode)
+                except (ValueError, TypeError, struct_error):
+                    out["bytes"].append(data)
+                    out["changed"].append(False)
+                    out["scrub_ok"].append(False)
+                    continue
+                out["bytes"].append(nb)
+                out["changed"].append(nb != bytes(data))
+                out["scrub_ok"].append(True)
+            res = pd.DataFrame(out)
+            for c in passthrough:
+                res[c] = pdf[c].reset_index(drop=True)
+            yield res
+
+    in_cols = list(dict.fromkeys(["image_id", "bytes", "fmt"]
+                                 + list(passthrough)))
+    return df.select(*in_cols).mapInPandas(
+        batches,
+        schema="image_id string, bytes binary, changed boolean, "
+               "scrub_ok boolean" + pt_schema,
+    )
