@@ -1792,6 +1792,53 @@ def q_image_exif_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUAL_N, QUAL_SEED = 600, 131
+_QUALITY_FIXTURE_PATH = (
+    f"/root/repo/.fixtures/images_quality_v1_n{QUAL_N}_s{QUAL_SEED}.parquet"
+)
+
+
+def _quality_fixture_path() -> str:
+    from chronon_spark.fixtures import ensure_quality_fixture
+
+    return ensure_quality_fixture(n=QUAL_N, seed=QUAL_SEED)
+
+
+def q_image_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-reference image quality metrics (multimodal.image_quality —
+    Laplacian-variance blur score, gray entropy, Hasler-Süsstrunk
+    colorfulness, HSV saturation, exposure clip fraction) computed from
+    the payload bytes in one Arrow pass, plus the curation gate a
+    training pipeline runs on them (sharp AND not-clipped AND
+    information-bearing). The fixture's content classes (sharp noise,
+    defocus blur, flat fill, gradients, saturated blocks, clipped
+    exposures, deterministic corrupt rows) span the metric space; the
+    oracle recomputes the gate from generation-time sidecars produced
+    by the same published formulas, so every metric value AND the gate
+    decision sit in the value hash."""
+    _prep(spark)
+    from chronon_spark.operators.multimodal import image_quality
+
+    imgs = spark.read.parquet(_quality_fixture_path())
+    out = image_quality(imgs)
+    keep = (
+        F.col("decode_ok")
+        & (F.col("laplacian_var") >= 50.0)
+        & (F.col("entropy_bits") >= 1.0)
+        & (F.col("clip_frac") <= 0.1)
+    )
+    return out.join(imgs.select("image_id", "fmt"), "image_id").select(
+        "image_id", "fmt",
+        F.round("laplacian_var", 6).alias("laplacian_var"),
+        F.round("entropy_bits", 6).alias("entropy_bits"),
+        F.round("colorfulness", 6).alias("colorfulness"),
+        F.round("saturation", 6).alias("saturation"),
+        F.round("clip_frac", 6).alias("clip_frac"),
+        "decode_ok",
+        keep.alias("keep"),
+    )
+
+
 def q_image_asof_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """input_hint pipeline: point-in-time features keyed on phash — for
     each image capture, how many captures of the SAME content (phash)
@@ -3319,7 +3366,7 @@ _COMPOSITE_SPECS: dict[str, list[str]] = {
     ],
     "dedup_incremental_suite": ["dedup_incremental", "image_phash_incremental"],
     "image_decode_suite": ["image_pixel_features", "image_real_decode",
-                           "image_exif_scrub"],
+                           "image_exif_scrub", "image_quality_gate"],
     # synthetic pcm16 sidecar contract + the real WAV/RIFF encoding matrix
     "audio_suite": ["audio_clip_features", "audio_real_decode"],
     # synthetic vraw sidecar contract + real animated-GIF frame decode
@@ -3490,6 +3537,10 @@ _QCOLS: dict[str, list[str]] = {
         "artist", "gps_lat", "gps_lon", "txt_chunks", "gps_after",
         "make_after", "clean_exif", "clean_txt", "pix_ok", "fmt",
     ],
+    "image_quality_gate": [
+        "image_id", "fmt", "laplacian_var", "entropy_bits",
+        "colorfulness", "saturation", "clip_frac", "decode_ok", "keep",
+    ],
     "image_phash_incremental": ["new_id", "corpus_id", "hamming"],
     "audio_clip_features": [
         "audio_id", "rms", "zcr", "centroid_hz", "duration_s", "decode_ok",
@@ -3517,6 +3568,7 @@ _BOOL_COLS: dict[str, set[str]] = {
     "image_real_decode": {"phash_match", "brightness_match", "psnr_ok"},
     "image_exif_scrub": {"parse_ok", "has_exif", "gps_after", "clean_exif",
                          "pix_ok"},
+    "image_quality_gate": {"decode_ok", "keep"},
     "corpus_repetition": {"repetitive"},
     "corpus_decontaminate": {"contaminated"},
 }
@@ -3665,6 +3717,7 @@ def _granular_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_pixel_features": q_image_pixel_features,
         "image_real_decode": q_image_real_decode,
         "image_exif_scrub": q_image_exif_scrub,
+        "image_quality_gate": q_image_quality_gate,
         "image_asof_features": q_image_asof_features,
         "image_asof_iceberg": q_image_asof_iceberg,
         "image_phash_neardup": q_image_phash_neardup,
@@ -3812,6 +3865,7 @@ def _oracle_sql_granular() -> dict[str, str]:
     _image_fixture_path()  # the image oracles read the fixture parquet
     _real_image_fixture_path()  # ditto the real-codec (png/jpeg) fixture
     _exif_fixture_path()  # ditto the EXIF-metadata fixture
+    _quality_fixture_path()  # ditto the quality-metric fixture
     _video_fixture_path()  # ditto video
     _audio_fixture_path()  # ditto audio
     _audio_real_fixture_path()  # ditto the real-codec (wav) audio fixture
@@ -4569,6 +4623,22 @@ def _oracle_sql_granular() -> dict[str, str]:
                    TRUE AS pix_ok,
                    fmt
             FROM '{_EXIF_FIXTURE_PATH}'
+        """,
+        # quality metrics: sidecars are the same published formulas the
+        # engine runs (image_quality_np), computed on the decoded pixels
+        # at generation time; the curation gate is recomputed in SQL so
+        # the gating predicate itself is cross-engine
+        "image_quality_gate": rf"""
+            SELECT image_id, fmt,
+                   ROUND(q_lap, 6) AS laplacian_var,
+                   ROUND(q_ent, 6) AS entropy_bits,
+                   ROUND(q_col, 6) AS colorfulness,
+                   ROUND(q_sat, 6) AS saturation,
+                   ROUND(q_clip, 6) AS clip_frac,
+                   q_ok AS decode_ok,
+                   (q_ok AND q_lap >= 50.0 AND q_ent >= 1.0
+                         AND q_clip <= 0.1) AS keep
+            FROM '{_QUALITY_FIXTURE_PATH}'
         """,
         # image near-dup: pigeonhole banding has recall exactly 1 (and the
         # engine verifies with exact bit_count), so the pair set equals

@@ -1078,3 +1078,111 @@ def ensure_exif_fixture(
                    row_group_size=FIXTURE_ROW_GROUP)
     os.replace(tmp, path)
     return path
+
+
+# ---------------------------------------------------------------------------
+# Image-quality fixture: content classes engineered to span the quality
+# metric space (sharp noise / box-blurred / flat fill / gradient /
+# saturated / exposure-clipped), each encoded losslessly (rgb8 or PNG) or
+# as JPEG with sidecars computed on the DECODED pixels, plus
+# deterministic corrupt rows. Sidecars q_* come from the SAME
+# image_quality_np formulas the engine runs — the check is that the
+# engine reproduces them from the payload bytes through Spark/Arrow.
+# ---------------------------------------------------------------------------
+
+def _box_blur(pix: np.ndarray, k: int) -> np.ndarray:
+    f = np.ones((k, k), dtype=np.float64) / (k * k)
+    out = np.empty_like(pix, dtype=np.float64)
+    for c in range(3):
+        p = np.pad(pix[:, :, c].astype(np.float64),
+                   k // 2, mode="edge")
+        s = np.cumsum(np.cumsum(p, axis=0), axis=1)
+        s = np.pad(s, ((1, 0), (1, 0)))
+        h, w = pix.shape[:2]
+        out[:, :, c] = (
+            s[k:k + h, k:k + w] - s[:h, k:k + w]
+            - s[k:k + h, :w] + s[:h, :w]
+        ) / (k * k)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def gen_quality_image_rows(n: int, seed: int = 131, span_days: int = 30,
+                           offset: int = 0):
+    from chronon_spark.codecs import encode_jpeg, encode_png
+    from chronon_spark.operators.multimodal import image_quality_np
+
+    rows = []
+    for i in range(offset, offset + n):
+        rng = np.random.default_rng(seed * 5_000_011 + i)
+        w, h = (32, 32) if rng.random() < 0.5 else (48, 32)
+        cls = int(rng.integers(0, 6))
+        if cls == 0:        # sharp noise: high laplacian + entropy
+            pix = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        elif cls == 1:      # defocus blur
+            pix = _box_blur(
+                rng.integers(0, 256, (h, w, 3), dtype=np.uint8), 5)
+        elif cls == 2:      # flat fill: entropy ~ 0
+            pix = np.full((h, w, 3), int(rng.integers(30, 220)),
+                          dtype=np.uint8)
+        elif cls == 3:      # smooth gradient
+            pix = gen_pixels(rng, w, h)
+        elif cls == 4:      # saturated color blocks
+            pix = np.zeros((h, w, 3), dtype=np.uint8)
+            pix[:, : w // 2, 0] = 255
+            pix[:, w // 2:, 2] = 255
+        else:               # exposure-clipped
+            pix = gen_pixels(rng, w, h).astype(np.int64)
+            pix = np.clip(pix * 3 - 200, 0, 255).astype(np.uint8)
+        fv = rng.random()
+        corrupt = fv > 0.96
+        if corrupt:
+            fmt, data = "jpeg", b"\xff\xd8\x00broken"
+            q = {k: None for k in ("laplacian_var", "entropy_bits",
+                                   "colorfulness", "saturation",
+                                   "clip_frac")}
+            ok = False
+        else:
+            if fv < 0.4:
+                fmt, data = "rgb8", encode_image(pix, "rgb8")
+            elif fv < 0.7:
+                fmt, data = "png", encode_png(pix)
+            else:
+                fmt, data = "jpeg", encode_jpeg(pix, quality=92)
+            decoded = decode_image(data, w, h, fmt)
+            q = image_quality_np(decoded)
+            ok = True
+        ts = BASE_TS + int(rng.integers(0, span_days * DAY_MS))
+        rows.append({
+            "image_id": f"qimg_{i:08d}", "bytes": data, "w": int(w),
+            "h": int(h), "fmt": fmt, "caption": gen_caption(rng),
+            "phash": 0 if corrupt else phash64(decoded), "ts": ts,
+            "q_lap": q["laplacian_var"], "q_ent": q["entropy_bits"],
+            "q_col": q["colorfulness"], "q_sat": q["saturation"],
+            "q_clip": q["clip_frac"], "q_ok": ok,
+        })
+    return rows
+
+
+def ensure_quality_fixture(
+    n: int = 600, seed: int = 131, out_dir: str = "/root/repo/.fixtures",
+) -> str:
+    """Write the quality-metric image fixture once; idempotent on (n, seed)."""
+    path = os.path.join(out_dir, f"images_quality_v1_n{n}_s{seed}.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(out_dir, exist_ok=True)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = gen_quality_image_rows(n, seed)
+    base = _image_rows_table(rows)
+    cols = {"q_lap": pa.float64(), "q_ent": pa.float64(),
+            "q_col": pa.float64(), "q_sat": pa.float64(),
+            "q_clip": pa.float64(), "q_ok": pa.bool_()}
+    for name, typ in cols.items():
+        base = base.append_column(
+            name, pa.array([r[name] for r in rows], type=typ))
+    tmp = path + ".tmp"
+    pq.write_table(base, tmp, row_group_size=FIXTURE_ROW_GROUP)
+    os.replace(tmp, path)
+    return path

@@ -605,3 +605,108 @@ def scrub_image_metadata(
         schema="image_id string, bytes binary, changed boolean, "
                "scrub_ok boolean" + pt_schema,
     )
+
+
+def image_quality_np(pix: np.ndarray) -> dict:
+    """Reference quality-metric formulas (shared by generator sidecars
+    and the engine kernel — the oracle check is that the ENGINE
+    reproduces them from the binary payload via the Spark/Arrow path).
+
+    laplacian_var — variance of the 4-neighbour Laplacian of the gray
+      plane: the classic no-reference blur score (sharp > ~100, defocus
+      blur collapses toward 0).
+    entropy_bits  — Shannon entropy of the 256-bin gray histogram:
+      near-0 for flat/synthetic fills, ~8 for dense natural content.
+    colorfulness  — Hasler & Süsstrunk (SPIE 2003) opponent-space
+      metric: sqrt(var(rg)+var(yb)) + 0.3*sqrt(mean(rg)^2+mean(yb)^2).
+    saturation    — mean HSV saturation ((max-min)/max per pixel).
+    clip_frac     — fraction of gray pixels at the exposure rails
+      (<=2 or >=253): over/under-exposure gate.
+    """
+    g = pix.astype(np.float64).mean(axis=2)
+    lap = (np.roll(g, 1, 0) + np.roll(g, -1, 0) + np.roll(g, 1, 1)
+           + np.roll(g, -1, 1) - 4.0 * g)[1:-1, 1:-1]
+    lap_var = float(lap.var()) if lap.size else 0.0
+    hist = np.bincount(
+        np.clip(g, 0, 255).astype(np.int64).ravel(), minlength=256
+    ).astype(np.float64)
+    p = hist[hist > 0] / hist.sum()
+    # + 0.0 canonicalizes IEEE -0.0 (a flat image yields -(1*log2(1)) =
+    # -0.0, whose byte repr differs from +0.0 in a value-hash comparison)
+    entropy = float(-(p * np.log2(p)).sum() + 0.0)
+    rf = pix[:, :, 0].astype(np.float64)
+    gf = pix[:, :, 1].astype(np.float64)
+    bf = pix[:, :, 2].astype(np.float64)
+    rg = rf - gf
+    yb = 0.5 * (rf + gf) - bf
+    colorfulness = float(
+        np.sqrt(rg.var() + yb.var())
+        + 0.3 * np.sqrt(rg.mean() ** 2 + yb.mean() ** 2)
+    )
+    mx = pix.max(axis=2).astype(np.float64)
+    mn = pix.min(axis=2).astype(np.float64)
+    sat = np.where(mx > 0, (mx - mn) / np.where(mx > 0, mx, 1.0), 0.0)
+    clip = float(np.mean((g <= 2.0) | (g >= 253.0)))
+    return {
+        "laplacian_var": lap_var,
+        "entropy_bits": entropy,
+        "colorfulness": colorfulness,
+        "saturation": float(sat.mean()),
+        "clip_frac": clip,
+    }
+
+
+IMAGE_QUALITY_SCHEMA = (
+    "image_id string, laplacian_var double, entropy_bits double, "
+    "colorfulness double, saturation double, clip_frac double, "
+    "decode_ok boolean"
+)
+
+
+def image_quality(
+    df: DataFrame, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
+    """No-reference image quality metrics in one Arrow decode pass —
+    the image-side analog of text.quality_score: blur (Laplacian
+    variance), information content (gray entropy), colorfulness,
+    saturation and exposure clipping become native columns a curation
+    recipe can gate on (`WHERE laplacian_var >= t AND clip_frac <= c`).
+    Corrupt payloads yield decode_ok=false rows with NULL metrics (the
+    integrity-gate contract). Scale shape: scan-stage mapInPandas, the
+    binary column is read once and never shuffled."""
+    pt_fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    pt_schema = "".join(f", `{c}` {pt_fields[c]}" for c in passthrough)
+    mcols = ("laplacian_var", "entropy_bits", "colorfulness",
+             "saturation", "clip_frac")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("image_id",) + mcols + ("decode_ok",)}
+            for iid, data, w, h, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                out["image_id"].append(iid)
+                try:
+                    pix = decode_image(data, int(w), int(h), fmt)
+                except (NotImplementedError, ValueError, TypeError):
+                    for k in mcols:
+                        out[k].append(None)
+                    out["decode_ok"].append(False)
+                    continue
+                m = image_quality_np(pix)
+                out["laplacian_var"].append(m["laplacian_var"])
+                out["entropy_bits"].append(m["entropy_bits"])
+                out["colorfulness"].append(m["colorfulness"])
+                out["saturation"].append(m["saturation"])
+                out["clip_frac"].append(m["clip_frac"])
+                out["decode_ok"].append(True)
+            res = pd.DataFrame(out)
+            for c in passthrough:
+                res[c] = pdf[c].reset_index(drop=True)
+            yield res
+
+    in_cols = list(dict.fromkeys(["image_id", "bytes", "w", "h", "fmt"]
+                                 + list(passthrough)))
+    return df.select(*in_cols).mapInPandas(
+        batches, schema=IMAGE_QUALITY_SCHEMA + pt_schema
+    )

@@ -1,0 +1,90 @@
+"""image_quality metrics: hand-computed values on engineered inputs
+(never via image_quality_np itself), content-class separation, and the
+Spark operator against fixture sidecars."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from chronon_spark.operators.multimodal import image_quality, image_quality_np
+
+
+def test_flat_image_hand_values():
+    pix = np.full((8, 8, 3), 100, dtype=np.uint8)
+    m = image_quality_np(pix)
+    assert m["laplacian_var"] == 0.0
+    assert m["entropy_bits"] == 0.0
+    assert str(m["entropy_bits"]) == "0.0"     # canonicalized, not -0.0
+    assert m["colorfulness"] == 0.0
+    assert m["saturation"] == 0.0
+    assert m["clip_frac"] == 0.0
+
+
+def test_checkerboard_laplacian_hand_value():
+    # gray checkerboard 0/255: interior 4-neighbour laplacian is
+    # +-4*255 alternating -> variance = (4*255)^2, mean 0
+    pix = np.zeros((8, 8, 3), dtype=np.uint8)
+    pix[(np.add.outer(np.arange(8), np.arange(8)) % 2) == 1] = 255
+    m = image_quality_np(pix)
+    assert abs(m["laplacian_var"] - (4 * 255.0) ** 2) < 1e-9
+    # two equally-likely gray levels -> exactly 1 bit
+    assert abs(m["entropy_bits"] - 1.0) < 1e-12
+    # every pixel is at a rail
+    assert m["clip_frac"] == 1.0
+    # grayscale -> zero colorfulness and saturation
+    assert m["colorfulness"] == 0.0
+    assert m["saturation"] == 0.0
+
+
+def test_pure_red_colorfulness_hand_value():
+    # R=255,G=0,B=0 everywhere: rg=255 const, yb=127.5 const ->
+    # var 0, colorfulness = 0.3*sqrt(255^2+127.5^2); saturation = 1
+    pix = np.zeros((4, 4, 3), dtype=np.uint8)
+    pix[:, :, 0] = 255
+    m = image_quality_np(pix)
+    exp = 0.3 * np.sqrt(255.0 ** 2 + 127.5 ** 2)
+    assert abs(m["colorfulness"] - exp) < 1e-9
+    assert m["saturation"] == 1.0
+
+
+def test_half_clip_fraction():
+    pix = np.zeros((4, 4, 3), dtype=np.uint8)
+    pix[:2] = 128
+    assert image_quality_np(pix)["clip_frac"] == 0.5
+
+
+def test_blur_reduces_laplacian():
+    from chronon_spark.fixtures import _box_blur
+
+    rng = np.random.default_rng(7)
+    pix = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    sharp = image_quality_np(pix)["laplacian_var"]
+    blurred = image_quality_np(_box_blur(pix, 5))["laplacian_var"]
+    assert blurred < sharp / 10
+
+
+def test_spark_operator_matches_sidecars(spark):
+    from chronon_spark.fixtures import ensure_quality_fixture
+
+    imgs = spark.read.parquet(ensure_quality_fixture(n=200, seed=131))
+    out = image_quality(
+        imgs, passthrough=("q_lap", "q_ent", "q_col", "q_sat", "q_clip",
+                           "q_ok"))
+    rows = out.collect()
+    assert len(rows) == 200
+    n_bad = 0
+    for r in rows:
+        assert r.decode_ok == r.q_ok
+        if not r.decode_ok:
+            n_bad += 1
+            assert r.laplacian_var is None and r.entropy_bits is None
+            continue
+        for got, want in [(r.laplacian_var, r.q_lap),
+                          (r.entropy_bits, r.q_ent),
+                          (r.colorfulness, r.q_col),
+                          (r.saturation, r.q_sat),
+                          (r.clip_frac, r.q_clip)]:
+            assert got == want          # same formula, same pixels: exact
+    assert n_bad > 0                     # fixture plants corrupt rows
+    # the plan is a single scan-stage pass: no shuffle (Exchange) nodes
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
