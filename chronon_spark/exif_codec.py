@@ -115,10 +115,26 @@ class _IfdBuilder:
         b = b"".join(struct.pack(self.bo + "II", n, d) for n, d in vals)
         self.entries.append((tag, 5, len(vals), b))
 
+    def raw_entry(self, tag: int, typ: int, cnt: int, raw4: bytes) -> None:
+        """Copy an existing entry verbatim: raw4 is the 4-byte value-or-
+        offset field, which stays valid because absolute offsets into the
+        file keep their meaning when the IFD is rebuilt elsewhere."""
+        self.entries.append((tag, typ, cnt, ("raw", raw4)))
+
+    def shorts(self, tag: int, vals: list[int]) -> None:
+        b = b"".join(struct.pack(self.bo + "H", v) for v in vals)
+        self.entries.append((tag, 3, len(vals), b))
+
+    def longs(self, tag: int, vals: list[int]) -> None:
+        b = b"".join(struct.pack(self.bo + "I", v) for v in vals)
+        self.entries.append((tag, 4, len(vals), b))
+
     def size(self) -> tuple[int, int]:
         """(ifd_bytes, outline_bytes)"""
-        out = sum(len(p) + (len(p) & 1) for _, _, _, p in self.entries
-                  if len(p) > 4)
+        out = sum(
+            len(p) + (len(p) & 1) for _, _, _, p in self.entries
+            if not isinstance(p, tuple) and len(p) > 4
+        )
         return 2 + 12 * len(self.entries) + 4, out
 
     def place(self, at: int, next_ifd: int = 0) -> bytes:
@@ -127,8 +143,12 @@ class _IfdBuilder:
         head = struct.pack(self.bo + "H", len(self.entries))
         body = b""
         tail = b""
-        for tag, typ, cnt, payload in sorted(self.entries):
-            if len(payload) <= 4:
+        for tag, typ, cnt, payload in sorted(
+            self.entries, key=lambda e: e[:3]
+        ):
+            if isinstance(payload, tuple):       # verbatim value/offset
+                val = payload[1]
+            elif len(payload) <= 4:
                 val = payload + b"\x00" * (4 - len(payload))
             else:
                 val = struct.pack(self.bo + "I", data_at + len(tail))
@@ -399,11 +419,78 @@ def insert_png_exif(png: bytes, tiff: bytes,
     raise ValueError("PNG has no IHDR")
 
 
+def insert_tiff_exif(data: bytes, fields: dict) -> bytes:
+    """Attach metadata fields to a TIFF FILE (fixture helper): rebuild
+    IFD0 at EOF carrying the existing entries verbatim (absolute offsets
+    stay valid — pixel strips never move) plus the new metadata entries,
+    nested Exif/GPS IFDs appended after it, header patched to point at
+    the new IFD. The old IFD bytes become dead padding."""
+    bo = _bo_char(data)
+    (at0,) = struct.unpack_from(bo + "I", data, 4)
+    entries, nxt = _read_ifd(data, bo, at0)
+
+    ifd0 = _IfdBuilder(bo)
+    for tag, typ, cnt, raw4, _pos in entries:
+        ifd0.raw_entry(tag, typ, cnt, raw4)
+    for key, tag in (("description", TAG_IMAGE_DESCRIPTION),
+                     ("make", TAG_MAKE), ("model", TAG_MODEL),
+                     ("software", TAG_SOFTWARE), ("datetime", TAG_DATETIME),
+                     ("artist", TAG_ARTIST), ("copyright", TAG_COPYRIGHT)):
+        if fields.get(key) is not None:
+            ifd0.ascii(tag, fields[key])
+    if fields.get("orientation") is not None:
+        ifd0.short(TAG_ORIENTATION, int(fields["orientation"]))
+
+    exif_ifd = gps_ifd = None
+    if fields.get("datetime_original") is not None:
+        exif_ifd = _IfdBuilder(bo)
+        exif_ifd.ascii(TAG_DATETIME_ORIGINAL, fields["datetime_original"])
+        ifd0.long(TAG_EXIF_IFD, 0)
+    if fields.get("gps") is not None:
+        lat, lon = fields["gps"]
+        gps_ifd = _IfdBuilder(bo)
+        gps_ifd.ascii(GPS_LAT_REF, "N" if lat >= 0 else "S")
+        gps_ifd.rationals(GPS_LAT, _deg_to_dms(lat))
+        gps_ifd.ascii(GPS_LON_REF, "E" if lon >= 0 else "W")
+        gps_ifd.rationals(GPS_LON, _deg_to_dms(lon))
+        ifd0.long(TAG_GPS_IFD, 0)
+
+    new_at = len(data) + (len(data) & 1)
+    l0, o0 = ifd0.size()
+    cursor = new_at + l0 + o0
+    exif_at = gps_at = 0
+    if exif_ifd is not None:
+        exif_at = cursor
+        le, oe = exif_ifd.size()
+        cursor += le + oe
+    if gps_ifd is not None:
+        gps_at = cursor
+    for i, (tag, typ, cnt, p) in enumerate(ifd0.entries):
+        if tag == TAG_EXIF_IFD and not isinstance(p, tuple):
+            ifd0.entries[i] = (tag, typ, cnt, struct.pack(bo + "I", exif_at))
+        if tag == TAG_GPS_IFD and not isinstance(p, tuple):
+            ifd0.entries[i] = (tag, typ, cnt, struct.pack(bo + "I", gps_at))
+
+    out = bytearray(data)
+    out += b"\x00" * (new_at - len(data))
+    out += ifd0.place(new_at, next_ifd=nxt)
+    if exif_ifd is not None:
+        out += exif_ifd.place(exif_at)
+    if gps_ifd is not None:
+        out += gps_ifd.place(gps_at)
+    out[4:8] = struct.pack(bo + "I", new_at)
+    return bytes(out)
+
+
 def extract_exif(data: bytes, fmt: str) -> dict:
     """Locate + parse the EXIF blob for a container. Returns the _EMPTY
     key set plus `txt_chunks` (PNG textual-metadata chunk count; JPEG COM
-    count) so scrub verification can assert removal. Formats without a
-    standard EXIF channel (gif/bmp/...) return has_exif=False."""
+    count) so scrub verification can assert removal. For fmt='tiff' the
+    FILE is the TIFF structure (its IFD0 holds the metadata tags
+    directly), so has_exif reports whether any recognized metadata FIELD
+    is present — after in-place neutralization it turns false even
+    though the container is still a TIFF. Formats without a standard
+    EXIF channel (gif/bmp/...) return has_exif=False."""
     out = dict(_EMPTY)
     out["txt_chunks"] = 0
     if fmt == "jpeg":
@@ -418,6 +505,14 @@ def extract_exif(data: bytes, fmt: str) -> dict:
                 out.update(parse_exif_tiff(data[ds:ds + dl]))
             elif typ in (b"tEXt", b"zTXt", b"iTXt"):
                 out["txt_chunks"] += 1
+    elif fmt == "tiff":
+        out.update(parse_exif_tiff(data))
+        out["has_exif"] = bool(
+            out["gps_present"]
+            or any(out[k] is not None for k in
+                   ("orientation", "make", "model", "datetime", "artist",
+                    "software"))
+        )
     return out
 
 
@@ -458,6 +553,67 @@ def _neutralize_gps(tiff: bytearray) -> bool:
                 return True
         at = nxt
     return False
+
+
+_TIFF_PII_TAGS = {
+    TAG_IMAGE_DESCRIPTION, TAG_MAKE, TAG_MODEL, TAG_ORIENTATION,
+    TAG_SOFTWARE, TAG_DATETIME, TAG_ARTIST, TAG_COPYRIGHT,
+    TAG_DATETIME_ORIGINAL,
+}
+
+
+def _neutralize_all_tiff(tiff: bytearray) -> bool:
+    """In-place neutralization of every recognized metadata field in a
+    TIFF FILE (where dropping bytes would shift strip offsets): zero
+    each PII entry's out-of-line value, zero nested Exif/GPS IFD
+    regions, and overwrite the entries with the padding tag. The image
+    layout tags (dimensions, strips, colormap) are untouched, so the
+    file still decodes bit-identically. Returns True if anything was
+    removed."""
+    bo = _bo_char(bytes(tiff[:2]) + b"\x00\x00")
+    (at,) = struct.unpack_from(bo + "I", tiff, 4)
+    changed = _neutralize_gps(tiff)
+    seen: set[int] = set()
+    walked = 0
+    queue = [at]
+    while queue:
+        at = queue.pop(0)
+        if not at or at in seen:
+            continue
+        seen.add(at)
+        walked += 1
+        if walked > _MAX_IFDS:
+            raise ValueError("IFD chain too long")
+        entries, nxt = _read_ifd(bytes(tiff), bo, at)
+        for tag, typ, cnt, raw4, pos in entries:
+            if tag == TAG_EXIF_IFD and typ == 4:
+                (eat,) = struct.unpack(bo + "I", raw4)
+                if eat:
+                    eentries, _en = _read_ifd(bytes(tiff), bo, eat)
+                    for _t, etyp, ecnt, eraw4, _ep in eentries:
+                        esz = _TYPE_SIZE.get(etyp, 1)
+                        total = esz * ecnt
+                        if total > 4:
+                            (off,) = struct.unpack(bo + "I", eraw4)
+                            tiff[off:off + total] = b"\x00" * total
+                    eend = eat + 2 + 12 * len(eentries) + 4
+                    tiff[eat:eend] = b"\x00" * (eend - eat)
+            elif tag not in _TIFF_PII_TAGS:
+                continue
+            esz = _TYPE_SIZE.get(typ, 1)
+            total = esz * cnt
+            if total > 4:
+                (off,) = struct.unpack(bo + "I", raw4)
+                if off + total <= len(tiff):
+                    tiff[off:off + total] = b"\x00" * total
+            tiff[pos:pos + 12] = (
+                struct.pack(bo + "HHI", TAG_PADDING, 7, 4)
+                + b"\x00\x00\x00\x00"
+            )
+            changed = True
+        if nxt:
+            queue.append(nxt)
+    return changed
 
 
 def scrub_metadata(data: bytes, fmt: str, mode: str = "all") -> bytes:
@@ -506,4 +662,15 @@ def scrub_metadata(data: bytes, fmt: str, mode: str = "all") -> bytes:
                     crc = zlib.crc32(b"eXIf" + bytes(tiff))
                     out[ds + dl:ds + dl + 4] = struct.pack(">I", crc)
         return bytes(out)
+    if fmt == "tiff":
+        # the FILE is the TIFF: byte removal would shift strip offsets,
+        # so both modes are in-place surgery (length preserved)
+        buf = bytearray(data)
+        if len(buf) < 8:
+            raise ValueError("TIFF truncated")
+        if mode == "gps":
+            _neutralize_gps(buf)
+        else:
+            _neutralize_all_tiff(buf)
+        return bytes(buf)
     return data

@@ -72,6 +72,10 @@ def encode_image(pix: np.ndarray, fmt: str) -> bytes:
         from chronon_spark.codecs import encode_bmp
 
         return encode_bmp(pix)
+    if fmt == "tiff":
+        from chronon_spark.tiff_codec import encode_tiff
+
+        return encode_tiff(pix, compression="lzw", predictor=True)
     raise ValueError(f"unknown fmt {fmt}")
 
 
@@ -101,6 +105,10 @@ def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         from chronon_spark.codecs import decode_bmp
 
         return decode_bmp(data)
+    if fmt == "tiff":
+        from chronon_spark.tiff_codec import decode_tiff
+
+        return decode_tiff(data)
     raise ValueError(f"unknown fmt {fmt}")
 
 
@@ -945,6 +953,7 @@ def gen_exif_image_rows(n: int, seed: int = 101, span_days: int = 30,
                         offset: int = 0):
     from chronon_spark import exif_codec
     from chronon_spark.codecs import encode_bmp, encode_jpeg, encode_png
+    from chronon_spark.tiff_codec import encode_tiff
 
     sizes = [(32, 32), (48, 32), (32, 48)]
     rows = []
@@ -953,11 +962,32 @@ def gen_exif_image_rows(n: int, seed: int = 101, span_days: int = 30,
         w, h = sizes[int(rng.integers(0, len(sizes)))]
         pix = gen_pixels(rng, w, h)
         fv = rng.random()
-        fmt = "jpeg" if fv < 0.45 else "png" if fv < 0.9 else "bmp"
+        fmt = ("jpeg" if fv < 0.35 else "png" if fv < 0.7
+               else "tiff" if fv < 0.9 else "bmp")
         if fmt == "jpeg":
             data = encode_jpeg(pix, quality=92)
         elif fmt == "png":
             data = encode_png(pix)
+        elif fmt == "tiff":
+            # spread the baseline surface: compression x layout x strip
+            # x byte order (decoded-pixel sidecars follow the gray/
+            # palette transforms below)
+            tv = rng.random()
+            if tv < 0.25:
+                data = encode_tiff(pix, compression="none")
+            elif tv < 0.5:
+                data = encode_tiff(pix, compression="lzw", predictor=True,
+                                   rows_per_strip=8, byte_order="MM")
+            elif tv < 0.7:
+                data = encode_tiff(pix, compression="packbits",
+                                   rows_per_strip=16)
+            elif tv < 0.85:
+                pix_q = (pix // 32) * 32
+                data = encode_tiff(pix_q, compression="lzw",
+                                   mode="palette")
+            else:
+                data = encode_tiff(pix, compression="lzw", mode="gray",
+                                   predictor=True)
         else:
             data = encode_bmp(pix, bpp=24)
 
@@ -965,7 +995,10 @@ def gen_exif_image_rows(n: int, seed: int = 101, span_days: int = 30,
              "x_artist": None, "x_gps": False, "x_lat": None, "x_lon": None,
              "x_txt": 0, "x_parse_ok": True}
         if fmt != "bmp" and rng.random() < 0.75:
-            corrupt = rng.random() < 0.08
+            # TIFF metadata lives in the image's own IFD — a truncated
+            # blob would corrupt the pixels too, so the corrupt-EXIF
+            # class stays on the side-channel containers
+            corrupt = fmt != "tiff" and rng.random() < 0.08
             fields = {
                 "make": _EXIF_MAKES[int(rng.integers(0, 4))],
                 "model": _EXIF_MODELS[int(rng.integers(0, 4))],
@@ -1003,6 +1036,10 @@ def gen_exif_image_rows(n: int, seed: int = 101, span_days: int = 30,
                         exif_codec._deg_to_dms(lon), "E" if lon >= 0 else "W")
             if fmt == "jpeg":
                 data = exif_codec.insert_jpeg_exif(data, tiff)
+            elif fmt == "tiff":
+                # metadata goes into the file's own IFD0 (rebuilt at EOF,
+                # strips untouched); the file's byte order wins
+                data = exif_codec.insert_tiff_exif(data, fields)
             else:
                 texts = {}
                 if rng.random() < 0.5:
@@ -1052,7 +1089,7 @@ def ensure_exif_fixture(
     n_jobs: int | None = None,
 ) -> str:
     """Write the EXIF-bearing image fixture once; idempotent on (n, seed)."""
-    path = os.path.join(out_dir, f"images_exif_v1_n{n}_s{seed}.parquet")
+    path = os.path.join(out_dir, f"images_exif_v2_n{n}_s{seed}.parquet")
     if os.path.exists(path):
         return path
     os.makedirs(out_dir, exist_ok=True)

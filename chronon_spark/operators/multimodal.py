@@ -33,7 +33,7 @@ from chronon_spark.fixtures import decode_video as _decode_video_native
 from chronon_spark.fixtures import phash64
 from struct import error as struct_error
 
-NATIVE_FORMATS = ("rgb8", "half", "png", "jpeg", "gif", "bmp")
+NATIVE_FORMATS = ("rgb8", "half", "png", "jpeg", "gif", "bmp", "tiff")
 
 
 def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
@@ -43,7 +43,7 @@ def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     Huffman + IDCT for baseline JPEG)."""
     if fmt in NATIVE_FORMATS:
         return _decode_native(data, w, h, fmt)
-    # STUB: remaining codecs (webp, tiff, ...) need an external image
+    # STUB: remaining codecs (webp, heic, ...) need an external image
     # library not present in this container. A real deployment implements
     # this branch with PIL.Image.open(io.BytesIO(data)); everything
     # downstream is unchanged.
