@@ -1731,7 +1731,7 @@ def q_image_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXIF_N, EXIF_SEED = 600, 101
 _EXIF_FIXTURE_PATH = (
-    f"/root/repo/.fixtures/images_exif_v2_n{EXIF_N}_s{EXIF_SEED}.parquet"
+    f"/root/repo/.fixtures/images_exif_v3_n{EXIF_N}_s{EXIF_SEED}.parquet"
 )
 
 

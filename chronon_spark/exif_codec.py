@@ -513,6 +513,15 @@ def extract_exif(data: bytes, fmt: str) -> dict:
                    ("orientation", "make", "model", "datetime", "artist",
                     "software"))
         )
+    elif fmt == "webp":
+        from chronon_spark.webp_codec import webp_exif_chunk
+
+        blob = webp_exif_chunk(data)
+        if blob is not None:
+            # the chunk may carry a leading "Exif\0\0" like JPEG APP1
+            if blob[:6] == _EXIF_HDR:
+                blob = blob[6:]
+            out.update(parse_exif_tiff(blob))
     return out
 
 
@@ -673,4 +682,20 @@ def scrub_metadata(data: bytes, fmt: str, mode: str = "all") -> bytes:
         else:
             _neutralize_all_tiff(buf)
         return bytes(buf)
+    if fmt == "webp":
+        from chronon_spark.webp_codec import webp_scrub
+
+        if mode == "all":
+            return webp_scrub(data)
+
+        def neutral(tiff: bytearray) -> bool:
+            if tiff[:6] == _EXIF_HDR:
+                sub = bytearray(tiff[6:])
+                if _neutralize_gps(sub):
+                    tiff[6:] = sub
+                    return True
+                return False
+            return _neutralize_gps(tiff)
+
+        return webp_scrub(data, gps_neutralizer=neutral)
     return data

@@ -76,6 +76,10 @@ def encode_image(pix: np.ndarray, fmt: str) -> bytes:
         from chronon_spark.tiff_codec import encode_tiff
 
         return encode_tiff(pix, compression="lzw", predictor=True)
+    if fmt == "webp":
+        from chronon_spark.webp_codec import encode_webp
+
+        return encode_webp(pix)
     raise ValueError(f"unknown fmt {fmt}")
 
 
@@ -109,6 +113,10 @@ def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         from chronon_spark.tiff_codec import decode_tiff
 
         return decode_tiff(data)
+    if fmt == "webp":
+        from chronon_spark.webp_codec import decode_webp
+
+        return decode_webp(data)
     raise ValueError(f"unknown fmt {fmt}")
 
 
@@ -962,12 +970,17 @@ def gen_exif_image_rows(n: int, seed: int = 101, span_days: int = 30,
         w, h = sizes[int(rng.integers(0, len(sizes)))]
         pix = gen_pixels(rng, w, h)
         fv = rng.random()
-        fmt = ("jpeg" if fv < 0.35 else "png" if fv < 0.7
-               else "tiff" if fv < 0.9 else "bmp")
+        fmt = ("jpeg" if fv < 0.3 else "png" if fv < 0.6
+               else "tiff" if fv < 0.78 else "webp" if fv < 0.92
+               else "bmp")
         if fmt == "jpeg":
             data = encode_jpeg(pix, quality=92)
         elif fmt == "png":
             data = encode_png(pix)
+        elif fmt == "webp":
+            from chronon_spark.webp_codec import encode_webp
+
+            data = encode_webp(pix)
         elif fmt == "tiff":
             # spread the baseline surface: compression x layout x strip
             # x byte order (decoded-pixel sidecars follow the gray/
@@ -1040,6 +1053,11 @@ def gen_exif_image_rows(n: int, seed: int = 101, span_days: int = 30,
                 # metadata goes into the file's own IFD0 (rebuilt at EOF,
                 # strips untouched); the file's byte order wins
                 data = exif_codec.insert_tiff_exif(data, fields)
+            elif fmt == "webp":
+                # VP8X extended container with an EXIF chunk
+                from chronon_spark.webp_codec import encode_webp
+
+                data = encode_webp(pix, exif_tiff=tiff)
             else:
                 texts = {}
                 if rng.random() < 0.5:
@@ -1089,7 +1107,7 @@ def ensure_exif_fixture(
     n_jobs: int | None = None,
 ) -> str:
     """Write the EXIF-bearing image fixture once; idempotent on (n, seed)."""
-    path = os.path.join(out_dir, f"images_exif_v2_n{n}_s{seed}.parquet")
+    path = os.path.join(out_dir, f"images_exif_v3_n{n}_s{seed}.parquet")
     if os.path.exists(path):
         return path
     os.makedirs(out_dir, exist_ok=True)

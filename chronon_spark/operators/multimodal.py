@@ -33,7 +33,8 @@ from chronon_spark.fixtures import decode_video as _decode_video_native
 from chronon_spark.fixtures import phash64
 from struct import error as struct_error
 
-NATIVE_FORMATS = ("rgb8", "half", "png", "jpeg", "gif", "bmp", "tiff")
+NATIVE_FORMATS = ("rgb8", "half", "png", "jpeg", "gif", "bmp", "tiff",
+                  "webp")
 
 
 def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:

@@ -1,0 +1,723 @@
+"""From-scratch WebP-lossless (VP8L) codec — sixth real interchange
+image format (public specs: RIFF container per the WebP Container
+Specification; bitstream per the "WebP Lossless Bitstream
+Specification", Google 2012/2023).
+
+Decoder covers the FULL VP8L feature surface so files from real
+encoders decode:
+  * LSB-first bit reading; canonical prefix codes in DEFLATE bit order,
+    both "simple" (1-2 symbol) and code-length-coded forms with 16/17/18
+    repeats and the optional max-symbol cap
+  * color cache (1..11 bits, 0x1e35a7bd multiplier hash)
+  * meta-prefix groups via a subresolution entropy image
+  * LZ77 backward references with the 120-entry 2D distance mapping
+  * all four transforms, inverted in reverse order: predictor (all 14
+    modes incl. Select and the ClampAddSubtract pair), cross-color
+    (3.5-bit signed fixed point), subtract-green, color indexing
+    (palette) with sub-byte index bundling (1/2/4-bit packs)
+
+Lossy VP8 stays an honest NotImplementedError stub (it needs a full
+DCT video intra decoder); VP8X extended containers are walked for the
+lossless payload and give WebP an EXIF metadata channel — exif_codec
+routes fmt='webp' through `webp_exif_chunk` / `webp_scrub`.
+
+The encoder emits the plain literal subset (no transforms, no LZ77 —
+prefix-coded ARGB literals with an 8-bit flat code, constant-alpha via
+a 1-symbol simple code) for fixtures/round trips, optionally wrapped in
+VP8X with an EXIF chunk. Hardening: dimensions capped before
+allocation, every chunk length validated against the payload, LZ77
+copies bounded by the pixel count.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from chronon_spark.codecs import _check_dims
+
+_MAX_WEBP = 1 << 27
+
+
+# ---------------------------------------------------------------------------
+# bit IO (LSB-first, DEFLATE-style)
+# ---------------------------------------------------------------------------
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0          # bit position
+
+    def read(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            byte_i = self.pos >> 3
+            if byte_i >= len(self.data):
+                raise ValueError("VP8L bitstream truncated")
+            v |= ((self.data[byte_i] >> (self.pos & 7)) & 1) << i
+            self.pos += 1
+        return v
+
+    def read_bit(self) -> int:
+        byte_i = self.pos >> 3
+        if byte_i >= len(self.data):
+            raise ValueError("VP8L bitstream truncated")
+        b = (self.data[byte_i] >> (self.pos & 7)) & 1
+        self.pos += 1
+        return b
+
+
+class _BitWriterLSB:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        self.acc |= (value & ((1 << n) - 1)) << self.nbits
+        self.nbits += n
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def write_code(self, code: int, length: int) -> None:
+        """Prefix codes go MSB-first (DEFLATE convention)."""
+        for i in range(length - 1, -1, -1):
+            self.write((code >> i) & 1, 1)
+
+    def bytes(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+# ---------------------------------------------------------------------------
+# canonical prefix codes
+# ---------------------------------------------------------------------------
+
+class _PrefixCode:
+    """Decode one symbol by walking bits MSB-first against the canonical
+    code table (dict keyed (length, code))."""
+
+    __slots__ = ("table", "max_len", "single")
+
+    def __init__(self, lengths: list[int]):
+        nz = [(l, s) for s, l in enumerate(lengths) if l > 0]
+        if not nz:
+            raise ValueError("empty prefix code")
+        if len(nz) == 1:
+            self.single = nz[0][1]
+            self.table = {}
+            self.max_len = 0
+            return
+        self.single = None
+        # canonical assignment: by (length, symbol)
+        nz.sort()
+        code = 0
+        prev_len = nz[0][0]
+        table = {}
+        for l, s in nz:
+            code <<= (l - prev_len)
+            prev_len = l
+            table[(l, code)] = s
+            code += 1
+        # completeness (Kraft) check: over-subscribed codes already break
+        # the shifting; under-subscribed ones decode garbage, so verify
+        kraft = sum(1 / (1 << l) for l, _ in nz)
+        if abs(kraft - 1.0) > 1e-9:
+            raise ValueError("incomplete prefix code")
+        self.table = table
+        self.max_len = max(l for l, _ in nz)
+
+    def decode(self, br: _BitReader) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        length = 0
+        while length <= self.max_len:
+            code = (code << 1) | br.read_bit()
+            length += 1
+            sym = self.table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("bad prefix code in VP8L stream")
+
+
+_CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13,
+             14, 15]
+
+
+def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixCode:
+    if br.read_bit():                     # simple code
+        n_sym = br.read(1) + 1
+        if br.read_bit():
+            first = br.read(8)
+        else:
+            first = br.read(1)
+        lengths = [0] * alphabet_size
+        if first >= alphabet_size:
+            raise ValueError("simple-code symbol out of range")
+        if n_sym == 2:
+            second = br.read(8)
+            if second >= alphabet_size:
+                raise ValueError("simple-code symbol out of range")
+            lengths[first] = 1
+            lengths[second] = 1
+        else:
+            return _single(first)         # one symbol: 0-bit code
+        return _PrefixCode(lengths)
+    # normal: code-length code
+    num_cl = br.read(4) + 4
+    if num_cl > 19:
+        raise ValueError("bad code-length count")
+    cl_lengths = [0] * 19
+    for i in range(num_cl):
+        cl_lengths[_CL_ORDER[i]] = br.read(3)
+    cl_code = _PrefixCode(cl_lengths) if sum(
+        1 for l in cl_lengths if l) > 1 else _single(
+        next(s for s, l in enumerate(cl_lengths) if l))
+
+    if br.read_bit():                     # max-symbol cap present
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    prev_len = 8
+    i = 0
+    while i < alphabet_size:
+        if max_symbol <= 0:
+            break
+        max_symbol -= 1
+        sym = cl_code.decode(br)
+        if sym < 16:
+            lengths[i] = sym
+            i += 1
+            if sym:
+                prev_len = sym
+        elif sym == 16:
+            rep = 3 + br.read(2)
+            if i + rep > alphabet_size:
+                raise ValueError("code-length repeat overflows alphabet")
+            for _ in range(rep):
+                lengths[i] = prev_len
+                i += 1
+        elif sym == 17:
+            i += 3 + br.read(3)
+        else:                             # 18
+            i += 11 + br.read(7)
+        if i > alphabet_size:
+            raise ValueError("code-length run overflows alphabet")
+    return _PrefixCode(lengths)
+
+
+def _single(sym: int) -> _PrefixCode:
+    pc = _PrefixCode.__new__(_PrefixCode)
+    pc.single = sym
+    pc.table = {}
+    pc.max_len = 0
+    return pc
+
+
+# ---------------------------------------------------------------------------
+# LZ77 helpers
+# ---------------------------------------------------------------------------
+
+def _lz77_value(code: int, br: _BitReader) -> int:
+    """Length/distance prefix value (spec 'LZ77 prefix coding')."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+# The spec's 120-entry (dx, dy) near-distance table. The published table
+# is exactly the 120 closest offsets above-or-left of the current pixel,
+# ordered by (squared distance, larger dy first, smaller |dx| first,
+# positive dx before negative) — verified entry-by-entry against the
+# table in the WebP Lossless Bitstream Specification across every
+# distance class up to d^2=64 — so it is generated here instead of
+# transcribed (a 123-entry hand transcription had tail errors).
+def _gen_dist_map() -> list:
+    cands = []
+    for dy in range(0, 9):
+        for dx in range(-8, 9):
+            if dy == 0 and dx <= 0:
+                continue
+            cands.append((dx * dx + dy * dy, -dy, abs(dx), 0 if dx > 0 else 1,
+                          dx, dy))
+    cands.sort()
+    return [(dx, dy) for *_k, dx, dy in cands[:120]]
+
+
+_DIST_MAP = _gen_dist_map()
+assert len(_DIST_MAP) == 120
+
+
+def _map_distance(dist_code: int, xsize: int) -> int:
+    if dist_code > 120:
+        return dist_code - 120
+    dx, dy = _DIST_MAP[dist_code - 1]
+    d = dy * xsize + dx
+    return d if d >= 1 else 1
+
+
+# ---------------------------------------------------------------------------
+# entropy-coded image
+# ---------------------------------------------------------------------------
+
+def _decode_entropy_image(br: _BitReader, w: int, h: int,
+                          is_main: bool) -> np.ndarray:
+    """-> (h*w,) uint32 ARGB pixels."""
+    cache_bits = 0
+    if is_main and br.read_bit():
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError("bad color-cache size")
+    cache_size = (1 << cache_bits) if cache_bits else 0
+
+    meta = None
+    meta_bits = 0
+    n_groups = 1
+    if is_main and br.read_bit():
+        meta_bits = br.read(3) + 2
+        mw = (w + (1 << meta_bits) - 1) >> meta_bits
+        mh = (h + (1 << meta_bits) - 1) >> meta_bits
+        meta_px = _decode_entropy_image(br, mw, mh, False)
+        # meta group index = (red << 8) | green = bits 8..23 of ARGB
+        meta = ((meta_px >> 8) & 0xFFFF).reshape(mh, mw)
+        n_groups = int(meta.max()) + 1
+
+    green_size = 256 + 24 + cache_size
+    groups = []
+    for _ in range(n_groups):
+        g = _read_prefix_code(br, green_size)
+        r = _read_prefix_code(br, 256)
+        b = _read_prefix_code(br, 256)
+        a = _read_prefix_code(br, 256)
+        d = _read_prefix_code(br, 40)
+        groups.append((g, r, b, a, d))
+
+    n = w * h
+    px = np.zeros(n, dtype=np.uint32)
+    cache = [0] * cache_size if cache_size else None
+
+    def cache_insert(v: int) -> None:
+        cache[(0x1E35A7BD * v & 0xFFFFFFFF) >> (32 - cache_bits)] = v
+
+    pos = 0
+    grp = groups[0]
+    while pos < n:
+        if meta is not None:
+            x = pos % w
+            y = pos // w
+            grp = groups[int(meta[y >> meta_bits, x >> meta_bits])]
+        gcode, rcode, bcode, acode, dcode = grp
+        sym = gcode.decode(br)
+        if sym < 256:
+            red = rcode.decode(br)
+            blue = bcode.decode(br)
+            alpha = acode.decode(br)
+            v = (alpha << 24) | (red << 16) | (sym << 8) | blue
+            px[pos] = v
+            pos += 1
+            if cache is not None:
+                cache_insert(v)
+        elif sym < 280:
+            length = _lz77_value(sym - 256, br)
+            dist_code = dcode.decode(br)
+            dist = _map_distance(_lz77_value(dist_code, br), w)
+            if dist > pos:
+                raise ValueError("LZ77 distance before stream start")
+            if pos + length > n:
+                raise ValueError("LZ77 copy past image end")
+            for _ in range(length):
+                v = int(px[pos - dist])
+                px[pos] = v
+                pos += 1
+                if cache is not None:
+                    cache_insert(v)
+        else:
+            if cache is None:
+                raise ValueError("cache symbol without color cache")
+            idx = sym - 280
+            if idx >= cache_size:
+                raise ValueError("color-cache index out of range")
+            px[pos] = cache[idx]
+            pos += 1
+    return px
+
+
+# ---------------------------------------------------------------------------
+# transforms (inverse)
+# ---------------------------------------------------------------------------
+
+def _avg2(a, b):
+    return (a + b) // 2
+
+
+def _inv_predictor(px: np.ndarray, w: int, h: int, bits: int,
+                   modes_img: np.ndarray) -> np.ndarray:
+    """Inverse spatial prediction, scalar walk (images are small in the
+    fixtures; a production build would block this)."""
+    a = (px >> 24) & 0xFF
+    r = (px >> 16) & 0xFF
+    g = (px >> 8) & 0xFF
+    b = px & 0xFF
+    ch = np.stack([a, r, g, b]).astype(np.int64).reshape(4, h, w)
+    mw = (w + (1 << bits) - 1) >> bits
+    modes = ((modes_img >> 8) & 0xFF).reshape(-1)
+
+    def clamp(v):
+        return max(0, min(255, v))
+
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = (255, 0, 0, 0)
+            elif y == 0:
+                pred = tuple(int(ch[c, 0, x - 1]) for c in range(4))
+            elif x == 0:
+                pred = tuple(int(ch[c, y - 1, 0]) for c in range(4))
+            else:
+                m = int(modes[(y >> bits) * mw + (x >> bits)])
+                L = tuple(int(ch[c, y, x - 1]) for c in range(4))
+                T = tuple(int(ch[c, y - 1, x]) for c in range(4))
+                TL = tuple(int(ch[c, y - 1, x - 1]) for c in range(4))
+                TR = (tuple(int(ch[c, y - 1, x + 1]) for c in range(4))
+                      if x + 1 < w else
+                      tuple(int(ch[c, y - 1, 0]) for c in range(4)))
+                if m == 0:
+                    pred = (255, 0, 0, 0)
+                elif m == 1:
+                    pred = L
+                elif m == 2:
+                    pred = T
+                elif m == 3:
+                    pred = TR
+                elif m == 4:
+                    pred = TL
+                elif m == 5:
+                    pred = tuple(_avg2(_avg2(L[c], TR[c]), T[c])
+                                 for c in range(4))
+                elif m == 6:
+                    pred = tuple(_avg2(L[c], TL[c]) for c in range(4))
+                elif m == 7:
+                    pred = tuple(_avg2(L[c], T[c]) for c in range(4))
+                elif m == 8:
+                    pred = tuple(_avg2(TL[c], T[c]) for c in range(4))
+                elif m == 9:
+                    pred = tuple(_avg2(T[c], TR[c]) for c in range(4))
+                elif m == 10:
+                    pred = tuple(_avg2(_avg2(L[c], TL[c]),
+                                       _avg2(T[c], TR[c]))
+                                 for c in range(4))
+                elif m == 11:
+                    pL = sum(abs(T[c] - TL[c]) for c in range(4))
+                    pT = sum(abs(L[c] - TL[c]) for c in range(4))
+                    pred = L if pL < pT else T
+                elif m == 12:
+                    pred = tuple(clamp(L[c] + T[c] - TL[c])
+                                 for c in range(4))
+                elif m == 13:
+                    pred = tuple(
+                        clamp(_avg2(L[c], T[c])
+                              + (_avg2(L[c], T[c]) - TL[c]) // 2)
+                        for c in range(4))
+                else:
+                    raise ValueError(f"bad predictor mode {m}")
+            for c in range(4):
+                ch[c, y, x] = (ch[c, y, x] + pred[c]) & 0xFF
+    out = ((ch[0].astype(np.uint32) << 24)
+           | (ch[1].astype(np.uint32) << 16)
+           | (ch[2].astype(np.uint32) << 8)
+           | ch[3].astype(np.uint32))
+    return out.reshape(-1)
+
+
+def _inv_color_transform(px: np.ndarray, w: int, h: int, bits: int,
+                         elts_img: np.ndarray) -> np.ndarray:
+    a = ((px >> 24) & 0xFF).astype(np.int64)
+    r = ((px >> 16) & 0xFF).astype(np.int64)
+    g = ((px >> 8) & 0xFF).astype(np.int64)
+    b = (px & 0xFF).astype(np.int64)
+    mw = (w + (1 << bits) - 1) >> bits
+    elts = elts_img.reshape(-1)
+    ys, xs = np.divmod(np.arange(w * h), w)
+    e = elts[(ys >> bits) * mw + (xs >> bits)]
+    g2r = ((e >> 16) & 0xFF).astype(np.int8).astype(np.int64)
+    g2b = ((e >> 8) & 0xFF).astype(np.int8).astype(np.int64)
+    r2b = (e & 0xFF).astype(np.int8).astype(np.int64)
+    gs = g.astype(np.int8).astype(np.int64)
+    r = (r + ((g2r * gs) >> 5)) & 0xFF
+    rs = r.astype(np.uint8).astype(np.int8).astype(np.int64)
+    b = (b + ((g2b * gs) >> 5) + ((r2b * rs) >> 5)) & 0xFF
+    return ((a.astype(np.uint32) << 24) | (r.astype(np.uint32) << 16)
+            | (g.astype(np.uint32) << 8) | b.astype(np.uint32))
+
+
+def _inv_subtract_green(px: np.ndarray) -> np.ndarray:
+    g = (px >> 8) & 0xFF
+    r = (((px >> 16) & 0xFF) + g) & 0xFF
+    b = ((px & 0xFF) + g) & 0xFF
+    return (px & np.uint32(0xFF00FF00)) | (r << np.uint32(16)) | b
+
+
+# ---------------------------------------------------------------------------
+# top-level decode
+# ---------------------------------------------------------------------------
+
+def _decode_vp8l(payload: bytes) -> np.ndarray:
+    br = _BitReader(payload)
+    if br.read(8) != 0x2F:
+        raise ValueError("bad VP8L signature")
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    _check_dims(w, h)
+    br.read(1)                            # alpha hint
+    if br.read(3) != 0:
+        raise ValueError("unsupported VP8L version")
+
+    transforms = []                       # (type, data...) in read order
+    seen_types = set()
+    xsize = w
+    while br.read_bit():
+        ttype = br.read(2)
+        if ttype in seen_types:
+            raise ValueError("duplicate VP8L transform")
+        seen_types.add(ttype)
+        if ttype in (0, 1):               # predictor / color
+            bits = br.read(3) + 2
+            tw = (xsize + (1 << bits) - 1) >> bits
+            th = (h + (1 << bits) - 1) >> bits
+            timg = _decode_entropy_image(br, tw, th, False)
+            transforms.append((ttype, bits, timg))
+        elif ttype == 2:                  # subtract green
+            transforms.append((2,))
+        else:                             # color indexing
+            n_colors = br.read(8) + 1
+            pal_px = _decode_entropy_image(br, n_colors, 1, False)
+            # palette entries are delta-coded componentwise
+            pal = np.zeros(n_colors, dtype=np.uint32)
+            prev = 0
+            for i in range(n_colors):
+                v = int(pal_px[i])
+                cur = (((prev >> 24 & 0xFF) + (v >> 24 & 0xFF) & 0xFF) << 24
+                       | ((prev >> 16 & 0xFF) + (v >> 16 & 0xFF) & 0xFF) << 16
+                       | ((prev >> 8 & 0xFF) + (v >> 8 & 0xFF) & 0xFF) << 8
+                       | ((prev & 0xFF) + (v & 0xFF) & 0xFF))
+                pal[i] = cur
+                prev = cur
+            if n_colors <= 2:
+                ibits = 3
+            elif n_colors <= 4:
+                ibits = 2
+            elif n_colors <= 16:
+                ibits = 1
+            else:
+                ibits = 0
+            transforms.append((3, pal, ibits, xsize))
+            if ibits:
+                xsize = (xsize + (1 << ibits) - 1) >> ibits
+
+    px = _decode_entropy_image(br, xsize, h, True)
+
+    for t in reversed(transforms):
+        if t[0] == 0:
+            px = _inv_predictor(px, xsize, h, t[1], t[2])
+        elif t[0] == 1:
+            px = _inv_color_transform(px, xsize, h, t[1], t[2])
+        elif t[0] == 2:
+            px = _inv_subtract_green(px)
+        else:
+            _t, pal, ibits, orig_w = t
+            if ibits:
+                packed = px.reshape(h, xsize)
+                per = 1 << ibits          # pixels per packed unit
+                ibw = 8 >> ibits          # index bit width
+                idx = np.zeros((h, orig_w), dtype=np.int64)
+                green = (packed >> 8) & 0xFF
+                for j in range(per):
+                    cols = np.arange(j, orig_w, per)
+                    vals = (green[:, (cols // per)] >> (j * ibw)) & (
+                        (1 << ibw) - 1)
+                    idx[:, cols] = vals[:, : len(cols)]
+                idx = idx.reshape(-1)
+                xsize = orig_w
+            else:
+                idx = ((px >> 8) & 0xFF).astype(np.int64)
+            if int(idx.max(initial=0)) >= len(pal):
+                raise ValueError("palette index out of range")
+            px = pal[idx]
+
+    a = ((px >> 24) & 0xFF).astype(np.uint8)
+    r = ((px >> 16) & 0xFF).astype(np.uint8)
+    g = ((px >> 8) & 0xFF).astype(np.uint8)
+    b = (px & 0xFF).astype(np.uint8)
+    rgb = np.stack([r, g, b], axis=1).reshape(h, w, 3)
+    af = a.reshape(h, w).astype(np.float64) / 255.0
+    # composite over white like the PNG path (pipeline contract: rgb8)
+    out = np.round(rgb.astype(np.float64) * af[:, :, None]
+                   + 255.0 * (1.0 - af[:, :, None]))
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def _riff_chunks(data: bytes):
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP (RIFF) file")
+    (total,) = struct.unpack_from("<I", data, 4)
+    if total + 8 > len(data) + 1 or len(data) > _MAX_WEBP:
+        raise ValueError("WebP RIFF size mismatch")
+    pos = 12
+    while pos + 8 <= min(len(data), total + 8):
+        tag = data[pos:pos + 4]
+        (ln,) = struct.unpack_from("<I", data, pos + 4)
+        if pos + 8 + ln > len(data):
+            raise ValueError("WebP chunk past EOF")
+        yield tag, pos, pos + 8, ln
+        pos += 8 + ln + (ln & 1)
+
+
+def decode_webp(data: bytes) -> np.ndarray:
+    """-> (h, w, 3) uint8 over-white composite. Lossless (VP8L) only;
+    lossy VP8 raises NotImplementedError (needs a video intra decoder —
+    honest stub, same policy as h264)."""
+    for tag, _s, ds, dl in _riff_chunks(data):
+        if tag == b"VP8L":
+            return _decode_vp8l(data[ds:ds + dl])
+        if tag == b"VP8 ":
+            raise NotImplementedError(
+                "lossy WebP (VP8) requires a full intra-frame DCT decoder"
+            )
+    raise ValueError("WebP: no image chunk found")
+
+
+# ---------------------------------------------------------------------------
+# encoder (literal subset) + VP8X/EXIF wrap
+# ---------------------------------------------------------------------------
+
+def encode_webp(pix: np.ndarray, exif_tiff: bytes | None = None) -> bytes:
+    """Lossless WebP from (h, w, 3) uint8: VP8L literal stream (flat
+    8-bit prefix codes for R/G/B, 1-symbol codes for constant alpha and
+    the unused distance alphabet, no transforms, no LZ77). With
+    exif_tiff, wraps in a VP8X extended container carrying an EXIF
+    chunk (the WebP metadata channel)."""
+    if pix.ndim != 3 or pix.shape[2] != 3 or pix.dtype != np.uint8:
+        raise ValueError("encode_webp expects (h, w, 3) uint8")
+    h, w = pix.shape[:2]
+    if w > 1 << 14 or h > 1 << 14:
+        raise ValueError("VP8L dimension limit is 16384")
+    bw = _BitWriterLSB()
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)                        # no alpha
+    bw.write(0, 3)                        # version
+    bw.write(0, 1)                        # no transform
+    bw.write(0, 1)                        # no color cache
+    bw.write(0, 1)                        # no meta prefix
+
+    def write_flat_code(alphabet: int) -> None:
+        """Normal code: 256 literals at length 8 (complete), the
+        remaining alphabet (LZ77 lengths) absent via 17-runs."""
+        bw.write(0, 1)                    # not simple
+        # CL lengths: symbol 8 -> 1 bit, symbol 17 -> 1 bit. kOrder index
+        # of 17 is 0, of 8 is 11 -> write 12 entries
+        bw.write(12 - 4, 4)
+        order_vals = {17: 1, 8: 1}
+        for i in range(12):
+            bw.write(order_vals.get(_CL_ORDER[i], 0), 3)
+        bw.write(0, 1)                    # no max-symbol cap
+        # canonical CL code: symbols {8, 17} both length 1 -> 8='0', 17='1'
+        for _ in range(256):
+            bw.write_code(0, 1)           # '8' x 256
+        rest = alphabet - 256
+        while rest > 0:
+            run = min(rest, 10)
+            if run < 3:
+                # pad with explicit zero-length? CL '0' has no code here;
+                # alphabets in use always leave rest=0 or >=3
+                raise ValueError("unsupported alphabet tail")
+            bw.write_code(1, 1)           # '17'
+            bw.write(run - 3, 3)
+            rest -= run
+
+    def write_single(sym: int, wide: bool) -> None:
+        bw.write(1, 1)                    # simple
+        bw.write(0, 1)                    # one symbol
+        if wide:
+            bw.write(1, 1)
+            bw.write(sym, 8)
+        else:
+            bw.write(0, 1)
+            bw.write(sym, 1)
+
+    write_flat_code(256 + 24)             # green
+    write_flat_code(256)                  # red
+    write_flat_code(256)                  # blue
+    write_single(255, True)               # alpha: constant 255
+    write_single(0, False)                # distance: unused
+
+    flat = pix.reshape(-1, 3)
+    for r, g, b in flat:
+        bw.write_code(int(g), 8)
+        bw.write_code(int(r), 8)
+        bw.write_code(int(b), 8)
+    payload = bw.bytes()
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (tag + struct.pack("<I", len(body)) + body
+                + (b"\x00" if len(body) & 1 else b""))
+
+    chunks = b""
+    if exif_tiff is not None:
+        vp8x_flags = 1 << 3               # EXIF flag (bit 3 of byte 0)
+        vp8x = (bytes([vp8x_flags, 0, 0, 0])
+                + struct.pack("<I", w - 1)[:3]
+                + struct.pack("<I", h - 1)[:3])
+        chunks += chunk(b"VP8X", vp8x)
+    chunks += chunk(b"VP8L", payload)
+    if exif_tiff is not None:
+        chunks += chunk(b"EXIF", exif_tiff)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
+
+
+# ---------------------------------------------------------------------------
+# metadata channel (used by exif_codec for fmt='webp')
+# ---------------------------------------------------------------------------
+
+def webp_exif_chunk(data: bytes) -> bytes | None:
+    for tag, _s, ds, dl in _riff_chunks(data):
+        if tag == b"EXIF":
+            return data[ds:ds + dl]
+    return None
+
+
+def webp_scrub(data: bytes, gps_neutralizer=None) -> bytes:
+    """Metadata scrub for WebP containers. With gps_neutralizer (a
+    callable mutating a TIFF bytearray in place), performs GPS-only
+    surgery inside the EXIF chunk (byte length preserved). Without it,
+    drops EXIF/XMP chunks entirely and clears their VP8X flag bits."""
+    if gps_neutralizer is not None:
+        out = bytearray(data)
+        for tag, _s, ds, dl in _riff_chunks(data):
+            if tag == b"EXIF":
+                tiff = bytearray(data[ds:ds + dl])
+                if gps_neutralizer(tiff):
+                    out[ds:ds + dl] = tiff
+        return bytes(out)
+    kept = b""
+    for tag, s, ds, dl in _riff_chunks(data):
+        if tag in (b"EXIF", b"XMP "):
+            continue
+        body = data[ds:ds + dl]
+        if tag == b"VP8X":
+            body = bytes([body[0] & ~((1 << 3) | (1 << 2))]) + body[1:]
+        kept += (tag + struct.pack("<I", dl) + body
+                 + (b"\x00" if dl & 1 else b""))
+    return b"RIFF" + struct.pack("<I", 4 + len(kept)) + b"WEBP" + kept

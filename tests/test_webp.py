@@ -1,0 +1,429 @@
+"""WebP-lossless (VP8L) codec tests: encoder round trips, HAND-BUILT
+streams exercising every decoder feature the literal-subset encoder
+never emits (LZ77 refs with near-distance mapping, color cache,
+subtract-green / predictor / cross-color / palette transforms,
+meta-prefix groups, simple codes), container/EXIF channel, corruption
+matrix, and mutation fuzz."""
+
+import struct
+
+import numpy as np
+import pytest
+
+import chronon_spark.exif_codec as X
+from chronon_spark.fixtures import gen_pixels
+from chronon_spark.webp_codec import (
+    _BitWriterLSB,
+    _CL_ORDER,
+    decode_webp,
+    encode_webp,
+    webp_exif_chunk,
+    webp_scrub,
+)
+
+
+def _wrap(payload: bytes) -> bytes:
+    ch = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        ch += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(ch)) + b"WEBP" + ch
+
+
+def _header(bw, w, h):
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+
+
+def _flat_code(bw, alphabet):
+    """256 8-bit literals; rest absent (mirrors the encoder, local copy
+    so hand-built streams don't depend on encoder internals)."""
+    bw.write(0, 1)
+    bw.write(12 - 4, 4)
+    vals = {17: 1, 8: 1}
+    for i in range(12):
+        bw.write(vals.get(_CL_ORDER[i], 0), 3)
+    bw.write(0, 1)
+    for _ in range(256):
+        bw.write_code(0, 1)
+    rest = alphabet - 256
+    while rest > 0:
+        run = min(rest, 10)
+        bw.write_code(1, 1)
+        bw.write(run - 3, 3)
+        rest -= run
+
+
+def _single_code(bw, sym, wide):
+    bw.write(1, 1)
+    bw.write(0, 1)
+    if wide:
+        bw.write(1, 1)
+        bw.write(sym, 8)
+    else:
+        bw.write(0, 1)
+        bw.write(sym, 1)
+
+
+def _groups_literal(bw, cache_bits=0):
+    """Standard group block: flat green/red/blue, alpha=255 single,
+    distance code with symbols {0,1} (1 bit each) so LZ77 tests can
+    reference distance code 0."""
+    green_alpha = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
+    _flat_code(bw, green_alpha)
+    _flat_code(bw, 256)
+    _flat_code(bw, 256)
+    _single_code(bw, 255, True)
+    # distance: simple, two symbols 0 and 1 -> codes '0'/'1'
+    bw.write(1, 1)
+    bw.write(1, 1)                        # two symbols
+    bw.write(0, 1)                        # first: 1-bit symbol
+    bw.write(0, 1)                        # symbol 0
+    bw.write(1, 8)                        # second: symbol 1
+
+
+def _lit(bw, r, g, b):
+    bw.write_code(g, 8)
+    bw.write_code(r, 8)
+    bw.write_code(b, 8)
+
+
+def test_encoder_round_trip_shapes():
+    rng = np.random.default_rng(21)
+    for w, h in [(1, 1), (5, 3), (32, 32), (48, 64)]:
+        pix = gen_pixels(rng, w, h)
+        assert np.array_equal(decode_webp(encode_webp(pix)), pix)
+
+
+def _complete_code(bw, alphabet):
+    """Emit a COMPLETE canonical code covering the whole alphabet (256
+    <= alphabet <= 512): the first (512 - alphabet) symbols at 8 bits,
+    the rest at 9 (Kraft = 1 exactly). Returns {sym: (code, length)}
+    for writing pixels. Lengths go through the code-length code with
+    CL symbols {8, 9} at 1 bit each."""
+    n8 = 512 - alphabet
+    bw.write(0, 1)                        # not simple
+    # kOrder indices: 8 -> 11, 9 -> 12; need 13 entries
+    bw.write(13 - 4, 4)
+    vals = {8: 1, 9: 1}
+    for i in range(13):
+        bw.write(vals.get(_CL_ORDER[i], 0), 3)
+    bw.write(0, 1)                        # no max-symbol cap
+    # canonical CL over {8, 9}: 8 = '0', 9 = '1'
+    for _ in range(n8):
+        bw.write_code(0, 1)
+    for _ in range(alphabet - n8):
+        bw.write_code(1, 1)
+    table = {}
+    for s in range(n8):
+        table[s] = (s, 8)
+    for i, s in enumerate(range(n8, alphabet)):
+        table[s] = ((n8 << 1) + i, 9)
+    return table
+
+
+def _wsym(bw, table, sym):
+    code, length = table[sym]
+    bw.write_code(code, length)
+
+
+def test_lz77_with_length_symbols():
+    w, h = 8, 2
+    bw = _BitWriterLSB()
+    _header(bw, w, h)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    # green: complete code over literals + the 24 length codes
+    gmap = _complete_code(bw, 256 + 24)
+    _flat_code(bw, 256)                   # red
+    _flat_code(bw, 256)                   # blue
+    _single_code(bw, 255, True)           # alpha
+    _single_code(bw, 0, False)            # distance: only code 0 -> (0,1)
+    row = [(10 * i, 20 + i, 200 - i) for i in range(w)]
+    for r, g, b in row:
+        _wsym(bw, gmap, g)
+        bw.write_code(r, 8)
+        bw.write_code(b, 8)
+    # length 8 = length prefix code 5 with extra bit 1
+    _wsym(bw, gmap, 256 + 5)
+    bw.write(1, 1)                        # extra bit -> length 8
+    # distance code 0 (0-bit single) -> prefix value 1 -> (0,1) -> dist=w
+    webp = _wrap(bw.bytes())
+    dec = decode_webp(webp)
+    exp = np.array([[list((r, g, b)) for r, g, b in row]] * 2,
+                   dtype=np.uint8)
+    assert np.array_equal(dec, exp)
+
+
+def test_color_cache_hit():
+    w, h = 4, 1
+    cache_bits = 4
+    bw = _BitWriterLSB()
+    _header(bw, w, h)
+    bw.write(0, 1)                        # no transform
+    bw.write(1, 1)                        # cache present
+    bw.write(cache_bits, 4)
+    bw.write(0, 1)                        # no meta
+    cache_size = 1 << cache_bits
+    gmap = _complete_code(bw, 256 + 24 + cache_size)
+    _flat_code(bw, 256)
+    _flat_code(bw, 256)
+    _single_code(bw, 255, True)
+    _single_code(bw, 0, False)
+    # two literals, then cache references to both
+    p1 = (1, 2, 3)
+    p2 = (200, 100, 50)
+    for r, g, b in (p1, p2):
+        _wsym(bw, gmap, g)
+        bw.write_code(r, 8)
+        bw.write_code(b, 8)
+    def idx(r, g, b):
+        v = (255 << 24) | (r << 16) | (g << 8) | b
+        return (0x1E35A7BD * v & 0xFFFFFFFF) >> (32 - cache_bits)
+    _wsym(bw, gmap, 280 + idx(*p1))
+    _wsym(bw, gmap, 280 + idx(*p2))
+    dec = decode_webp(_wrap(bw.bytes()))
+    exp = np.array([[p1, p2, p1, p2]], dtype=np.uint8)
+    assert np.array_equal(dec, exp)
+
+
+def test_subtract_green_transform():
+    w, h = 3, 1
+    target = [(30, 40, 50), (200, 10, 5), (7, 7, 7)]
+    bw = _BitWriterLSB()
+    _header(bw, w, h)
+    bw.write(1, 1)                        # transform present
+    bw.write(2, 2)                        # subtract green
+    bw.write(0, 1)                        # no more transforms
+    bw.write(0, 1)                        # no cache
+    bw.write(0, 1)                        # no meta
+    _groups_literal(bw)
+    for r, g, b in target:
+        _lit(bw, (r - g) & 0xFF, g, (b - g) & 0xFF)
+    dec = decode_webp(_wrap(bw.bytes()))
+    assert np.array_equal(dec, np.array([target], dtype=np.uint8))
+
+
+def test_predictor_transform_left_mode():
+    """4x2, one block (bits=3 covers 8px), mode 1 (Left). Residuals are
+    computed with the spec's edge rules: (0,0) vs 0xff000000, row 0 vs
+    Left, column 0 vs Top."""
+    w, h = 4, 2
+    rng = np.random.default_rng(22)
+    target = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    # forward-compute residuals (alpha constant 255)
+    res = np.zeros_like(target, dtype=np.int64)
+    res_a = np.zeros((h, w), dtype=np.int64)
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pr, pa = (0, 0, 0), 255
+            elif y == 0:
+                pr, pa = tuple(int(v) for v in target[0, x - 1]), 255
+            elif x == 0:
+                pr, pa = tuple(int(v) for v in target[y - 1, 0]), 255
+            else:                          # mode 1: Left
+                pr, pa = tuple(int(v) for v in target[y, x - 1]), 255
+            res[y, x] = [(int(target[y, x, c]) - pr[c]) & 0xFF
+                         for c in range(3)]
+            res_a[y, x] = (255 - pa) & 0xFF
+    assert (res_a == 0).all()
+    bw = _BitWriterLSB()
+    _header(bw, w, h)
+    bw.write(1, 1)
+    bw.write(0, 2)                        # predictor transform
+    bw.write(1, 3)                        # size_bits=1+2=3 -> 8px blocks
+    # mode image 1x1: literal pixel with green=mode 1
+    _groups_literal(bw)
+    _lit(bw, 0, 1, 0)
+    bw.write(0, 1)                        # no more transforms
+    bw.write(0, 1)                        # no cache
+    bw.write(0, 1)                        # no meta
+    # groups with alpha pinned to the RESIDUAL 0 (every prediction
+    # supplies alpha 255, so target alpha 255 = pred 255 + residual 0)
+    _flat_code(bw, 256 + 24)
+    _flat_code(bw, 256)
+    _flat_code(bw, 256)
+    _single_code(bw, 0, True)             # alpha residual 0
+    _single_code(bw, 0, False)
+    for y in range(h):
+        for x in range(w):
+            r, g, b = (int(res[y, x, 0]), int(res[y, x, 1]),
+                       int(res[y, x, 2]))
+            _lit(bw, r, g, b)
+    dec = decode_webp(_wrap(bw.bytes()))
+    assert np.array_equal(dec, target)
+
+
+def test_palette_transform_bundled():
+    """Palette of 4 colors on a 8x2 image -> 2-bit indices bundled 4 per
+    green byte (packed width 2)."""
+    w, h = 8, 2
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (40, 50, 60)]
+    idx = np.array([[0, 1, 2, 3, 3, 2, 1, 0],
+                    [1, 1, 0, 0, 2, 2, 3, 3]])
+    bw = _BitWriterLSB()
+    _header(bw, w, h)
+    bw.write(1, 1)
+    bw.write(3, 2)                        # color indexing
+    bw.write(len(palette) - 1, 8)
+    # palette entropy image: delta-coded colors (chained from 0, so the
+    # alpha delta is 255 for entry 0 and 0 afterwards — needs a real
+    # alpha code, not the constant-255 single)
+    _flat_code(bw, 256 + 24)
+    _flat_code(bw, 256)
+    _flat_code(bw, 256)
+    _flat_code(bw, 256)                   # alpha: flat
+    _single_code(bw, 0, False)
+    prev = (0, 0, 0, 0)                   # a,r,g,b
+    for r, g, b in palette:
+        da = (255 - prev[0]) & 0xFF
+        dr = (r - prev[1]) & 0xFF
+        dg = (g - prev[2]) & 0xFF
+        db = (b - prev[3]) & 0xFF
+        bw.write_code(dg, 8)
+        bw.write_code(dr, 8)
+        bw.write_code(db, 8)
+        bw.write_code(da, 8)
+        prev = (255, r, g, b)
+    bw.write(0, 1)                        # no more transforms
+    bw.write(0, 1)
+    bw.write(0, 1)
+    _groups_literal(bw)
+    # packed main image: width 2, green carries 4 x 2-bit indices
+    for y in range(h):
+        for unit in range(2):
+            g = 0
+            for j in range(4):
+                g |= int(idx[y, unit * 4 + j]) << (j * 2)
+            _lit(bw, 0, g, 0)
+    dec = decode_webp(_wrap(bw.bytes()))
+    exp = np.array([[palette[i] for i in row] for row in idx],
+                   dtype=np.uint8)
+    assert np.array_equal(dec, exp)
+
+
+def test_meta_prefix_groups():
+    """8x4 with meta bits=2 (4px blocks): two groups where group 1 pins
+    red via a 1-symbol code — pixels in the right half must take red
+    from the group, not the stream."""
+    w, h = 8, 4
+    bw = _BitWriterLSB()
+    _header(bw, w, h)
+    bw.write(0, 1)                        # no transform
+    bw.write(0, 1)                        # no cache
+    bw.write(1, 1)                        # meta present
+    bw.write(0, 3)                        # meta_bits = 2
+    # meta image 2x1: group 0 then group 1 (index in red<<8|green)
+    _groups_literal(bw)
+    _lit(bw, 0, 0, 0)                     # group 0
+    _lit(bw, 0, 1, 0)                     # group 1
+    # group 0: full literal codes
+    _groups_literal(bw)
+    # group 1: red is a single-symbol code pinned to 77
+    _flat_code(bw, 256 + 24)
+    _single_code(bw, 77, True)            # red pinned
+    _flat_code(bw, 256)
+    _single_code(bw, 255, True)
+    _single_code(bw, 0, False)
+    for y in range(h):
+        for x in range(w):
+            if x < 4:
+                _lit(bw, 10, 20, 30)      # group 0 literal
+            else:
+                bw.write_code(40, 8)      # green
+                bw.write_code(50, 8)      # blue (red consumes 0 bits)
+    dec = decode_webp(_wrap(bw.bytes()))
+    left = dec[:, :4]
+    right = dec[:, 4:]
+    assert (left == np.array([10, 20, 30])).all()
+    assert (right == np.array([77, 40, 50])).all()
+
+
+def test_color_transform_inverse():
+    """2x1, one block, g2r=32 (=1.0 in 3.5 fixed): r = r' + green."""
+    w, h = 2, 1
+    bw = _BitWriterLSB()
+    _header(bw, w, h)
+    bw.write(1, 1)
+    bw.write(1, 2)                        # cross-color transform
+    bw.write(1, 3)                        # bits = 3
+    _groups_literal(bw)
+    # element pixel: g2r in red channel? spec: red=g2r? element ARGB:
+    # b=red_to_blue, g=green_to_blue, r=green_to_red
+    _lit(bw, 32, 0, 0)                    # g2r=32, g2b=0, r2b=0
+    bw.write(0, 1)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    _groups_literal(bw)
+    # stream pixels: (r', g, b); decoded r = r' + ((32 * signed(g))>>5)
+    _lit(bw, 10, 4, 9)                    # -> r = 10 + 4 = 14
+    _lit(bw, 10, 250, 9)                  # signed(250) = -6 -> r = 4
+    dec = decode_webp(_wrap(bw.bytes()))
+    assert dec[0, 0].tolist() == [14, 4, 9]
+    assert dec[0, 1].tolist() == [4, 250, 9]
+
+
+def test_container_and_exif():
+    pix = gen_pixels(np.random.default_rng(23), 20, 14)
+    t = X.encode_exif({"make": "CamCo", "gps": (5.5, 6.5)})
+    wb = encode_webp(pix, exif_tiff=t)
+    assert np.array_equal(decode_webp(wb), pix)
+    m = X.extract_exif(wb, "webp")
+    assert m["has_exif"] and m["gps_present"] and m["make"] == "CamCo"
+    s_all = X.scrub_metadata(wb, "webp", "all")
+    assert not X.extract_exif(s_all, "webp")["has_exif"]
+    assert np.array_equal(decode_webp(s_all), pix)
+    s_gps = X.scrub_metadata(wb, "webp", "gps")
+    m2 = X.extract_exif(s_gps, "webp")
+    assert m2["has_exif"] and not m2["gps_present"] and m2["make"] == "CamCo"
+    assert len(s_gps) == len(wb)
+    assert np.array_equal(decode_webp(s_gps), pix)
+
+
+def test_lossy_vp8_is_honest_stub():
+    fake = (b"RIFF" + struct.pack("<I", 16) + b"WEBP"
+            + b"VP8 " + struct.pack("<I", 4) + b"\x00\x00\x00\x00")
+    with pytest.raises(NotImplementedError):
+        decode_webp(fake)
+
+
+def test_corruption_matrix():
+    pix = gen_pixels(np.random.default_rng(24), 16, 16)
+    wb = encode_webp(pix)
+    muts = [
+        b"RIFX" + wb[4:],                 # bad fourcc
+        wb[:11],                          # truncated header
+        wb[:30],                          # truncated payload
+    ]
+    b = bytearray(wb)
+    b[20] ^= 0xFF                         # clobber VP8L signature region
+    muts.append(bytes(b))
+    for m in muts:
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_webp(m)
+
+
+def test_fuzz_never_escapes():
+    pix = gen_pixels(np.random.default_rng(25), 16, 12)
+    wb = encode_webp(pix)
+    rng = np.random.default_rng(26)
+    for i in range(150):
+        b = bytearray(wb)
+        op = i % 3
+        if op == 0:
+            pos = int(rng.integers(12, len(b)))
+            b[pos] ^= 1 << int(rng.integers(0, 8))
+        elif op == 1:
+            b = b[: int(rng.integers(12, len(b)))]
+        else:
+            pos = int(rng.integers(12, len(b)))
+            b = b[:pos] + bytes([int(rng.integers(0, 256))]) + b[pos:]
+        try:
+            out = decode_webp(bytes(b))
+        except (ValueError, NotImplementedError):
+            continue
+        assert out.dtype == np.uint8 and out.ndim == 3
