@@ -293,9 +293,38 @@ def gen_real_image_rows(n: int, seed: int = 42, span_days: int = 30,
         w, h = sizes[int(rng.integers(0, len(sizes)))]
         pix = gen_pixels(rng, w, h)
         fv = rng.random()
-        fmt = ("png" if fv < 0.35 else "jpeg" if fv < 0.7
-               else "gif" if fv < 0.85 else "bmp")
-        if fmt == "gif":
+        fmt = ("png" if fv < 0.3 else "jpeg" if fv < 0.6
+               else "gif" if fv < 0.72 else "bmp" if fv < 0.8
+               else "tiff" if fv < 0.9 else "webp")
+        if fmt == "tiff":
+            # baseline-surface spread: none/LZW/PackBits x predictor x
+            # strips x byte order; gray-mode rows transform pix FIRST so
+            # the round trip stays lossless (sidecars follow, like GIF)
+            from chronon_spark.tiff_codec import encode_tiff
+
+            tv = rng.random()
+            if tv < 0.3:
+                data = encode_tiff(pix, compression="lzw", predictor=True,
+                                   rows_per_strip=16)
+            elif tv < 0.5:
+                data = encode_tiff(pix, compression="packbits",
+                                   byte_order="MM")
+            elif tv < 0.7:
+                data = encode_tiff(pix, compression="none")
+            elif tv < 0.85:
+                pix = _quantize_to_palette(pix)
+                data = encode_tiff(pix, compression="lzw", mode="palette")
+            else:
+                g = np.round(pix.astype(np.float64).mean(axis=2)).astype(
+                    np.uint8)
+                pix = np.repeat(g[:, :, None], 3, axis=2)
+                data = encode_tiff(pix, compression="lzw", mode="gray",
+                                   predictor=True)
+        elif fmt == "webp":
+            from chronon_spark.webp_codec import encode_webp
+
+            data = encode_webp(pix)
+        elif fmt == "gif":
             # GIF is palette-limited: quantize first (sidecars follow the
             # quantized pixels — the round trip itself is lossless). The
             # step is adaptive: smooth gradient content at //32 usually
@@ -394,9 +423,11 @@ def ensure_real_image_fixture(
     # v3: jpeg rows sample 4:2:0/4:4:4 x restart-interval variants and png
     # rows sample truecolor/interlaced/RGBA/palette/grayscale layouts (the
     # r4 codec completion); v4 adds GIF (LZW, plain + interlaced) and BMP
-    # (24-bit + 8-bit palette) rows. The version tag invalidates caches
-    # whose bytes predate the layout spread.
-    path = os.path.join(out_dir, f"images_real_v4_n{n}_s{seed}.parquet")
+    # (24-bit + 8-bit palette) rows; v5 adds TIFF (none/LZW/PackBits x
+    # predictor x strips x byte order x rgb/palette/gray) and
+    # WebP-lossless rows — the complete six-format surface. The version
+    # tag invalidates caches whose bytes predate the layout spread.
+    path = os.path.join(out_dir, f"images_real_v5_n{n}_s{seed}.parquet")
     if os.path.exists(path):
         return path
     os.makedirs(out_dir, exist_ok=True)

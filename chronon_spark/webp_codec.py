@@ -38,6 +38,7 @@ import numpy as np
 from chronon_spark.codecs import _check_dims
 
 _MAX_WEBP = 1 << 27
+_ENABLE_FAST_LITERAL = True
 
 
 # ---------------------------------------------------------------------------
@@ -66,6 +67,13 @@ class _BitReader:
         b = (self.data[byte_i] >> (self.pos & 7)) & 1
         self.pos += 1
         return b
+
+    def peek_lsb(self, n: int) -> int:
+        """Next n stream bits as an LSB-first integer (zero-padded past
+        EOF — consumers bound-check on consume)."""
+        byte_i = self.pos >> 3
+        chunk = int.from_bytes(self.data[byte_i:byte_i + 5], "little")
+        return (chunk >> (self.pos & 7)) & ((1 << n) - 1)
 
 
 class _BitWriterLSB:
@@ -100,10 +108,11 @@ class _BitWriterLSB:
 # ---------------------------------------------------------------------------
 
 class _PrefixCode:
-    """Decode one symbol by walking bits MSB-first against the canonical
-    code table (dict keyed (length, code))."""
+    """Canonical prefix code decoded via a full-width LUT indexed by the
+    next max_len stream bits read LSB-first (one table lookup per
+    symbol instead of per bit)."""
 
-    __slots__ = ("table", "max_len", "single")
+    __slots__ = ("max_len", "single", "syms", "lens", "byte_flat")
 
     def __init__(self, lengths: list[int]):
         nz = [(l, s) for s, l in enumerate(lengths) if l > 0]
@@ -111,44 +120,72 @@ class _PrefixCode:
             raise ValueError("empty prefix code")
         if len(nz) == 1:
             self.single = nz[0][1]
-            self.table = {}
             self.max_len = 0
+            self.syms = self.lens = None
+            self.byte_flat = False
             return
         self.single = None
-        # canonical assignment: by (length, symbol)
-        nz.sort()
-        code = 0
-        prev_len = nz[0][0]
-        table = {}
-        for l, s in nz:
-            code <<= (l - prev_len)
-            prev_len = l
-            table[(l, code)] = s
-            code += 1
-        # completeness (Kraft) check: over-subscribed codes already break
-        # the shifting; under-subscribed ones decode garbage, so verify
+        # completeness (Kraft): an incomplete code decodes garbage on the
+        # unassigned codewords; an over-subscribed one is internally
+        # inconsistent — reject both up front
         kraft = sum(1 / (1 << l) for l, _ in nz)
         if abs(kraft - 1.0) > 1e-9:
             raise ValueError("incomplete prefix code")
-        self.table = table
-        self.max_len = max(l for l, _ in nz)
+        nz.sort()                         # canonical: by (length, symbol)
+        self.max_len = ml = nz[-1][0]
+        if ml > 15:
+            raise ValueError("prefix code longer than 15 bits")
+        syms = np.zeros(1 << ml, dtype=np.int32)
+        lens = np.zeros(1 << ml, dtype=np.int8)
+        code = 0
+        prev_len = nz[0][0]
+        for l, s in nz:
+            code <<= (l - prev_len)
+            prev_len = l
+            # stream bit i is bit (l-1-i) of the code -> LUT index is the
+            # bit-reverse of the codeword, extended by every suffix
+            rev = int(f"{code:0{l}b}"[::-1], 2)
+            ext = np.arange(1 << (ml - l), dtype=np.int64) << l
+            syms[rev + ext] = s
+            lens[rev + ext] = l
+            code += 1
+        self.syms = syms
+        self.lens = lens
+        # fast-path marker: exactly the 256 byte literals, each 8 bits,
+        # canonical code == symbol value
+        self.byte_flat = (
+            ml == 8 and len(nz) == 256
+            and all(l == 8 for l, _ in nz)
+            and [s for _, s in nz] == list(range(256))
+        )
 
     def decode(self, br: _BitReader) -> int:
         if self.single is not None:
             return self.single
-        code = 0
-        length = 0
-        while length <= self.max_len:
-            code = (code << 1) | br.read_bit()
-            length += 1
-            sym = self.table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("bad prefix code in VP8L stream")
+        v = br.peek_lsb(self.max_len)
+        l = int(self.lens[v])
+        if l == 0 or br.pos + l > len(br.data) * 8:
+            raise ValueError("bad prefix code in VP8L stream")
+        br.pos += l
+        return int(self.syms[v])
 
 
 _CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13,
              14, 15]
+
+# LUT construction is the per-image fixed cost; identical code layouts
+# (e.g. every row of a fixture written by the same encoder) share one
+_CODE_CACHE: dict = {}
+
+
+def _make_code(lengths: list) -> _PrefixCode:
+    key = tuple(lengths)
+    pc = _CODE_CACHE.get(key)
+    if pc is None:
+        pc = _PrefixCode(lengths)
+        if len(_CODE_CACHE) < 1024:
+            _CODE_CACHE[key] = pc
+    return pc
 
 
 def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixCode:
@@ -169,7 +206,7 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixCode:
             lengths[second] = 1
         else:
             return _single(first)         # one symbol: 0-bit code
-        return _PrefixCode(lengths)
+        return _make_code(lengths)
     # normal: code-length code
     num_cl = br.read(4) + 4
     if num_cl > 19:
@@ -212,14 +249,15 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixCode:
             i += 11 + br.read(7)
         if i > alphabet_size:
             raise ValueError("code-length run overflows alphabet")
-    return _PrefixCode(lengths)
+    return _make_code(lengths)
 
 
 def _single(sym: int) -> _PrefixCode:
     pc = _PrefixCode.__new__(_PrefixCode)
     pc.single = sym
-    pc.table = {}
+    pc.syms = pc.lens = None
     pc.max_len = 0
+    pc.byte_flat = False
     return pc
 
 
@@ -309,6 +347,35 @@ def _decode_entropy_image(br: _BitReader, w: int, h: int,
 
     def cache_insert(v: int) -> None:
         cache[(0x1E35A7BD * v & 0xFFFFFFFF) >> (32 - cache_bits)] = v
+
+    # (module flag so tests can force the general path and pin both
+    # paths bit-identical on the same stream)
+    # Vectorized all-literal fast path: one group, no cache/meta, green/
+    # red/blue are exactly the 256-literal byte-flat code and alpha is a
+    # 1-symbol code. The green code then CANNOT emit LZ77 or cache
+    # symbols, so the rest of the stream is precisely 24 bits per pixel
+    # (g,r,b codewords == byte values, MSB-first) — unpack in bulk.
+    if (_ENABLE_FAST_LITERAL and cache is None and meta is None
+            and groups[0][0].byte_flat and groups[0][1].byte_flat
+            and groups[0][2].byte_flat and groups[0][3].single is not None):
+        need = 24 * n
+        if br.pos + need > len(br.data) * 8:
+            raise ValueError("VP8L bitstream truncated")
+        start_byte = br.pos >> 3
+        off = br.pos & 7
+        raw = np.frombuffer(
+            br.data, dtype=np.uint8,
+            count=min(len(br.data) - start_byte, (need + off + 7) // 8),
+            offset=start_byte)
+        bits = np.unpackbits(raw, bitorder="little")[off:off + need]
+        vals = (bits.reshape(n, 3, 8)
+                << np.arange(7, -1, -1, dtype=np.uint8)).sum(
+            axis=2, dtype=np.uint32)
+        alpha = np.uint32(groups[0][3].single)
+        px = ((alpha << np.uint32(24)) | (vals[:, 1] << np.uint32(16))
+              | (vals[:, 0] << np.uint32(8)) | vals[:, 2])
+        br.pos += need
+        return px
 
     pos = 0
     grp = groups[0]
@@ -663,12 +730,19 @@ def encode_webp(pix: np.ndarray, exif_tiff: bytes | None = None) -> bytes:
     write_single(255, True)               # alpha: constant 255
     write_single(0, False)                # distance: unused
 
+    # pixel section vectorized: 24 bits per pixel (g,r,b codewords ==
+    # byte values, MSB-first) appended to the header bits in one
+    # packbits pass
+    header_bits = np.unpackbits(
+        np.frombuffer(bytes(bw.out), dtype=np.uint8), bitorder="little")
+    tail_bits = np.array(
+        [(bw.acc >> i) & 1 for i in range(bw.nbits)], dtype=np.uint8)
     flat = pix.reshape(-1, 3)
-    for r, g, b in flat:
-        bw.write_code(int(g), 8)
-        bw.write_code(int(r), 8)
-        bw.write_code(int(b), 8)
-    payload = bw.bytes()
+    grb = flat[:, [1, 0, 2]]              # order g, r, b
+    px_bits = ((grb[:, :, None] >> np.arange(7, -1, -1, dtype=np.uint8))
+               & 1).astype(np.uint8).reshape(-1)
+    all_bits = np.concatenate([header_bits, tail_bits, px_bits])
+    payload = np.packbits(all_bits, bitorder="little").tobytes()
 
     def chunk(tag: bytes, body: bytes) -> bytes:
         return (tag + struct.pack("<I", len(body)) + body

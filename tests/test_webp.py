@@ -427,3 +427,17 @@ def test_fuzz_never_escapes():
         except (ValueError, NotImplementedError):
             continue
         assert out.dtype == np.uint8 and out.ndim == 3
+
+
+def test_fast_literal_path_matches_general_path(monkeypatch):
+    """The vectorized all-literal fast path and the symbol-loop general
+    path must produce bit-identical pixels on the same stream."""
+    import chronon_spark.webp_codec as W
+
+    pix = gen_pixels(np.random.default_rng(27), 40, 30)
+    wb = encode_webp(pix)
+    fast = decode_webp(wb)
+    monkeypatch.setattr(W, "_ENABLE_FAST_LITERAL", False)
+    slow = decode_webp(wb)
+    assert np.array_equal(fast, slow)
+    assert np.array_equal(fast, pix)
