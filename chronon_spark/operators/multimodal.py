@@ -139,12 +139,82 @@ def extract_pixel_features(
     )
 
 
-def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
-    """Nearest-neighbor resize; emits re-encoded 'rgb8' bytes. Same
+def _resize_nearest(pix: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    h, w = pix.shape[:2]
+    yi = (np.arange(out_h) * h // out_h).astype(np.int64)
+    xi = (np.arange(out_w) * w // out_w).astype(np.int64)
+    return pix[yi][:, xi]
+
+
+def _resize_bilinear(pix: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Half-pixel-center (align_corners=False) bilinear, the convention
+    shared by PIL/OpenCV/torch interpolate. Separable gather + lerp,
+    fully vectorized."""
+    h, w = pix.shape[:2]
+    p = pix.astype(np.float64)
+
+    def axis_coords(n_in, n_out):
+        c = (np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5
+        lo = np.floor(c).astype(np.int64)
+        frac = c - lo
+        lo0 = np.clip(lo, 0, n_in - 1)
+        lo1 = np.clip(lo + 1, 0, n_in - 1)
+        return lo0, lo1, frac
+
+    y0, y1, fy = axis_coords(h, out_h)
+    x0, x1, fx = axis_coords(w, out_w)
+    top = p[y0][:, x0] * (1 - fx)[None, :, None] \
+        + p[y0][:, x1] * fx[None, :, None]
+    bot = p[y1][:, x0] * (1 - fx)[None, :, None] \
+        + p[y1][:, x1] * fx[None, :, None]
+    out = top * (1 - fy)[:, None, None] + bot * fy[:, None, None]
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def _resize_area(pix: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Exact area (box) average: each output pixel is the mean of its
+    covering source interval, computed as Wy @ img @ Wx^T with sparse-ish
+    overlap-weight matrices — the antialiasing-correct downscale (and
+    for an exact integer 2:1 it reproduces the 'half' codec's block
+    mean bit-for-bit before rounding)."""
+    h, w = pix.shape[:2]
+
+    def weights(n_in, n_out):
+        W = np.zeros((n_out, n_in))
+        scale = n_in / n_out
+        for o in range(n_out):
+            a, b = o * scale, (o + 1) * scale
+            i0, i1 = int(np.floor(a)), int(np.ceil(b))
+            for i in range(i0, min(i1, n_in)):
+                W[o, i] = min(b, i + 1) - max(a, i)
+        return W / scale
+
+    Wy = weights(h, out_h)
+    Wx = weights(w, out_w)
+    p = pix.astype(np.float64)
+    out = np.einsum("oi,ijc,pj->opc", Wy, p, Wx, optimize=True)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+_RESIZE_KERNELS = {
+    "nearest": _resize_nearest,
+    "bilinear": _resize_bilinear,
+    "area": _resize_area,
+}
+
+
+def resize_images(df: DataFrame, out_w: int, out_h: int,
+                  method: str = "nearest") -> DataFrame:
+    """Resize with a real resampling kernel ('nearest', 'bilinear' —
+    half-pixel-center lerp, or 'area' — exact box average for
+    antialiased downscale); emits re-encoded 'rgb8' bytes. Same
     mapInPandas shape a real resampler (PIL.resize) would use. Rows whose
     payload can't be decoded (corrupt/NULL bytes, stubbed codec) come back
     with bytes=NULL and decode_ok=false — one bad row never fails the
     job, matching the module-wide integrity-gate contract."""
+    if method not in _RESIZE_KERNELS:
+        raise ValueError(f"unknown resize method {method!r}")
+    kernel = _RESIZE_KERNELS[method]
     schema = ("image_id string, bytes binary, w int, h int, fmt string, "
               "decode_ok boolean")
 
@@ -165,9 +235,7 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
                     rows["fmt"].append(fmt)
                     rows["decode_ok"].append(False)
                     continue
-                yi = (np.arange(out_h) * h // out_h).astype(np.int64)
-                xi = (np.arange(out_w) * w // out_w).astype(np.int64)
-                res = pix[yi][:, xi]
+                res = kernel(pix, out_w, out_h)
                 rows["bytes"].append(res.tobytes())
                 rows["w"].append(out_w)
                 rows["h"].append(out_h)

@@ -88,3 +88,55 @@ def test_spark_operator_matches_sidecars(spark):
     # the plan is a single scan-stage pass: no shuffle (Exchange) nodes
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_resize_kernels_hand_math():
+    from chronon_spark.operators.multimodal import (
+        _resize_area,
+        _resize_bilinear,
+        _resize_nearest,
+    )
+
+    # area 2:1 on even dims == exact block mean (the 'half' codec)
+    rng = np.random.default_rng(31)
+    pix = rng.integers(0, 256, (8, 12, 3), dtype=np.uint8)
+    half = pix.astype(np.float64).reshape(4, 2, 6, 2, 3).mean(axis=(1, 3))
+    got = _resize_area(pix, 6, 4)
+    assert np.array_equal(got, np.round(half).astype(np.uint8))
+    # area is mean-preserving for ANY output geometry
+    got2 = _resize_area(pix, 5, 3).astype(np.float64)
+    assert abs(got2.mean() - pix.astype(np.float64).mean()) < 1.0
+    # bilinear preserves an affine ramp in the interior (half-pixel
+    # centers map exactly onto source sample positions at 2:1)
+    ramp = np.repeat(
+        np.repeat((np.arange(16, dtype=np.uint8) * 16)[None, :, None]
+                  .repeat(3, axis=2)[:, :, None, :].reshape(1, 16, 1, 3),
+        8, axis=0), 1, axis=2).reshape(8, 16, 3)
+    up = _resize_bilinear(ramp, 32, 8)
+    # interior columns step by exactly 8 along the doubled ramp
+    diffs = np.diff(up[4, 2:30, 0].astype(np.int64))
+    assert set(diffs.tolist()) == {8}
+    # nearest on identity geometry is the identity
+    assert np.array_equal(_resize_nearest(pix, 12, 8), pix)
+    assert np.array_equal(_resize_bilinear(pix, 12, 8), pix)
+    assert np.array_equal(_resize_area(pix, 12, 8), pix)
+
+
+def test_resize_spark_operator_methods(spark):
+    from pyspark.sql import functions as F
+
+    from chronon_spark.fixtures import ensure_quality_fixture
+    from chronon_spark.operators.multimodal import resize_images
+
+    imgs = spark.read.parquet(ensure_quality_fixture(n=60, seed=131))
+    for method in ("nearest", "bilinear", "area"):
+        out = resize_images(imgs, 16, 16, method=method)
+        ok = out.where(F.col("decode_ok"))
+        n = ok.count()
+        assert n > 0
+        r = ok.select(F.length("bytes").alias("l"), "w", "h").first()
+        assert r.l == 16 * 16 * 3 and r.w == 16 and r.h == 16
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        resize_images(imgs, 8, 8, method="lanczos9")
