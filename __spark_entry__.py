@@ -2240,7 +2240,7 @@ def _audio_real_fixture_path() -> str:
 
 VIDEO_REAL_N, VIDEO_REAL_SEED = 200, 83
 _VIDEO_REAL_FIXTURE_PATH = (
-    f"/root/repo/.fixtures/videos_real_v3_n{VIDEO_REAL_N}_s{VIDEO_REAL_SEED}.parquet"
+    f"/root/repo/.fixtures/videos_real_v4_n{VIDEO_REAL_N}_s{VIDEO_REAL_SEED}.parquet"
 )
 
 

@@ -865,7 +865,18 @@ def gen_real_video_rows(n: int, seed: int = 83, span_days: int = 30):
         rng = np.random.default_rng(seed * 1_000_003 + i)
         w, h = sizes[int(rng.integers(0, len(sizes)))]
         n_frames = int(rng.integers(4, 13))
-        if i % 6 == 4:
+        if i % 6 == 1:
+            # v4: animated-WebP rows (VP8X/ANIM/ANMF over lossless VP8L)
+            fmt = "webp"
+            from chronon_spark.webp_codec import encode_webp_anim
+
+            base = gen_pixels(rng, w, h)
+            frames = np.stack(
+                [np.roll(base, shift=2 * f, axis=1) for f in range(n_frames)]
+            )
+            data = encode_webp_anim(frames)
+            layout = "webp_anim"
+        elif i % 6 == 4:
             # v3: animated-PNG rows — the lossless truecolor container
             fmt = "apng"
             from chronon_spark.codecs import decode_apng_frames, encode_apng
@@ -913,6 +924,10 @@ def gen_real_video_rows(n: int, seed: int = 83, span_days: int = 30):
                 from chronon_spark.codecs import decode_apng_frames
 
                 dec = decode_apng_frames(data)
+            elif fmt == "webp":
+                from chronon_spark.webp_codec import decode_webp_frames
+
+                dec = decode_webp_frames(data)
             else:
                 dec = decode_gif_frames(data)
             assert dec.shape == (n_frames, h, w, 3)
@@ -942,7 +957,7 @@ def gen_real_video_rows(n: int, seed: int = 83, span_days: int = 30):
 def ensure_real_video_fixture(
     n: int = 200, seed: int = 83, out_dir: str = "/root/repo/.fixtures"
 ) -> str:
-    path = os.path.join(out_dir, f"videos_real_v3_n{n}_s{seed}.parquet")
+    path = os.path.join(out_dir, f"videos_real_v4_n{n}_s{seed}.parquet")
     if os.path.exists(path):
         return path
     os.makedirs(out_dir, exist_ok=True)

@@ -248,7 +248,7 @@ def resize_images(df: DataFrame, out_w: int, out_h: int,
     )
 
 
-NATIVE_VIDEO_FORMATS = ("vraw", "gif", "avi", "apng")
+NATIVE_VIDEO_FORMATS = ("vraw", "gif", "avi", "apng", "webp")
 NATIVE_AUDIO_FORMATS = ("pcm16", "wav", "flac")
 
 
@@ -257,12 +257,13 @@ def decode_video(data: bytes, w: int, h: int, n_frames: int, fmt: str) -> np.nda
     disposal/transparency compositing), 'apng' (animated PNG — acTL/
     fcTL/fdAT over the ordinary PNG stream, lossless truecolor) and
     'avi' (RIFF Motion-JPEG — every frame a standalone baseline JPEG)
-    are REAL containers decoded by chronon_spark.codecs; 'vraw' is the
+    and 'webp' (animated WebP — VP8X/ANIM/ANMF over lossless VP8L
+    frames) are REAL containers decoded from scratch; 'vraw' is the
     synthetic engine layout.  The
     decoded geometry must match the metadata columns — drift raises so
     it becomes a decode_ok=false row, never silently mis-shaped
     frames."""
-    if fmt in ("gif", "avi", "apng"):
+    if fmt in ("gif", "avi", "apng", "webp"):
         if fmt == "gif":
             from chronon_spark.codecs import decode_gif_frames
 
@@ -271,6 +272,10 @@ def decode_video(data: bytes, w: int, h: int, n_frames: int, fmt: str) -> np.nda
             from chronon_spark.codecs import decode_apng_frames
 
             frames = decode_apng_frames(data)
+        elif fmt == "webp":
+            from chronon_spark.webp_codec import decode_webp_frames
+
+            frames = decode_webp_frames(data)
         else:
             from chronon_spark.codecs import decode_avi_frames
 

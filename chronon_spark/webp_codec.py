@@ -540,6 +540,16 @@ def _inv_subtract_green(px: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def _decode_vp8l(payload: bytes) -> np.ndarray:
+    """-> (h, w, 3) uint8, alpha composited over white (the pipeline's
+    rgb8 contract, same formula as the PNG path)."""
+    rgba = _decode_vp8l_rgba(payload)
+    af = rgba[:, :, 3:4].astype(np.float64) / 255.0
+    out = np.round(rgba[:, :, :3].astype(np.float64) * af
+                   + 255.0 * (1.0 - af))
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def _decode_vp8l_rgba(payload: bytes) -> np.ndarray:
     br = _BitReader(payload)
     if br.read(8) != 0x2F:
         raise ValueError("bad VP8L signature")
@@ -626,12 +636,7 @@ def _decode_vp8l(payload: bytes) -> np.ndarray:
     r = ((px >> 16) & 0xFF).astype(np.uint8)
     g = ((px >> 8) & 0xFF).astype(np.uint8)
     b = (px & 0xFF).astype(np.uint8)
-    rgb = np.stack([r, g, b], axis=1).reshape(h, w, 3)
-    af = a.reshape(h, w).astype(np.float64) / 255.0
-    # composite over white like the PNG path (pipeline contract: rgb8)
-    out = np.round(rgb.astype(np.float64) * af[:, :, None]
-                   + 255.0 * (1.0 - af[:, :, None]))
-    return np.clip(out, 0, 255).astype(np.uint8)
+    return np.stack([r, g, b, a], axis=1).reshape(h, w, 4)
 
 
 def _riff_chunks(data: bytes):
@@ -653,7 +658,9 @@ def _riff_chunks(data: bytes):
 def decode_webp(data: bytes) -> np.ndarray:
     """-> (h, w, 3) uint8 over-white composite. Lossless (VP8L) only;
     lossy VP8 raises NotImplementedError (needs a video intra decoder —
-    honest stub, same policy as h264)."""
+    honest stub, same policy as h264). A still decode of an ANIMATED
+    file returns its first frame (the APNG default-image convention)."""
+    has_anim = False
     for tag, _s, ds, dl in _riff_chunks(data):
         if tag == b"VP8L":
             return _decode_vp8l(data[ds:ds + dl])
@@ -661,6 +668,10 @@ def decode_webp(data: bytes) -> np.ndarray:
             raise NotImplementedError(
                 "lossy WebP (VP8) requires a full intra-frame DCT decoder"
             )
+        if tag == b"ANMF":
+            has_anim = True
+    if has_anim:
+        return decode_webp_frames(data, max_frames=1)[0]
     raise ValueError("WebP: no image chunk found")
 
 
@@ -795,3 +806,162 @@ def webp_scrub(data: bytes, gps_neutralizer=None) -> bytes:
         kept += (tag + struct.pack("<I", dl) + body
                  + (b"\x00" if dl & 1 else b""))
     return b"RIFF" + struct.pack("<I", 4 + len(kept)) + b"WEBP" + kept
+
+
+# ---------------------------------------------------------------------------
+# animated WebP (VP8X + ANIM/ANMF — fourth real video container, per the
+# WebP Container Specification's animation extension)
+# ---------------------------------------------------------------------------
+
+_WEBP_MAX_FRAMES = 4096
+_F_ANIM = 0x02
+_F_EXIF = 0x08
+
+
+def _u24(b: bytes, off: int) -> int:
+    return b[off] | (b[off + 1] << 8) | (b[off + 2] << 16)
+
+
+def _rgba_over_white(rgba: np.ndarray) -> np.ndarray:
+    af = rgba[:, :, 3:4].astype(np.float64) / 255.0
+    out = np.round(rgba[:, :, :3].astype(np.float64) * af
+                   + 255.0 * (1.0 - af))
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def decode_webp_frames(data: bytes,
+                       max_frames: int | None = None) -> np.ndarray:
+    """Animated WebP -> (n, h, w, 3) uint8 frame snapshots, each the
+    canvas composited over white after rendering one ANMF frame.
+    Compositing follows the container spec: sub-rect frames at even
+    (2x, 2y) offsets, blending method 0 = alpha-blend over the canvas /
+    1 = overwrite, disposal 0 = keep / 1 = fill the frame rect with the
+    ANIM background color. Lossless (VP8L) frame payloads only — a VP8
+    (lossy) frame raises NotImplementedError like the still path."""
+    vp8x = None
+    anim = None
+    frames = []
+    for tag, _s, ds, dl in _riff_chunks(data):
+        if tag == b"VP8X":
+            if dl < 10:
+                raise ValueError("VP8X chunk too short")
+            vp8x = data[ds:ds + dl]
+        elif tag == b"ANIM":
+            if dl < 6:
+                raise ValueError("ANIM chunk too short")
+            anim = data[ds:ds + dl]
+        elif tag == b"ANMF":
+            if dl < 16:
+                raise ValueError("ANMF chunk too short")
+            frames.append(data[ds:ds + dl])
+    if vp8x is None or not (vp8x[0] & _F_ANIM) or anim is None:
+        raise ValueError("not an animated WebP (no VP8X/ANIM)")
+    w = _u24(vp8x, 4) + 1
+    h = _u24(vp8x, 7) + 1
+    _check_dims(w, h)
+    if not frames:
+        raise ValueError("animated WebP with no ANMF frames")
+    if len(frames) > _WEBP_MAX_FRAMES:
+        raise ValueError("animated WebP frame count exceeds cap")
+    # ANIM background color is stored B, G, R, A
+    bg = np.array([anim[2], anim[1], anim[0], anim[3]], dtype=np.uint8)
+
+    canvas = np.zeros((h, w, 4), dtype=np.uint8)
+    out_frames: list[np.ndarray] = []
+    for body in frames:
+        fx = 2 * _u24(body, 0)
+        fy = 2 * _u24(body, 3)
+        fw = _u24(body, 6) + 1
+        fh = _u24(body, 9) + 1
+        flags = body[15]
+        blend_none = bool(flags & 0x02)
+        dispose_bg = bool(flags & 0x01)
+        if fx + fw > w or fy + fh > h:
+            raise ValueError("ANMF frame rect outside the canvas")
+        # frame image subchunks inside the ANMF payload
+        sub = body[16:]
+        pos = 0
+        rgba = None
+        while pos + 8 <= len(sub):
+            tag = sub[pos:pos + 4]
+            (ln,) = struct.unpack_from("<I", sub, pos + 4)
+            if pos + 8 + ln > len(sub):
+                raise ValueError("ANMF subchunk past end")
+            if tag == b"VP8L":
+                rgba = _decode_vp8l_rgba(sub[pos + 8:pos + 8 + ln])
+            elif tag == b"VP8 ":
+                raise NotImplementedError(
+                    "lossy VP8 animation frames are stubbed")
+            pos += 8 + ln + (ln & 1)
+        if rgba is None:
+            raise ValueError("ANMF frame with no image subchunk")
+        if rgba.shape[:2] != (fh, fw):
+            raise ValueError("ANMF frame data does not match header rect")
+        region = canvas[fy:fy + fh, fx:fx + fw]
+        if blend_none:
+            region[:] = rgba
+        else:
+            fa = rgba[:, :, 3:4].astype(np.float64) / 255.0
+            ca = region[:, :, 3:4].astype(np.float64) / 255.0
+            oa = fa + ca * (1.0 - fa)
+            rgb = np.where(
+                oa > 0,
+                (rgba[:, :, :3] * fa + region[:, :, :3] * ca * (1.0 - fa))
+                / np.maximum(oa, 1e-12),
+                0.0,
+            )
+            region[:, :, :3] = np.round(rgb).astype(np.uint8)
+            region[:, :, 3] = np.round(oa[:, :, 0] * 255.0).astype(np.uint8)
+        out_frames.append(_rgba_over_white(canvas))
+        if max_frames and len(out_frames) >= max_frames:
+            break
+        if dispose_bg:
+            canvas[fy:fy + fh, fx:fx + fw] = bg
+    return np.stack(out_frames)
+
+
+def encode_webp_anim(
+    frames: np.ndarray,
+    duration_ms: int = 40,
+    rects: "list[tuple[int, int]] | None" = None,
+    dispose_bg: bool = False,
+    bg_rgba: tuple = (255, 255, 255, 255),
+) -> bytes:
+    """(n, h, w, 3) uint8 -> animated WebP (VP8X+ANIM+ANMF, lossless
+    VP8L frames, blend=none). With `rects`, frame i is placed at the
+    given (x, y) — must be even per the 2-pixel-unit encoding — and may
+    be smaller than the canvas; canvas size is taken from frame 0."""
+    if frames.ndim == 3:
+        frames = frames[None]
+    if frames.ndim != 4 or frames.shape[-1] != 3:
+        raise ValueError("encode_webp_anim expects (n, h, w, 3) uint8")
+    ch, cw = frames.shape[1:3]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (tag + struct.pack("<I", len(body)) + body
+                + (b"\x00" if len(body) & 1 else b""))
+
+    def u24(v: int) -> bytes:
+        return bytes([v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF])
+
+    vp8x = (bytes([_F_ANIM, 0, 0, 0]) + u24(cw - 1) + u24(ch - 1))
+    r, g, b, a = bg_rgba
+    anim = bytes([b, g, r, a]) + struct.pack("<H", 0)   # loop forever
+    out = chunk(b"VP8X", vp8x) + chunk(b"ANIM", anim)
+    for i, fr in enumerate(frames):
+        x, y = (rects[i] if rects else (0, 0))
+        if x % 2 or y % 2:
+            raise ValueError("ANMF offsets must be even")
+        fh, fw = fr.shape[:2]
+        # lift the still encoder's VP8L payload out of its RIFF wrapper
+        still = encode_webp(np.ascontiguousarray(fr))
+        vp8l_payload = None
+        for tag, _s, ds, dl in _riff_chunks(still):
+            if tag == b"VP8L":
+                vp8l_payload = still[ds:ds + dl]
+        body = (u24(x // 2) + u24(y // 2) + u24(fw - 1) + u24(fh - 1)
+                + u24(duration_ms)
+                + bytes([0x02 | (0x01 if dispose_bg else 0x00)])
+                + chunk(b"VP8L", vp8l_payload))
+        out += chunk(b"ANMF", body)
+    return b"RIFF" + struct.pack("<I", 4 + len(out)) + b"WEBP" + out

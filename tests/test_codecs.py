@@ -145,9 +145,9 @@ def test_real_fixture_pipeline_decodes(spark):
     assert all(r.pm for r in rows)
     assert all(r.ok40 for r in rows)
     fmts = {r.fmt for r in rows}
-    # v4 fixture mixes all four real interchange formats; at n=40 the
+    # v5 fixture mixes all six real interchange formats; at n=40 the
     # deterministic seed draws every one of them
-    assert fmts == {"png", "jpeg", "gif", "bmp"}
+    assert fmts == {"png", "jpeg", "gif", "bmp", "tiff", "webp"}
 
 
 # ---------------------------------------------------------------------------

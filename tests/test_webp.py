@@ -441,3 +441,164 @@ def test_fast_literal_path_matches_general_path(monkeypatch):
     slow = decode_webp(wb)
     assert np.array_equal(fast, slow)
     assert np.array_equal(fast, pix)
+
+
+def test_anim_round_trip_and_frame_cap():
+    from chronon_spark.webp_codec import decode_webp_frames, encode_webp_anim
+
+    base = gen_pixels(np.random.default_rng(30), 24, 16)
+    frames = np.stack([np.roll(base, 2 * f, axis=1) for f in range(7)])
+    wb = encode_webp_anim(frames)
+    dec = decode_webp_frames(wb)
+    assert np.array_equal(dec, frames)
+    assert decode_webp_frames(wb, max_frames=3).shape[0] == 3
+    # still decode of an animated file -> first frame
+    assert np.array_equal(decode_webp(wb), frames[0])
+
+
+def test_anim_subrect_and_dispose_background():
+    """Frame 2 is a sub-rect at (2, 0); dispose-background on frame 1
+    restores the ANIM background color over its rect before frame 2."""
+    from chronon_spark.webp_codec import decode_webp_frames, encode_webp_anim
+
+    rng = np.random.default_rng(31)
+    full = rng.integers(0, 256, (8, 12, 3), dtype=np.uint8)
+    patch = rng.integers(0, 256, (4, 6, 3), dtype=np.uint8)
+    # hand-compose: canvas frame 0 = full; frame 1 = patch at (2,2)
+    wb = encode_webp_anim(
+        np.stack([full, np.zeros_like(full)]),  # placeholder second
+    )
+    # build manually with rects: frame 0 full at (0,0), frame 1 patch
+    import chronon_spark.webp_codec as W
+
+    f0 = full
+    frames = [f0, patch]
+    out = W.encode_webp_anim(
+        np.stack([f0]), dispose_bg=True, bg_rgba=(9, 8, 7, 255))
+    # easier: use the rects API with mixed sizes via two single-frame
+    # encodes spliced — exercise instead through the public API:
+    def enc(frames_list, rects, dispose_bg):
+        ch, cw = frames_list[0].shape[:2]
+        body = b""
+        import struct as _st
+
+        def chunk(tag, b):
+            return (tag + _st.pack("<I", len(b)) + b
+                    + (b"\x00" if len(b) & 1 else b""))
+
+        def u24(v):
+            return bytes([v & 255, (v >> 8) & 255, (v >> 16) & 255])
+
+        vp8x = bytes([W._F_ANIM, 0, 0, 0]) + u24(cw - 1) + u24(ch - 1)
+        anim = bytes([7, 8, 9, 255]) + _st.pack("<H", 0)  # bg = (9,8,7)
+        out = chunk(b"VP8X", vp8x) + chunk(b"ANIM", anim)
+        for fr, (x, y), dbg in zip(frames_list, rects, dispose_bg):
+            fh, fw = fr.shape[:2]
+            still = encode_webp(np.ascontiguousarray(fr))
+            for tag, _s, ds, dl in W._riff_chunks(still):
+                if tag == b"VP8L":
+                    payload = still[ds:ds + dl]
+            body = (u24(x // 2) + u24(y // 2) + u24(fw - 1) + u24(fh - 1)
+                    + u24(40) + bytes([0x02 | (1 if dbg else 0)])
+                    + chunk(b"VP8L", payload))
+            out += chunk(b"ANMF", body)
+        return b"RIFF" + _st.pack("<I", 4 + len(out)) + b"WEBP" + out
+
+    wb = enc([f0, patch], [(0, 0), (2, 0)], [True, False])
+    dec = decode_webp_frames(wb)
+    assert np.array_equal(dec[0], f0)
+    # frame 1 snapshot: f0's rect was disposed to bg (9,8,7) then the
+    # patch rendered at (x=2, y=0)
+    exp = np.empty_like(f0)
+    exp[:, :] = np.array([9, 8, 7], dtype=np.uint8)
+    exp[0:4, 2:8] = patch
+    assert np.array_equal(dec[1], exp)
+
+
+def test_anim_alpha_blend_over():
+    """Hand-built second frame with constant alpha 128 must alpha-blend
+    onto the first frame's canvas (blending method 0)."""
+    import chronon_spark.webp_codec as W
+    import struct as _st
+
+    base = np.full((2, 2, 3), 100, dtype=np.uint8)
+    still0 = encode_webp(base)
+    for tag, _s, ds, dl in W._riff_chunks(still0):
+        if tag == b"VP8L":
+            pay0 = still0[ds:ds + dl]
+    # frame 1: 2x2, rgb=200, alpha=128 via hand-built VP8L
+    bw = _BitWriterLSB()
+    _header(bw, 2, 2)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    _flat_code(bw, 256 + 24)
+    _flat_code(bw, 256)
+    _flat_code(bw, 256)
+    _single_code(bw, 128, True)           # alpha 128
+    _single_code(bw, 0, False)
+    for _ in range(4):
+        _lit(bw, 200, 200, 200)
+    pay1 = bw.bytes()
+
+    def chunk(tag, b):
+        return (tag + _st.pack("<I", len(b)) + b
+                + (b"\x00" if len(b) & 1 else b""))
+
+    def u24(v):
+        return bytes([v & 255, (v >> 8) & 255, (v >> 16) & 255])
+
+    vp8x = bytes([W._F_ANIM, 0, 0, 0]) + u24(1) + u24(1)
+    anim = bytes([0, 0, 0, 0]) + _st.pack("<H", 0)
+    out = chunk(b"VP8X", vp8x) + chunk(b"ANIM", anim)
+    out += chunk(b"ANMF", u24(0) + u24(0) + u24(1) + u24(1) + u24(40)
+                 + bytes([0x02]) + chunk(b"VP8L", pay0))
+    out += chunk(b"ANMF", u24(0) + u24(0) + u24(1) + u24(1) + u24(40)
+                 + bytes([0x00]) + chunk(b"VP8L", pay1))   # blend over
+    wb = b"RIFF" + _st.pack("<I", 4 + len(out)) + b"WEBP" + out
+    from chronon_spark.webp_codec import decode_webp_frames
+
+    dec = decode_webp_frames(wb)
+    # over: a=128/255 on opaque 100 -> 200*a + 100*(1-a) = 150.2 -> 150
+    assert np.array_equal(dec[0], base)
+    assert (dec[1] == 150).all()
+
+
+def test_anim_corruption_matrix():
+    from chronon_spark.webp_codec import decode_webp_frames, encode_webp_anim
+
+    base = gen_pixels(np.random.default_rng(32), 16, 8)
+    frames = np.stack([base, np.roll(base, 2, axis=1)])
+    wb = encode_webp_anim(frames)
+    with pytest.raises(ValueError):
+        decode_webp_frames(wb[:40])                  # truncated
+    with pytest.raises(ValueError):
+        decode_webp_frames(wb.replace(b"ANMF", b"XNMF"))  # no frames left
+    with pytest.raises(ValueError):
+        decode_webp_frames(encode_webp(base))        # still, not animated
+    # frame rect outside canvas
+    b = bytearray(wb)
+    b[wb.index(b"ANMF") + 8] = 200                   # huge x
+    with pytest.raises(ValueError):
+        decode_webp_frames(bytes(b))
+
+
+def test_anim_engine_integration(spark):
+    from pyspark.sql import functions as F
+
+    from chronon_spark.fixtures import ensure_real_video_fixture
+    from chronon_spark.operators.multimodal import extract_video_features
+
+    vids = spark.read.parquet(ensure_real_video_fixture(n=40, seed=83))
+    webp_rows = vids.where(F.col("fmt") == "webp")
+    assert webp_rows.count() > 0
+    out = extract_video_features(vids)
+    joined = out.join(
+        vids.select("video_id", "fmt",
+                    F.col("phash").alias("x_phash"),
+                    F.col("decode_ok").alias("x_ok")), "video_id")
+    bad = joined.where(
+        (F.col("decode_ok") != F.col("x_ok"))
+        | (F.col("decode_ok")
+           & (F.col("phash0_check") != F.col("x_phash")))).count()
+    assert bad == 0
