@@ -109,11 +109,12 @@ def run_curate_images(spark):
 
 def run_real_decode(spark):
     """Real-format decode throughput: 24k PNG (RFC 2083 inflate+unfilter)
-    / baseline-JPEG (Huffman+IDCT) / GIF (LZW+compositing) / BMP images
+    / baseline-JPEG (Huffman+IDCT) / GIF (LZW+compositing) / BMP / TIFF
+    (LZW/PackBits+predictor) / WebP-lossless (VP8L prefix codes) images
     through the fused pixel-feature Arrow pass — the from-scratch codecs
     under timing, not just under correctness. Images/s is the figure of
-    merit. (Fixture v4: ~35/35/15/15 png/jpeg/gif/bmp — not directly
-    comparable to the BENCH_r03-era v3 png/jpeg-only number.)"""
+    merit. (Fixture v5: ~30/30/12/8/10/8 png/jpeg/gif/bmp/tiff/webp —
+    not directly comparable to the v4 four-format number.)"""
     from chronon_spark.fixtures import ensure_real_image_fixture
     from chronon_spark.operators.multimodal import extract_pixel_features
 
