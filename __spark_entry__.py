@@ -1839,6 +1839,44 @@ def q_image_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_N, BPE_SEED = 1_200, 171
+_BPE_FIXTURE_PATH = (
+    f"/root/repo/.fixtures/bpe_docs_v1_n{BPE_N}_s{BPE_SEED}.parquet"
+)
+
+
+def _bpe_fixture_path() -> str:
+    from chronon_spark.fixtures import ensure_bpe_fixture
+
+    return ensure_bpe_fixture(n=BPE_N, seed=BPE_SEED)
+
+
+def q_corpus_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer train + apply THROUGH SPARK (operators/tokenizer.py
+    — Sennrich subword merges, GPT-2 greedy apply): distributed word
+    counts (one map-side-combined groupBy), deterministic top-V cut
+    (TakeOrderedAndProject, count desc / word asc), driver-side
+    incremental merge learning on the bounded distinct-word table, then
+    a broadcast-rank Arrow apply pass. The fixture's sidecars hold the
+    REFERENCE tokenization (same algorithm run locally on exact counts
+    at generation time), so a hash match proves the distributed
+    plumbing — aggregation, cut ordering, lowercase/split semantics,
+    memoized apply — reproduces the reference path token-for-token."""
+    _prep(spark)
+    from chronon_spark.fixtures import BPE_MAX_WORDS, BPE_MERGES
+    from chronon_spark.operators.tokenizer import apply_bpe, train_bpe
+
+    docs = spark.read.parquet(_bpe_fixture_path())
+    model = train_bpe(docs, num_merges=BPE_MERGES,
+                      max_words=BPE_MAX_WORDS)
+    out = apply_bpe(docs, model)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.array_join("tokens", "|").alias("tokens_joined"),
+    )
+
+
 def q_image_asof_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """input_hint pipeline: point-in-time features keyed on phash — for
     each image capture, how many captures of the SAME content (phash)
@@ -3356,6 +3394,7 @@ _COMPOSITE_SPECS: dict[str, list[str]] = {
         "corpus_pack",
         "corpus_token_budget",
         "corpus_chunk",
+        "corpus_bpe",
     ],
     "corpus_filters_suite": [
         "corpus_quality_gate",
@@ -3541,6 +3580,7 @@ _QCOLS: dict[str, list[str]] = {
         "image_id", "fmt", "laplacian_var", "entropy_bits",
         "colorfulness", "saturation", "clip_frac", "decode_ok", "keep",
     ],
+    "corpus_bpe": ["doc_id", "n_tokens", "tokens_joined"],
     "image_phash_incremental": ["new_id", "corpus_id", "hamming"],
     "audio_clip_features": [
         "audio_id", "rms", "zcr", "centroid_hz", "duration_s", "decode_ok",
@@ -3718,6 +3758,7 @@ def _granular_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_real_decode": q_image_real_decode,
         "image_exif_scrub": q_image_exif_scrub,
         "image_quality_gate": q_image_quality_gate,
+        "corpus_bpe": q_corpus_bpe,
         "image_asof_features": q_image_asof_features,
         "image_asof_iceberg": q_image_asof_iceberg,
         "image_phash_neardup": q_image_phash_neardup,
@@ -3866,6 +3907,7 @@ def _oracle_sql_granular() -> dict[str, str]:
     _real_image_fixture_path()  # ditto the real-codec (png/jpeg) fixture
     _exif_fixture_path()  # ditto the EXIF-metadata fixture
     _quality_fixture_path()  # ditto the quality-metric fixture
+    _bpe_fixture_path()  # ditto the BPE-tokenizer fixture
     _video_fixture_path()  # ditto video
     _audio_fixture_path()  # ditto audio
     _audio_real_fixture_path()  # ditto the real-codec (wav) audio fixture
@@ -4639,6 +4681,15 @@ def _oracle_sql_granular() -> dict[str, str]:
                    (q_ok AND q_lap >= 50.0 AND q_ent >= 1.0
                          AND q_clip <= 0.1) AS keep
             FROM '{_QUALITY_FIXTURE_PATH}'
+        """,
+        # BPE: sidecars are the reference tokenization computed at
+        # generation time by the same published algorithm on exact local
+        # counts — the hash pins the DISTRIBUTED train+apply path
+        "corpus_bpe": rf"""
+            SELECT doc_id,
+                   x_n_tokens AS n_tokens,
+                   x_tokens_joined AS tokens_joined
+            FROM '{_BPE_FIXTURE_PATH}'
         """,
         # image near-dup: pigeonhole banding has recall exactly 1 (and the
         # engine verifies with exact bit_count), so the pair set equals

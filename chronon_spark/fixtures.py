@@ -1287,3 +1287,82 @@ def ensure_quality_fixture(
     pq.write_table(base, tmp, row_group_size=FIXTURE_ROW_GROUP)
     os.replace(tmp, path)
     return path
+
+
+# ---------------------------------------------------------------------------
+# BPE-tokenizer fixture: synthetic zipf-ish text with generation-time
+# sidecars from the REFERENCE tokenizer path (learn_bpe + bpe_encode on
+# exact local word counts). The gate row trains the model THROUGH SPARK
+# (distributed word counts, deterministic top-V cut, Arrow apply) on the
+# same fixture — a hash match proves the distributed plumbing reproduces
+# the reference algorithm exactly.
+# ---------------------------------------------------------------------------
+
+BPE_MERGES, BPE_MAX_WORDS = 150, 2000
+
+
+def gen_bpe_doc_rows(n: int, seed: int = 171):
+    from chronon_spark.operators.tokenizer import bpe_encode, learn_bpe
+
+    rng = np.random.default_rng(seed)
+    # zipf-ish vocabulary of synthetic word shapes
+    stems = ["lo", "low", "new", "wid", "light", "dark", "run", "jump",
+             "est", "er", "ing", "ed", "over", "under", "out", "re"]
+    vocab = []
+    for i in range(400):
+        a = stems[int(rng.integers(0, len(stems)))]
+        b = stems[int(rng.integers(0, len(stems)))]
+        vocab.append(a + b if rng.random() < 0.6 else a)
+    probs = 1.0 / np.arange(1, len(vocab) + 1) ** 1.1
+    probs /= probs.sum()
+
+    docs = []
+    for i in range(n):
+        drng = np.random.default_rng(seed * 7_000_003 + i)
+        k = int(drng.integers(4, 40))
+        words = [vocab[int(j)] for j in
+                 drng.choice(len(vocab), size=k, p=probs)]
+        docs.append((f"bdoc_{i:06d}", " ".join(words)))
+
+    # reference path: exact word counts -> (cnt desc, word asc) top-V ->
+    # learn -> encode (mirrors train_bpe/apply_bpe semantics exactly)
+    wc: dict = {}
+    for _id, text in docs:
+        for w in text.lower().split():
+            wc[w] = wc.get(w, 0) + 1
+    top = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_MAX_WORDS]
+    merges = learn_bpe(dict(top), BPE_MERGES)
+    ranks = {tuple(p): idx for idx, p in enumerate(merges)}
+    rows = []
+    for _id, text in docs:
+        toks = []
+        for w in text.lower().split():
+            toks.extend(bpe_encode(w, ranks))
+        rows.append({"doc_id": _id, "text": text,
+                     "x_n_tokens": len(toks),
+                     "x_tokens_joined": "|".join(toks)})
+    return rows
+
+
+def ensure_bpe_fixture(
+    n: int = 1_200, seed: int = 171, out_dir: str = "/root/repo/.fixtures",
+) -> str:
+    path = os.path.join(out_dir, f"bpe_docs_v1_n{n}_s{seed}.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(out_dir, exist_ok=True)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = gen_bpe_doc_rows(n, seed)
+    table = pa.table({
+        "doc_id": [r["doc_id"] for r in rows],
+        "text": [r["text"] for r in rows],
+        "x_n_tokens": pa.array([r["x_n_tokens"] for r in rows],
+                               type=pa.int32()),
+        "x_tokens_joined": [r["x_tokens_joined"] for r in rows],
+    })
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp, row_group_size=FIXTURE_ROW_GROUP)
+    os.replace(tmp, path)
+    return path
