@@ -784,3 +784,75 @@ def image_quality(
     return df.select(*in_cols).mapInPandas(
         batches, schema=IMAGE_QUALITY_SCHEMA + pt_schema
     )
+
+
+def letterbox_images(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    method: str = "bilinear",
+    pad_rgb: tuple = (0, 0, 0),
+) -> DataFrame:
+    """Aspect-preserving resize + center pad to an exact (out_w, out_h)
+    — the standard fixed-size model-input prep (a naive resize distorts
+    geometry; letterboxing scales by min(out_w/w, out_h/h) and fills
+    the margins with pad_rgb). Emits rgb8 plus the placement metadata
+    (scale, pad offsets) downstream consumers need to map coordinates
+    back to the source image. Same Arrow-pass shape and corrupt-row
+    contract as resize_images."""
+    import pandas as pd
+
+    if method not in _RESIZE_KERNELS:
+        raise ValueError(f"unknown resize method {method!r}")
+    kernel = _RESIZE_KERNELS[method]
+    pad = np.array(pad_rgb, dtype=np.uint8)
+    schema = ("image_id string, bytes binary, w int, h int, fmt string, "
+              "scale double, pad_x int, pad_y int, decode_ok boolean")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt",
+                                    "scale", "pad_x", "pad_y",
+                                    "decode_ok")}
+            for iid, data, w, h, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"],
+                pdf["fmt"]
+            ):
+                rows["image_id"].append(iid)
+                try:
+                    pix = decode_image(data, int(w), int(h), fmt)
+                except (NotImplementedError, ValueError, TypeError):
+                    rows["bytes"].append(None)
+                    rows["w"].append(int(w))
+                    rows["h"].append(int(h))
+                    rows["fmt"].append(fmt)
+                    rows["scale"].append(None)
+                    rows["pad_x"].append(None)
+                    rows["pad_y"].append(None)
+                    rows["decode_ok"].append(False)
+                    continue
+                scale = min(out_w / int(w), out_h / int(h))
+                iw = max(1, int(round(int(w) * scale)))
+                ih = max(1, int(round(int(h) * scale)))
+                inner = kernel(pix, iw, ih)
+                canvas = np.empty((out_h, out_w, 3), dtype=np.uint8)
+                canvas[:, :] = pad
+                px = (out_w - iw) // 2
+                py = (out_h - ih) // 2
+                canvas[py:py + ih, px:px + iw] = inner
+                rows["bytes"].append(canvas.tobytes())
+                rows["w"].append(out_w)
+                rows["h"].append(out_h)
+                rows["fmt"].append("rgb8")
+                rows["scale"].append(float(scale))
+                rows["pad_x"].append(px)
+                rows["pad_y"].append(py)
+                rows["decode_ok"].append(True)
+            res = pd.DataFrame(rows)
+            res["pad_x"] = pd.array(rows["pad_x"], dtype="Int32")
+            res["pad_y"] = pd.array(rows["pad_y"], dtype="Int32")
+            yield res
+
+    return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        batches, schema=schema
+    )

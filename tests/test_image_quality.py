@@ -140,3 +140,32 @@ def test_resize_spark_operator_methods(spark):
 
     with _pytest.raises(ValueError):
         resize_images(imgs, 8, 8, method="lanczos9")
+
+
+def test_letterbox_hand_math(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from chronon_spark.operators.multimodal import letterbox_images
+
+    # a 20x10 image into a 16x16 box: scale 0.8 -> inner 16x8, pad_y 4
+    pix = np.arange(20 * 10 * 3, dtype=np.uint8).reshape(10, 20, 3)
+    df = spark.createDataFrame(pd.DataFrame({
+        "image_id": ["a", "bad"],
+        "bytes": [pix.tobytes(), b"\x00\x01"],
+        "w": [20, 20], "h": [10, 10], "fmt": ["rgb8", "rgb8"],
+    }))
+    rows = {r.image_id: r for r in
+            letterbox_images(df, 16, 16, method="nearest",
+                             pad_rgb=(7, 8, 9)).collect()}
+    r = rows["a"]
+    assert r.decode_ok and r.w == 16 and r.h == 16
+    assert abs(r.scale - 0.8) < 1e-12 and r.pad_x == 0 and r.pad_y == 4
+    canvas = np.frombuffer(r.bytes, dtype=np.uint8).reshape(16, 16, 3)
+    # pad rows carry exactly the pad color
+    assert (canvas[:4] == np.array([7, 8, 9])).all()
+    assert (canvas[12:] == np.array([7, 8, 9])).all()
+    # inner region is the nearest-resized source (top-left pixel kept)
+    assert (canvas[4, 0] == pix[0, 0]).all()
+    bad = rows["bad"]
+    assert not bad.decode_ok and bad.bytes is None and bad.scale is None

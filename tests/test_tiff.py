@@ -190,3 +190,40 @@ def test_fuzz_never_escapes_valueerror():
         except ValueError:
             continue
         assert out.dtype == np.uint8 and out.ndim == 3 and out.shape[2] == 3
+
+
+def test_tiff_hypothesis_round_trip_property():
+    """Randomized geometry x compression x mode x strip-size x byte
+    order round trips (hypothesis drives the space; encode/decode must
+    be exact for every combination)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 40),
+        comp=st.sampled_from(["none", "lzw", "packbits"]),
+        mode=st.sampled_from(["rgb", "gray", "palette"]),
+        rps=st.one_of(st.none(), st.integers(1, 12)),
+        pred=st.booleans(),
+        bo=st.sampled_from(["II", "MM"]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def prop(w, h, comp, mode, rps, pred, bo, seed):
+        from chronon_spark.fixtures import _quantize_to_palette
+
+        rng = np.random.default_rng(seed)
+        pix = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        if mode == "palette":
+            pix = _quantize_to_palette(pix)   # adaptive: always <= 256
+        t = encode_tiff(pix, compression=comp, mode=mode, predictor=pred,
+                        rows_per_strip=rps, byte_order=bo)
+        dec = decode_tiff(t)
+        if mode == "gray":
+            g = np.round(pix.astype(np.float64).mean(axis=2)).astype(
+                np.uint8)
+            assert np.array_equal(dec, np.repeat(g[:, :, None], 3, axis=2))
+        else:
+            assert np.array_equal(dec, pix)
+
+    prop()

@@ -602,3 +602,29 @@ def test_anim_engine_integration(spark):
         | (F.col("decode_ok")
            & (F.col("phash0_check") != F.col("x_phash")))).count()
     assert bad == 0
+
+
+def test_webp_hypothesis_round_trip_property():
+    """Randomized geometry/content round trips through encode/decode,
+    plus the still-of-animation path on multi-frame inputs."""
+    from hypothesis import given, settings, strategies as st
+
+    from chronon_spark.webp_codec import decode_webp_frames, encode_webp_anim
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 32),
+        h=st.integers(1, 32),
+        n=st.integers(1, 4),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def prop(w, h, n, seed):
+        rng = np.random.default_rng(seed)
+        frames = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_webp(encode_webp(frames[0])),
+                              frames[0])
+        wb = encode_webp_anim(frames)
+        assert np.array_equal(decode_webp_frames(wb), frames)
+        assert np.array_equal(decode_webp(wb), frames[0])
+
+    prop()
