@@ -1070,6 +1070,17 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
 _GIF_MAX_FRAMES = 4096
 
 
+def _check_video_budget(n_frames: int, w: int, h: int) -> None:
+    """Total decoded-output budget for animation containers: frame
+    COUNT caps alone don't bound allocation (4096 frames x a large
+    canvas is hundreds of GB from a small bomb payload), so the
+    accumulated (n, h, w, 3) output is capped in BYTES like every other
+    decode-side allocation."""
+    if n_frames * w * h * 3 > _MAX_DECODE_BYTES:
+        raise ValueError(
+            f"animation output {n_frames}x{h}x{w} exceeds decode budget")
+
+
 def _gif_subblocks(data: bytes, pos: int) -> tuple[bytes, int]:
     """Concatenate a sub-block chain starting at pos; returns (payload,
     position after the 0 terminator)."""
@@ -1246,6 +1257,7 @@ def decode_gif_frames(data: bytes, max_frames: int | None = None) -> np.ndarray:
             region[opaque] = rgb[opaque]
         else:
             region[:] = rgb
+        _check_video_budget(len(frames) + 1, sw, sh)
         frames.append(canvas.copy())
         if len(frames) >= (max_frames or _GIF_MAX_FRAMES):
             break
@@ -1577,7 +1589,13 @@ def decode_avi_frames(data: bytes, max_frames: int | None = None
         raise ValueError("AVI has no MJPG video stream header")
     if not jpegs:
         raise ValueError("AVI contains no video frames")
-    frames = [decode_jpeg(j) for j in jpegs]
+    if dims is not None:
+        _check_video_budget(len(jpegs), dims[0], dims[1])
+    frames = []
+    for j in jpegs:
+        frames.append(decode_jpeg(j))
+        fh0, fw0 = frames[0].shape[:2]
+        _check_video_budget(len(jpegs), fw0, fh0)
     h0, w0 = frames[0].shape[:2]
     if dims is not None and (w0, h0) != dims:
         raise ValueError(
@@ -1740,6 +1758,7 @@ def decode_apng_frames(data: bytes, max_frames: int | None = None
             )
             region[:, :, :3] = np.round(rgb).astype(np.uint8)
             region[:, :, 3] = np.round(oa[:, :, 0] * 255.0).astype(np.uint8)
+        _check_video_budget(len(out_frames) + 1, w, h)
         out_frames.append(_rgba_over_white(canvas))
         if len(out_frames) >= (max_frames or _APNG_MAX_FRAMES):
             break

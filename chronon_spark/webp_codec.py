@@ -863,6 +863,10 @@ def decode_webp_frames(data: bytes,
         raise ValueError("animated WebP with no ANMF frames")
     if len(frames) > _WEBP_MAX_FRAMES:
         raise ValueError("animated WebP frame count exceeds cap")
+    # total-output budget: frame count alone doesn't bound allocation
+    n_budget = min(len(frames), max_frames or len(frames))
+    if n_budget * w * h * 3 > _MAX_WEBP:
+        raise ValueError("animated WebP output exceeds decode budget")
     # ANIM background color is stored B, G, R, A
     bg = np.array([anim[2], anim[1], anim[0], anim[3]], dtype=np.uint8)
 

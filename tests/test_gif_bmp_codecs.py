@@ -590,3 +590,28 @@ def test_apng_flows_through_video_features(spark):
     assert out["pbad"].decode_ok is False
     assert out["p0"].decode_ok is True
     assert out["p0"].phash0_check == phash64(frames[0])  # lossless
+
+
+def test_gif_animation_output_budget_guard():
+    """Frame-count cap alone doesn't bound output bytes: a GIF bomb
+    with a large logical screen and many tiny frames must hit the
+    decode budget, not allocate frames x canvas."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from chronon_spark.codecs import (
+        _MAX_DECODE_BYTES,
+        decode_gif_frames,
+        encode_gif,
+    )
+
+    pix = np.zeros((1, 1, 3), dtype=np.uint8)
+    frames = np.repeat(pix[None], 40, axis=0)
+    data = bytearray(encode_gif(frames))
+    # inflate the logical screen to 8000x8000: 40 frames x canvas x 3
+    # = 7.7 GB > budget, while each frame stays a legal 1x1 sub-rect
+    struct.pack_into("<HH", data, 6, 8000, 8000)
+    with pytest.raises(ValueError, match="budget"):
+        decode_gif_frames(bytes(data))

@@ -628,3 +628,33 @@ def test_webp_hypothesis_round_trip_property():
         assert np.array_equal(decode_webp(wb), frames[0])
 
     prop()
+
+
+def test_animation_output_budget_guard():
+    """A bomb declaring a huge canvas x many frames must be rejected
+    BEFORE allocation (frame-count caps alone don't bound output
+    bytes). Build a webp whose VP8X declares a large canvas with one
+    tiny-but-lying ANMF; the budget math uses the declared geometry."""
+    import struct as _st
+
+    import chronon_spark.webp_codec as W
+
+    def u24(v):
+        return bytes([v & 255, (v >> 8) & 255, (v >> 16) & 255])
+
+    def chunk(tag, b):
+        return (tag + _st.pack("<I", len(b)) + b
+                + (b"\x00" if len(b) & 1 else b""))
+
+    cw = ch = 8000                        # 8000x8000 canvas (valid dims)
+    vp8x = bytes([W._F_ANIM, 0, 0, 0]) + u24(cw - 1) + u24(ch - 1)
+    anim = bytes([0, 0, 0, 0]) + _st.pack("<H", 0)
+    # 1000 ANMF stubs: 1000 x 8000 x 8000 x 3 = 192 GB if allocated
+    anmf = (u24(0) + u24(0) + u24(cw - 1) + u24(ch - 1) + u24(40)
+            + bytes([2]) + chunk(b"VP8L", b"\x2f"))
+    out = chunk(b"VP8X", vp8x) + chunk(b"ANIM", anim)
+    for _ in range(1000):
+        out += chunk(b"ANMF", anmf)
+    wb = b"RIFF" + _st.pack("<I", 4 + len(out)) + b"WEBP" + out
+    with pytest.raises(ValueError, match="budget"):
+        W.decode_webp_frames(wb)
