@@ -1731,7 +1731,7 @@ def q_image_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXIF_N, EXIF_SEED = 600, 101
 _EXIF_FIXTURE_PATH = (
-    f"/root/repo/.fixtures/images_exif_v3_n{EXIF_N}_s{EXIF_SEED}.parquet"
+    f"/root/repo/.fixtures/images_exif_v4_n{EXIF_N}_s{EXIF_SEED}.parquet"
 )
 
 
@@ -1849,6 +1849,39 @@ def _bpe_fixture_path() -> str:
     from chronon_spark.fixtures import ensure_bpe_fixture
 
     return ensure_bpe_fixture(n=BPE_N, seed=BPE_SEED)
+
+
+def q_image_exif_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-keyed duplicate detection — the re-upload heuristic a
+    training pipeline runs BEFORE any pixel work: images sharing the
+    exact (camera make, model, capture datetime) triple are duplicate
+    candidates at zero decode cost. Composition of image_metadata (one
+    Arrow parse pass) with a native groupBy count joined back — the
+    'dedup on extracted columns' shape, one shuffle on the metadata key.
+    Rows without parsed EXIF get a NULL key and dup_count NULL (never
+    silently grouped together). Oracle recomputes the key and counts
+    from the generation-time sidecars."""
+    _prep(spark)
+    from chronon_spark.operators.multimodal import image_metadata
+
+    imgs = spark.read.parquet(_exif_fixture_path())
+    meta = image_metadata(imgs)
+    keyed = meta.withColumn(
+        "meta_key",
+        F.when(
+            F.col("parse_ok") & F.col("has_exif")
+            & F.col("make").isNotNull() & F.col("model").isNotNull()
+            & F.col("exif_datetime").isNotNull(),
+            F.concat_ws("|", "make", "model", "exif_datetime"),
+        ),
+    )
+    counts = (
+        keyed.where(F.col("meta_key").isNotNull())
+        .groupBy("meta_key").agg(F.count("*").alias("dup_count"))
+    )
+    return keyed.join(counts, "meta_key", "left").select(
+        "image_id", "meta_key", "dup_count",
+    )
 
 
 def q_corpus_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3405,7 +3438,8 @@ _COMPOSITE_SPECS: dict[str, list[str]] = {
     ],
     "dedup_incremental_suite": ["dedup_incremental", "image_phash_incremental"],
     "image_decode_suite": ["image_pixel_features", "image_real_decode",
-                           "image_exif_scrub", "image_quality_gate"],
+                           "image_exif_scrub", "image_quality_gate",
+                           "image_exif_dedup"],
     # synthetic pcm16 sidecar contract + the real WAV/RIFF encoding matrix
     "audio_suite": ["audio_clip_features", "audio_real_decode"],
     # synthetic vraw sidecar contract + real animated-GIF frame decode
@@ -3581,6 +3615,7 @@ _QCOLS: dict[str, list[str]] = {
         "colorfulness", "saturation", "clip_frac", "decode_ok", "keep",
     ],
     "corpus_bpe": ["doc_id", "n_tokens", "tokens_joined"],
+    "image_exif_dedup": ["image_id", "meta_key", "dup_count"],
     "image_phash_incremental": ["new_id", "corpus_id", "hamming"],
     "audio_clip_features": [
         "audio_id", "rms", "zcr", "centroid_hz", "duration_s", "decode_ok",
@@ -3759,6 +3794,7 @@ def _granular_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_exif_scrub": q_image_exif_scrub,
         "image_quality_gate": q_image_quality_gate,
         "corpus_bpe": q_corpus_bpe,
+        "image_exif_dedup": q_image_exif_dedup,
         "image_asof_features": q_image_asof_features,
         "image_asof_iceberg": q_image_asof_iceberg,
         "image_phash_neardup": q_image_phash_neardup,
@@ -4690,6 +4726,25 @@ def _oracle_sql_granular() -> dict[str, str]:
                    x_n_tokens AS n_tokens,
                    x_tokens_joined AS tokens_joined
             FROM '{_BPE_FIXTURE_PATH}'
+        """,
+        # metadata-keyed dedup: key + counts recomputed from sidecars;
+        # EXIF-less / corrupt rows keep NULL key and NULL count
+        "image_exif_dedup": rf"""
+            WITH keyed AS (
+                SELECT image_id,
+                       CASE WHEN x_parse_ok AND x_has_exif
+                                 AND x_make IS NOT NULL
+                                 AND x_model IS NOT NULL
+                                 AND x_datetime IS NOT NULL
+                            THEN concat_ws('|', x_make, x_model, x_datetime)
+                       END AS meta_key
+                FROM '{_EXIF_FIXTURE_PATH}'
+            ), counts AS (
+                SELECT meta_key, COUNT(*) AS dup_count FROM keyed
+                WHERE meta_key IS NOT NULL GROUP BY meta_key
+            )
+            SELECT k.image_id, k.meta_key, c.dup_count
+            FROM keyed k LEFT JOIN counts c USING (meta_key)
         """,
         # image near-dup: pigeonhole banding has recall exactly 1 (and the
         # engine verifies with exact bit_count), so the pair set equals

@@ -1051,6 +1051,7 @@ def gen_exif_image_rows(n: int, seed: int = 101, span_days: int = 30,
             data = encode_bmp(pix, bpp=24)
 
         x = {"x_has_exif": False, "x_orientation": None, "x_make": None,
+             "x_model": None, "x_datetime": None,
              "x_artist": None, "x_gps": False, "x_lat": None, "x_lon": None,
              "x_txt": 0, "x_parse_ok": True}
         if fmt != "bmp" and rng.random() < 0.75:
@@ -1082,6 +1083,8 @@ def gen_exif_image_rows(n: int, seed: int = 101, span_days: int = 30,
                 x["x_has_exif"] = True
                 x["x_orientation"] = fields["orientation"]
                 x["x_make"] = fields["make"]
+                x["x_model"] = fields["model"]
+                x["x_datetime"] = fields["datetime"]
                 x["x_artist"] = fields.get("artist")
                 if "gps" in fields:
                     lat, lon = fields["gps"]
@@ -1128,7 +1131,8 @@ def _exif_rows_table(rows):
     base = _image_rows_table(rows)
     cols = {
         "x_has_exif": pa.bool_(), "x_orientation": pa.int32(),
-        "x_make": pa.string(), "x_artist": pa.string(),
+        "x_make": pa.string(), "x_model": pa.string(),
+        "x_datetime": pa.string(), "x_artist": pa.string(),
         "x_gps": pa.bool_(), "x_lat": pa.float64(), "x_lon": pa.float64(),
         "x_txt": pa.int32(), "x_parse_ok": pa.bool_(),
     }
@@ -1153,7 +1157,7 @@ def ensure_exif_fixture(
     n_jobs: int | None = None,
 ) -> str:
     """Write the EXIF-bearing image fixture once; idempotent on (n, seed)."""
-    path = os.path.join(out_dir, f"images_exif_v3_n{n}_s{seed}.parquet")
+    path = os.path.join(out_dir, f"images_exif_v4_n{n}_s{seed}.parquet")
     if os.path.exists(path):
         return path
     os.makedirs(out_dir, exist_ok=True)
