@@ -259,3 +259,40 @@ def test_spark_operator_end_to_end(spark):
     )
     assert feats.where(~F.col("decode_ok")).count() == 0
     assert feats.where(F.col("phash_check") != F.col("phash")).count() == 0
+
+
+def test_tiff_webp_scrub_fuzz_never_escapes():
+    """Mutations of TIFF files and EXIF-bearing WebP containers through
+    extract + both scrub modes: ValueError or a well-typed result,
+    never any other exception — the integrity-gate contract for the
+    two newest metadata channels."""
+    from chronon_spark.tiff_codec import encode_tiff
+    from chronon_spark.webp_codec import encode_webp
+
+    pix = gen_pixels(np.random.default_rng(61), 20, 16)
+    t = X.insert_tiff_exif(
+        encode_tiff(pix, compression="lzw", rows_per_strip=5),
+        {"make": "M", "artist": "A", "gps": (3.25, -4.5)})
+    wpb = encode_webp(pix, exif_tiff=X.encode_exif(
+        {"make": "M", "gps": (3.25, -4.5)}))
+    rng = np.random.default_rng(62)
+    for i in range(140):
+        base, fmt = ((t, "tiff") if i % 2 else (wpb, "webp"))
+        b = bytearray(base)
+        op = i % 3
+        if op == 0:
+            pos = int(rng.integers(0, len(b)))
+            b[pos] ^= 1 << int(rng.integers(0, 8))
+        elif op == 1:
+            b = b[: int(rng.integers(2, len(b)))]
+        else:
+            pos = int(rng.integers(0, len(b)))
+            b = b[:pos] + bytes([int(rng.integers(0, 256))]) + b[pos:]
+        for fn in (lambda d: X.extract_exif(bytes(d), fmt),
+                   lambda d: X.scrub_metadata(bytes(d), fmt, "all"),
+                   lambda d: X.scrub_metadata(bytes(d), fmt, "gps")):
+            try:
+                out = fn(b)
+            except ValueError:
+                continue
+            assert isinstance(out, (dict, bytes))
