@@ -762,3 +762,100 @@ def test_predictor_all_modes_hand_built(mode):
                  int(res[y, x, 2]))
     dec = decode_webp(_wrap(bw.bytes()))
     assert np.array_equal(dec, target), mode
+
+
+def test_lz77_overlapping_copy_and_2d_distance():
+    """dist=1 overlapping run (RLE semantics: each copied pixel may
+    reference one just written) and a 2D near-distance (1,1) diagonal
+    reference."""
+    # 4x1: literal A then length-3 copy at distance 1 -> A A A A
+    w, h = 4, 1
+    bw = _BitWriterLSB()
+    _header(bw, w, h)
+    bw.write(0, 1); bw.write(0, 1); bw.write(0, 1)
+    gmap = _complete_code(bw, 256 + 24)
+    _flat_code(bw, 256)
+    _flat_code(bw, 256)
+    _single_code(bw, 255, True)
+    # distance: two symbols {0,1}: code 0 -> value 1 -> (0,1) -> dist=w;
+    # code 1 -> value 2 -> (1,0) -> dist=1
+    bw.write(1, 1); bw.write(1, 1); bw.write(0, 1); bw.write(0, 1)
+    bw.write(1, 8)
+    _wsym(bw, gmap, 77)                   # green literal
+    bw.write_code(11, 8)                  # red
+    bw.write_code(22, 8)                  # blue
+    _wsym(bw, gmap, 256 + 2)              # length code 2 -> value 3
+    bw.write_code(1, 1)                   # distance code 1 -> dist 1
+    dec = decode_webp(_wrap(bw.bytes()))
+    assert (dec == np.array([11, 77, 22])).all()
+
+    # 8x2: row 0 literals; row 1 starts with a literal then a length-3
+    # copy at near-distance (1,1): pixel (1,x) copies (0,x-1)
+    w, h = 8, 2
+    bw = _BitWriterLSB()
+    _header(bw, w, h)
+    bw.write(0, 1); bw.write(0, 1); bw.write(0, 1)
+    gmap = _complete_code(bw, 256 + 24)
+    _flat_code(bw, 256)
+    _flat_code(bw, 256)
+    _single_code(bw, 255, True)
+    # distance code 2 -> value 3 -> _DIST_MAP[2] = (1,1) -> dist = w+1=9
+    # simple 2-symbol distance code {2,3}
+    bw.write(1, 1); bw.write(1, 1); bw.write(1, 1); bw.write(2, 8)
+    bw.write(3, 8)
+    row0 = [(i, 10 + i, 20 + i) for i in range(w)]
+    for r, g, b in row0:
+        _wsym(bw, gmap, g)
+        bw.write_code(r, 8)
+        bw.write_code(b, 8)
+    _wsym(bw, gmap, 99)                   # (1,0) literal
+    bw.write_code(98, 8)
+    bw.write_code(97, 8)
+    _wsym(bw, gmap, 256 + 2)              # length 3
+    bw.write_code(0, 1)                   # distance code 2 (canon '0')
+    # fill the rest of row 1 with literals
+    for i in range(4):
+        _wsym(bw, gmap, 50 + i)
+        bw.write_code(60 + i, 8)
+        bw.write_code(70 + i, 8)
+    dec = decode_webp(_wrap(bw.bytes()))
+    exp0 = np.array([[ (r, g, b) for r, g, b in row0]], dtype=np.uint8)
+    assert np.array_equal(dec[0:1], exp0)
+    assert dec[1, 0].tolist() == [98, 99, 97]
+    # (1,1): dist 9 -> (1,1) copies pos 9-9=0 = (0,0); (1,2) copies (0,1); (1,3) copies (0,2)
+    assert np.array_equal(dec[1, 1:4], dec[0, 0:3])
+
+
+def test_lz77_absolute_distance_beyond_table():
+    """Distance prefix VALUE 122 -> absolute dist 2 (122-120): the
+    >120 branch of the distance mapping."""
+    w, h = 8, 1
+    bw = _BitWriterLSB()
+    _header(bw, w, h)
+    bw.write(0, 1); bw.write(0, 1); bw.write(0, 1)
+    gmap = _complete_code(bw, 256 + 24)
+    _flat_code(bw, 256)
+    _flat_code(bw, 256)
+    _single_code(bw, 255, True)
+    # distance code 13: extra=5, offset=(2+1)<<5=96 -> value 97+extra_bits
+    # extra_bits=25 -> value 122 -> dist 122-120 = 2
+    _single_code(bw, 13, True)
+    for g, r, b in [(5, 6, 7), (8, 9, 10)]:
+        _wsym(bw, gmap, g)
+        bw.write_code(r, 8)
+        bw.write_code(b, 8)
+    _wsym(bw, gmap, 256 + 3)              # length code 3 -> value 4
+    bw.write(25, 5)                       # distance extra bits
+    # remaining 2 pixels: literals
+    for g, r, b in [(1, 2, 3), (4, 5, 6)]:
+        _wsym(bw, gmap, g)
+        bw.write_code(r, 8)
+        bw.write_code(b, 8)
+    dec = decode_webp(_wrap(bw.bytes()))
+    assert dec[0, 0].tolist() == [6, 5, 7]
+    assert dec[0, 1].tolist() == [9, 8, 10]
+    # copy of length 4 at dist 2 repeats the first two pixels twice
+    assert np.array_equal(dec[0, 2:4], dec[0, 0:2])
+    assert np.array_equal(dec[0, 4:6], dec[0, 0:2])
+    assert dec[0, 6].tolist() == [2, 1, 3]
+    assert dec[0, 7].tolist() == [5, 4, 6]
