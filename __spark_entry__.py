@@ -1087,48 +1087,60 @@ def q_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chronon_spark.plans.backfill import groupby_backfill, incremental_refresh
     from chronon_spark.sources.catalog import ParquetWarehouse
 
-    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-    wh = ParquetWarehouse(spark, tempfile.mkdtemp(prefix="chronon_inc_"))
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "user_id",
-        F.expr(TS_EXPR).alias("ts"),
-        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
-        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd").alias("ds"),
-    )
-    wh.insert_overwrite(raw, "up_events")  # snapshot 1
-
-    def job():
-        gb = GroupBy(
-            sources=[EventSource(wh.path("up_events"), Query(
-                selects={"user_id": "user_id", "cents": "cents"},
-                time_column="ts"))],
-            key_columns=["user_id"],
-            aggregations=[Aggregation("cents", Operation.SUM, windows=[Window(7)])],
-            name="inc",
+    _K_INFER = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    _old_infer = spark.conf.get(_K_INFER, None)
+    spark.conf.set(_K_INFER, "false")
+    try:
+        wh = ParquetWarehouse(spark, tempfile.mkdtemp(prefix="chronon_inc_"))
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "user_id",
+            F.expr(TS_EXPR).alias("ts"),
+            F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
+            F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd").alias("ds"),
         )
-        return groupby_backfill(spark, wh, gb, "inc_out", step_days=30)
+        wh.insert_overwrite(raw, "up_events")  # snapshot 1
 
-    incremental_refresh(job(), "up_events", "2024-01-03", "2024-01-10",
-                        affected_days=7)
+        def job():
+            gb = GroupBy(
+                sources=[EventSource(wh.path("up_events"), Query(
+                    selects={"user_id": "user_id", "cents": "cents"},
+                    time_column="ts"))],
+                key_columns=["user_id"],
+                aggregations=[Aggregation("cents", Operation.SUM, windows=[Window(7)])],
+                name="inc",
+            )
+            return groupby_backfill(spark, wh, gb, "inc_out", step_days=30)
 
-    # snapshot 2: rewrite day 05 — keep only even users, triple their cents
-    mutated = raw.where(
-        (F.col("ds") == "2024-01-05") & (F.col("user_id") % 2 == 0)
-    ).withColumn("cents", F.col("cents") * 3)
-    wh.insert_overwrite(mutated, "up_events")
+        incremental_refresh(job(), "up_events", "2024-01-03", "2024-01-10",
+                            affected_days=7)
 
-    rep = incremental_refresh(job(), "up_events", "2024-01-03", "2024-01-10",
-                              affected_days=7)
-    assert rep.changed_upstream == ["2024-01-05"], rep.changed_upstream
-    refreshed = sorted(d for r in rep.refreshed for d in r.partitions())
-    assert refreshed == [f"2024-01-{d:02d}" for d in range(5, 11)], refreshed
-    assert rep.backfill.steps == [], "refresh must not re-open holes"
+        # snapshot 2: rewrite day 05 — keep only even users, triple their cents
+        mutated = raw.where(
+            (F.col("ds") == "2024-01-05") & (F.col("user_id") % 2 == 0)
+        ).withColumn("cents", F.col("cents") * 3)
+        wh.insert_overwrite(mutated, "up_events")
 
-    out = wh.read("inc_out")
-    return out.groupBy("ds").agg(
-        F.count("*").alias("n_keys"),
-        F.round(F.sum("cents_sum_7d") / 100.0, 6).alias("total_sum_7d"),
-    )
+        rep = incremental_refresh(job(), "up_events", "2024-01-03", "2024-01-10",
+                                  affected_days=7)
+        assert rep.changed_upstream == ["2024-01-05"], rep.changed_upstream
+        refreshed = sorted(d for r in rep.refreshed for d in r.partitions())
+        assert refreshed == [f"2024-01-{d:02d}" for d in range(5, 11)], refreshed
+        assert rep.backfill.steps == [], "refresh must not re-open holes"
+
+        out = wh.read("inc_out")
+        # materialize the aggregate NOW so restoring the conf afterwards
+        # can never change what the driver later collects
+        agg = out.groupBy("ds").agg(
+            F.count("*").alias("n_keys"),
+            F.round(F.sum("cents_sum_7d") / 100.0, 6).alias("total_sum_7d"),
+        )
+        agg = spark.createDataFrame(agg.collect(), agg.schema)
+        return agg
+    finally:
+        if _old_infer is None:
+            spark.conf.unset(_K_INFER)
+        else:
+            spark.conf.set(_K_INFER, _old_infer)
 
 
 def _wire_format_warehouse(spark: SparkSession, sf_dir: str, kind: str):
@@ -1326,25 +1338,36 @@ def q_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chronon_spark.sources.catalog import ParquetWarehouse
     from chronon_spark.sources.partition_stats import partition_stats
 
-    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-    wh = ParquetWarehouse(spark, tempfile.mkdtemp(prefix="chronon_ps_"))
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "user_id",
-        F.expr(
-            "CASE WHEN user_id % 7 = 0 THEN NULL "
-            "ELSE CAST(round(value * 100, 0) AS BIGINT) END"
-        ).alias("cents"),
-        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd").alias("ds"),
-    )
-    wh.insert_overwrite(raw, "ev")
-    out = partition_stats(wh, "ev", columns=["user_id", "cents"])
-    return out.select(
-        "ds", "column",
-        F.col("n_rows").cast("long").alias("n_rows"),
-        F.col("n_nulls").cast("long").alias("n_nulls"),
-        F.col("min_num").alias("min_num"),
-        F.col("max_num").alias("max_num"),
-    )
+    _K_INFER = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    _old_infer = spark.conf.get(_K_INFER, None)
+    spark.conf.set(_K_INFER, "false")
+    try:
+        wh = ParquetWarehouse(spark, tempfile.mkdtemp(prefix="chronon_ps_"))
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "user_id",
+            F.expr(
+                "CASE WHEN user_id % 7 = 0 THEN NULL "
+                "ELSE CAST(round(value * 100, 0) AS BIGINT) END"
+            ).alias("cents"),
+            F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd").alias("ds"),
+        )
+        wh.insert_overwrite(raw, "ev")
+        out = partition_stats(wh, "ev", columns=["user_id", "cents"])
+        out = out.select(
+            "ds", "column",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_nulls").cast("long").alias("n_nulls"),
+            F.col("min_num").alias("min_num"),
+            F.col("max_num").alias("max_num"),
+        )
+        # footer-stats output is tiny (n_days x 2 columns); materialize so
+        # restoring the conf can't affect the driver's later collect
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        if _old_infer is None:
+            spark.conf.unset(_K_INFER)
+        else:
+            spark.conf.set(_K_INFER, _old_infer)
 
 
 def q_groupby_approx_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2629,11 +2652,15 @@ def q_temporal_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         join_parts=[JoinPart(gb)],
         name="salted",
     )
+    _old_salt = spark.conf.get("spark.chronon.join.salt", None)
     spark.conf.set("spark.chronon.join.salt", "4")
     try:
         out = compute_temporal_join(spark, join)
     finally:
-        spark.conf.set("spark.chronon.join.salt", "1")
+        if _old_salt is None:
+            spark.conf.unset("spark.chronon.join.salt")
+        else:
+            spark.conf.set("spark.chronon.join.salt", _old_salt)
     return out.select(
         "event_id", "user_id", "ts",
         F.col("f_cents_count_1d").alias("count_1d"),
@@ -3888,13 +3915,15 @@ _WIRE_FORMAT_ORACLE = """
     cur AS (SELECT * FROM e WHERE ds <> '2024-01-05'
             UNION ALL SELECT * FROM mut)
     SELECT 'current' AS version, ds, COUNT(*) AS n_rows,
-           SUM(cents) AS cents_total
+           CAST(SUM(cents) AS BIGINT) AS cents_total
     FROM cur GROUP BY ds
     UNION ALL
-    SELECT 'v1' AS version, ds, COUNT(*) AS n_rows, SUM(cents) AS cents_total
+    SELECT 'v1' AS version, ds, COUNT(*) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS cents_total
     FROM e GROUP BY ds
     UNION ALL
-    SELECT 'inc' AS version, ds, COUNT(*) AS n_rows, SUM(cents) AS cents_total
+    SELECT 'inc' AS version, ds, COUNT(*) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS cents_total
     FROM mut GROUP BY ds
 """
 
@@ -4813,7 +4842,7 @@ def _oracle_sql_granular() -> dict[str, str]:
             agg AS (
               SELECT user_id,
                      COUNT(*) AS n_events,
-                     SUM(cents) AS cents_sum,
+                     CAST(SUM(cents) AS BIGINT) AS cents_sum,
                      ARG_MAX(cents, ts) AS cents_last
               FROM e GROUP BY user_id
             ),
@@ -5205,8 +5234,8 @@ def _oracle_sql_granular() -> dict[str, str]:
             days AS (SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS ds
                      FROM events)
             SELECT d.user_id, d.ds,
-                   SUM(CASE WHEN i.ts >= {_EOD} - {7 * DAY} AND i.ts < {_EOD}
-                       THEN i.c1 END) AS c1_sum_7d,
+                   CAST(SUM(CASE WHEN i.ts >= {_EOD} - {7 * DAY} AND i.ts < {_EOD}
+                       THEN i.c1 END) AS BIGINT) AS c1_sum_7d,
                    MAX(CASE WHEN i.ts >= {_EOD} - {7 * DAY} AND i.ts < {_EOD}
                        THEN i.c1 END) AS c1_max_7d
             FROM days d JOIN inner_j i ON d.user_id = i.user_id
@@ -5259,11 +5288,11 @@ def _oracle_sql_granular() -> dict[str, str]:
                     WHERE NOT (ds = '2024-01-05' AND hr = '0')
                     UNION ALL SELECT * FROM patch)
             SELECT 'current' AS version, ds, COUNT(*) AS n_rows,
-                   SUM(cents) AS cents_total
+                   CAST(SUM(cents) AS BIGINT) AS cents_total
             FROM cur GROUP BY ds
             UNION ALL
             SELECT 'hr0' AS version, ds, COUNT(*) AS n_rows,
-                   SUM(cents) AS cents_total
+                   CAST(SUM(cents) AS BIGINT) AS cents_total
             FROM cur WHERE hr = '0' GROUP BY ds
         """,
         # layout machinery must never change CONTENT: v1 = raw (clustered),
@@ -5277,13 +5306,16 @@ def _oracle_sql_granular() -> dict[str, str]:
                            CASE WHEN ds = '2024-01-05' THEN cents * 3
                                 ELSE cents END AS cents, ds FROM e)
             SELECT 'clustered' AS version, ds, COUNT(*) AS n_rows,
-                   SUM(cents) AS cents_total FROM e GROUP BY ds
+                   CAST(SUM(cents) AS BIGINT) AS cents_total FROM e GROUP BY ds
             UNION ALL
-            SELECT 'patched', ds, COUNT(*), SUM(cents) FROM cur GROUP BY ds
+            SELECT 'patched', ds, COUNT(*), CAST(SUM(cents) AS BIGINT)
+            FROM cur GROUP BY ds
             UNION ALL
-            SELECT 'compacted', ds, COUNT(*), SUM(cents) FROM cur GROUP BY ds
+            SELECT 'compacted', ds, COUNT(*), CAST(SUM(cents) AS BIGINT)
+            FROM cur GROUP BY ds
             UNION ALL
-            SELECT 'zorder', ds, COUNT(*), SUM(cents) FROM e GROUP BY ds
+            SELECT 'zorder', ds, COUNT(*), CAST(SUM(cents) AS BIGINT)
+            FROM e GROUP BY ds
         """,
         "join_noagg_passthrough": """
             WITH snaps AS (
@@ -5557,10 +5589,10 @@ def _oracle_sql_granular() -> dict[str, str]:
         # trailing 2 days (x10) — the oracle recomputes the mixed state.
         "staging_recompute": """
             SELECT ds,
-                   CASE WHEN ds >= '2024-01-07'
+                   CAST(CASE WHEN ds >= '2024-01-07'
                         THEN 10 * SUM(CAST(round(value * 100, 0) AS BIGINT))
                         ELSE SUM(CAST(round(value * 100, 0) AS BIGINT))
-                   END AS label_cents
+                   END AS BIGINT) AS label_cents
             FROM (
               SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS ds, value
               FROM events

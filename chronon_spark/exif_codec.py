@@ -529,6 +529,20 @@ def extract_exif(data: bytes, fmt: str) -> dict:
 # Scrub
 # ---------------------------------------------------------------------------
 
+def _zero_span(tiff: bytearray, off: int, total: int) -> None:
+    """Zero an out-of-line value region, validating bounds FIRST: a
+    crafted entry count (up to 2^32 -> total up to 32 GiB) must fail
+    with the contractual ValueError, not an OOM allocation, and an
+    out-of-range offset must never slice-assign past the end (bytearray
+    slice assignment GROWS the buffer, breaking the length-preserving
+    in-place guarantee and corrupting the enclosing APP1/chunk length)."""
+    if total > _MAX_ASCII * 8:
+        raise ValueError("EXIF value too large")
+    if off + total > len(tiff):
+        raise ValueError("EXIF value offset past EOF")
+    tiff[off:off + total] = b"\x00" * total
+
+
 def _neutralize_gps(tiff: bytearray) -> bool:
     """In-place GPS removal: zero the GPS IFD + its out-of-line values,
     overwrite the IFD0 pointer entry with the padding tag. Every other
@@ -553,7 +567,7 @@ def _neutralize_gps(tiff: bytearray) -> bool:
                         total = esz * gcnt
                         if total > 4:
                             (off,) = struct.unpack(bo + "I", graw4)
-                            tiff[off:off + total] = b"\x00" * total
+                            _zero_span(tiff, off, total)
                     gend = gat + 2 + 12 * len(gentries) + 4
                     tiff[gat:gend] = b"\x00" * (gend - gat)
                 # pointer entry -> padding tag, value 0
@@ -604,7 +618,7 @@ def _neutralize_all_tiff(tiff: bytearray) -> bool:
                         total = esz * ecnt
                         if total > 4:
                             (off,) = struct.unpack(bo + "I", eraw4)
-                            tiff[off:off + total] = b"\x00" * total
+                            _zero_span(tiff, off, total)
                     eend = eat + 2 + 12 * len(eentries) + 4
                     tiff[eat:eend] = b"\x00" * (eend - eat)
             elif tag not in _TIFF_PII_TAGS:

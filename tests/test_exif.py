@@ -110,6 +110,42 @@ def test_value_offset_past_eof_raises():
         X.parse_exif_tiff(blob)
 
 
+def _tiff_with_evil_gps(cnt, off):
+    """Minimal II blob: IFD0 -> GPS pointer -> GPS IFD with ONE LONG
+    entry of the given (count, out-of-line offset) pair."""
+    # header(8) + ifd0: count(2)+entry(12)+next(4) = 26 -> gps ifd at 26
+    gat = 26
+    return bytearray(
+        b"II" + struct.pack("<H", 42) + struct.pack("<I", 8)
+        + struct.pack("<H", 1)
+        + struct.pack("<HHII", X.TAG_GPS_IFD, 4, 1, gat)
+        + struct.pack("<I", 0)
+        + struct.pack("<H", 1)
+        + struct.pack("<HHII", 0x0002, 4, cnt, off)  # GPSLatitude-ish
+        + struct.pack("<I", 0)
+        + b"\x00" * 64
+    )
+
+
+def test_scrub_rejects_huge_value_count_without_allocating():
+    """A crafted count near 2^30 (total ~4 GiB) must raise the
+    contractual ValueError, never attempt the allocation."""
+    evil = _tiff_with_evil_gps(cnt=1 << 30, off=40)
+    with pytest.raises(ValueError):
+        X._neutralize_gps(bytearray(evil))
+
+
+def test_scrub_rejects_out_of_range_offset_and_never_grows_buffer():
+    """off+total past EOF must raise; bytearray slice-assign would GROW
+    the buffer otherwise, breaking the length-preserving guarantee."""
+    evil = _tiff_with_evil_gps(cnt=100, off=len(_tiff_with_evil_gps(0, 0)) - 8)
+    n0 = len(evil)
+    buf = bytearray(evil)
+    with pytest.raises(ValueError):
+        X._neutralize_gps(buf)
+    assert len(buf) == n0  # raised BEFORE any write could grow it
+
+
 def _jpeg_with_exif(fields=FULL, bo="II"):
     pix = gen_pixels(np.random.default_rng(3), 32, 32)
     return X.insert_jpeg_exif(encode_jpeg(pix, quality=92),

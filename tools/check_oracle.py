@@ -46,6 +46,42 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def driver_hash(df: pd.DataFrame) -> str:
+    """Representation-SENSITIVE canonical hash mirroring the driver gate:
+    columns sorted by name, every cell rendered from its fetched dtype
+    (so an int64 Spark column vs a float64/HUGEINT-fetch DuckDB column
+    hash DIFFERENTLY even when numerically equal — exactly the class
+    that made joinsource_chained/staging_recompute red in r4), rows
+    sorted by their rendered tuple, sha256 over the whole thing."""
+    import hashlib
+
+    import numpy as np
+
+    df = df[sorted(df.columns)]
+    rendered: list[list[str]] = []
+    for c in df.columns:
+        col = df[c]
+        out = []
+        for v in col:
+            if v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NaT:
+                out.append("NULL")
+            elif isinstance(v, (np.floating, float)):
+                out.append(repr(round(float(v), 6)))
+            elif isinstance(v, (np.integer, int)) and not isinstance(v, bool):
+                out.append(repr(int(v)))
+            elif isinstance(v, np.ndarray):
+                out.append(repr(v.tolist()))
+            else:
+                out.append(repr(v) if not isinstance(v, str) else v)
+        rendered.append(out)
+    rows = sorted(zip(*rendered)) if rendered else []
+    h = hashlib.sha256()
+    for r in rows:
+        h.update("\x1f".join(r).encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
 def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
     errs = []
     if sorted(spark_df.columns) != sorted(duck_df.columns):
@@ -105,6 +141,11 @@ def main() -> int:
             failed.append(name)
             continue
         errs = compare(name, sdf, ddf)
+        if not errs and driver_hash(sdf) != driver_hash(ddf):
+            sd = {c: str(sdf[c].dtype) for c in sdf.columns}
+            dd = {c: str(ddf[c].dtype) for c in ddf.columns}
+            diff = {c: (sd[c], dd.get(c)) for c in sd if sd[c] != dd.get(c)}
+            errs = [f"values equal but DRIVER-HASH mismatch (dtype drift): {diff}"]
         if errs:
             print(f"{name}: FAIL ({len(sdf)} vs {len(ddf)} rows)")
             for e in errs[:5]:
