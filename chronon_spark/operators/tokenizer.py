@@ -134,14 +134,33 @@ def bpe_encode(word: str, ranks: "dict[tuple, int]") -> list:
 
 def _word_counts_df(df: DataFrame, text_col: str,
                     lowercase: bool) -> DataFrame:
-    c = F.col(text_col)
-    if lowercase:
-        c = F.lower(c)
-    words = F.filter(F.split(F.trim(c), r"\s+"), lambda w: w != F.lit(""))
-    return (
-        df.select(F.explode(words).alias("word"))
-        .groupBy("word").agg(F.count("*").alias("cnt"))
-    )
+    """Per-word counts using the SAME segmentation as apply_bpe — Python
+    str.split() / str.lower() in an Arrow pass. (A Spark-side
+    F.split(\\s+)/F.lower variant diverges on non-ASCII corpora:
+    Python split() treats all Unicode whitespace — NBSP, U+2028 — as
+    separators and lower() differs on some case mappings, so the merge
+    table would be learned over different 'words' than apply tokenizes,
+    breaking train/apply determinism.) Each Arrow batch emits one local
+    count dict — a map-side combine — and the groupBy sums partials."""
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            counts: dict = {}
+            for txt in pdf[text_col]:
+                if txt is None:
+                    continue
+                if lowercase:
+                    txt = txt.lower()
+                for w in txt.split():
+                    counts[w] = counts.get(w, 0) + 1
+            if counts:
+                yield pd.DataFrame({"word": list(counts),
+                                    "cnt": list(counts.values())})
+
+    partials = df.select(text_col).mapInPandas(
+        batches, schema="word string, cnt long")
+    return partials.groupBy("word").agg(F.sum("cnt").alias("cnt"))
 
 
 def train_bpe(

@@ -311,9 +311,17 @@ def _map_distance(dist_code: int, xsize: int) -> int:
 
 def _decode_entropy_image(br: _BitReader, w: int, h: int,
                           is_main: bool) -> np.ndarray:
-    """-> (h*w,) uint32 ARGB pixels."""
+    """-> (h*w,) uint32 ARGB pixels.
+
+    Per the spec grammar (RFC 9649: entropy-coded-image =
+    color-cache-info data; spatially-coded-image = color-cache-info
+    meta-prefix data) EVERY image stream — including the predictor /
+    color-transform / palette / entropy sub-images — begins with the
+    1-bit color-cache flag; only the meta-prefix field is exclusive to
+    the main image. Gating the cache bit on is_main (the r4 bug)
+    desyncs by >=1 bit on any real-encoder file using transforms."""
     cache_bits = 0
-    if is_main and br.read_bit():
+    if br.read_bit():
         cache_bits = br.read(4)
         if not 1 <= cache_bits <= 11:
             raise ValueError("bad color-cache size")
@@ -456,9 +464,13 @@ def _inv_predictor(px: np.ndarray, w: int, h: int, bits: int,
                 L = tuple(int(ch[c, y, x - 1]) for c in range(4))
                 T = tuple(int(ch[c, y - 1, x]) for c in range(4))
                 TL = tuple(int(ch[c, y - 1, x - 1]) for c in range(4))
+                # TR at the right edge wraps to the CURRENT row's first
+                # pixel (libwebp reads data[i - width + 1] from a linear
+                # array, already reconstructed at this point in the
+                # inverse scan) — NOT the row above's first pixel.
                 TR = (tuple(int(ch[c, y - 1, x + 1]) for c in range(4))
                       if x + 1 < w else
-                      tuple(int(ch[c, y - 1, 0]) for c in range(4)))
+                      tuple(int(ch[c, y, 0]) for c in range(4)))
                 if m == 0:
                     pred = (255, 0, 0, 0)
                 elif m == 1:
@@ -492,10 +504,15 @@ def _inv_predictor(px: np.ndarray, w: int, h: int, bits: int,
                     pred = tuple(clamp(L[c] + T[c] - TL[c])
                                  for c in range(4))
                 elif m == 13:
-                    pred = tuple(
-                        clamp(_avg2(L[c], T[c])
-                              + (_avg2(L[c], T[c]) - TL[c]) // 2)
-                        for c in range(4))
+                    # ClampAddSubtractHalf: a + (a - b) / 2 with C
+                    # integer division (truncation toward ZERO, not
+                    # floor — differs by 1 for negative odd a-b)
+                    def _asch(a_, b_):
+                        d = a_ - b_
+                        half = d // 2 if d >= 0 else -((-d) // 2)
+                        return clamp(a_ + half)
+                    pred = tuple(_asch(_avg2(L[c], T[c]), TL[c])
+                                 for c in range(4))
                 else:
                     raise ValueError(f"bad predictor mode {m}")
             for c in range(4):

@@ -7,6 +7,7 @@ import numpy as np
 
 from chronon_spark.operators.tokenizer import (
     END,
+    _word_counts_df,
     apply_bpe,
     bpe_encode,
     learn_bpe,
@@ -124,3 +125,33 @@ def test_top_words_cut_is_deterministic(spark):
     assert m["merges"][0] in ((("w", END)), (("x", END)))
     # ties break toward 'w' (lexicographically smaller pair)
     assert m["merges"][0] == ("w", END)
+
+
+def test_unicode_whitespace_train_apply_consistency(spark):
+    """Train and apply must segment identically on non-ASCII corpora:
+    NBSP / LINE SEPARATOR are word separators to Python str.split()
+    (the apply path), so training must count 'foo' and 'bar' in
+    'foo\\u00a0bar' as two words — not one NBSP-glued token — or the
+    merge table is learned over words apply never sees."""
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": ["a", "b", "c"],
+            "text": ["foo bar foo bar",
+                     "foo bar baz",
+                     "  foo\tbar "],
+        })
+    )
+    wc = {r.word: r.cnt
+          for r in _word_counts_df(docs, "text", lowercase=True).collect()}
+    assert wc == {"foo": 4, "bar": 4, "baz": 1}
+
+    model = train_bpe(docs, num_merges=10, max_words=100)
+    ranks = {tuple(p): i for i, p in enumerate(model["merges"])}
+    out = {r.doc_id: r.tokens for r in apply_bpe(docs, model).collect()}
+    for r in docs.collect():
+        exp = []
+        for w in r.text.lower().split():
+            exp.extend(bpe_encode(w, ranks))
+        assert out[r.doc_id] == exp

@@ -190,6 +190,53 @@ def test_color_cache_hit():
     assert np.array_equal(dec, exp)
 
 
+def test_sub_image_color_cache():
+    """A color cache INSIDE a sub-image (the r4 decoder rejected the
+    flag there entirely): 16x1 predictor transform, 8px blocks -> 2x1
+    mode image whose second pixel is a cache reference to the first
+    (both blocks mode 1 = Left). Per the spec grammar every image
+    stream starts with color-cache-info, sub-images included."""
+    w, h = 16, 1
+    cache_bits = 2
+    bw = _BitWriterLSB()
+    _header(bw, w, h)
+    bw.write(1, 1)
+    bw.write(0, 2)                        # predictor transform
+    bw.write(1, 3)                        # size_bits 3 -> 8px blocks
+    # ---- mode image (2x1) with its own color cache ----
+    bw.write(1, 1)                        # sub-image cache present
+    bw.write(cache_bits, 4)
+    gmap = _complete_code(bw, 256 + 24 + (1 << cache_bits))
+    _flat_code(bw, 256)
+    _flat_code(bw, 256)
+    _single_code(bw, 255, True)
+    _single_code(bw, 0, False)
+    _wsym(bw, gmap, 1)                    # literal: green=mode 1
+    bw.write_code(0, 8)                   # red
+    bw.write_code(0, 8)                   # blue
+    v = (255 << 24) | (0 << 16) | (1 << 8) | 0
+    _wsym(bw, gmap, 280 + ((0x1E35A7BD * v & 0xFFFFFFFF) >> (32 - cache_bits)))
+    # ---- main image: residuals for mode-1 Left prediction ----
+    bw.write(0, 1)                        # no more transforms
+    bw.write(0, 1)                        # no cache
+    bw.write(0, 1)                        # no meta
+    rng = np.random.default_rng(77)
+    target = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    _flat_code(bw, 256 + 24)
+    _flat_code(bw, 256)
+    _flat_code(bw, 256)
+    _single_code(bw, 0, True)             # alpha residual 0
+    _single_code(bw, 0, False)
+    for x in range(w):
+        pred = (0, 0, 0) if x == 0 else tuple(
+            int(c) for c in target[0, x - 1])
+        _lit(bw, (int(target[0, x, 0]) - pred[0]) & 0xFF,
+             (int(target[0, x, 1]) - pred[1]) & 0xFF,
+             (int(target[0, x, 2]) - pred[2]) & 0xFF)
+    dec = decode_webp(_wrap(bw.bytes()))
+    assert np.array_equal(dec, target)
+
+
 def test_subtract_green_transform():
     w, h = 3, 1
     target = [(30, 40, 50), (200, 10, 5), (7, 7, 7)]
@@ -236,7 +283,9 @@ def test_predictor_transform_left_mode():
     bw.write(1, 1)
     bw.write(0, 2)                        # predictor transform
     bw.write(1, 3)                        # size_bits=1+2=3 -> 8px blocks
-    # mode image 1x1: literal pixel with green=mode 1
+    # mode image 1x1: literal pixel with green=mode 1 (every sub-image
+    # stream leads with the color-cache flag per the spec grammar)
+    bw.write(0, 1)                        # sub-image: no color cache
     _groups_literal(bw)
     _lit(bw, 0, 1, 0)
     bw.write(0, 1)                        # no more transforms
@@ -273,6 +322,7 @@ def test_palette_transform_bundled():
     # palette entropy image: delta-coded colors (chained from 0, so the
     # alpha delta is 255 for entry 0 and 0 afterwards — needs a real
     # alpha code, not the constant-255 single)
+    bw.write(0, 1)                        # sub-image: no color cache
     _flat_code(bw, 256 + 24)
     _flat_code(bw, 256)
     _flat_code(bw, 256)
@@ -318,6 +368,7 @@ def test_meta_prefix_groups():
     bw.write(1, 1)                        # meta present
     bw.write(0, 3)                        # meta_bits = 2
     # meta image 2x1: group 0 then group 1 (index in red<<8|green)
+    bw.write(0, 1)                        # sub-image: no color cache
     _groups_literal(bw)
     _lit(bw, 0, 0, 0)                     # group 0
     _lit(bw, 0, 1, 0)                     # group 1
@@ -351,6 +402,7 @@ def test_color_transform_inverse():
     bw.write(1, 1)
     bw.write(1, 2)                        # cross-color transform
     bw.write(1, 3)                        # bits = 3
+    bw.write(0, 1)                        # sub-image: no color cache
     _groups_literal(bw)
     # element pixel: g2r in red channel? spec: red=g2r? element ARGB:
     # b=red_to_blue, g=green_to_blue, r=green_to_red
@@ -699,8 +751,13 @@ def _spec_predict(mode, L, T, TL, TR):
     if mode == 12:
         return tuple(clamp(L[c] + T[c] - TL[c]) for c in range(4))
     if mode == 13:
+        # a + (a - b) / 2 with C truncation toward zero (NOT floor)
         a = avg2(L, T)
-        return tuple(clamp(a[c] + (a[c] - TL[c]) // 2) for c in range(4))
+
+        def half(d):
+            return d // 2 if d >= 0 else -((-d) // 2)
+
+        return tuple(clamp(a[c] + half(a[c] - TL[c])) for c in range(4))
     raise AssertionError(mode)
 
 
@@ -731,7 +788,9 @@ def test_predictor_all_modes_hand_built(mode):
                 L = px(y, x - 1)
                 T = px(y - 1, x)
                 TL = px(y - 1, x - 1)
-                TR = px(y - 1, x + 1) if x + 1 < w else px(y - 1, 0)
+                # right-edge TR wraps to the CURRENT row's first pixel
+                # (linear-array data[i - width + 1], libwebp semantics)
+                TR = px(y, x + 1 - w) if x + 1 >= w else px(y - 1, x + 1)
                 pred = _spec_predict(mode, L, T, TL, TR)
                 assert pred[0] == 255 or mode == 0
             for c in range(3):
@@ -746,6 +805,7 @@ def test_predictor_all_modes_hand_built(mode):
     bw.write(1, 1)
     bw.write(0, 2)                        # predictor transform
     bw.write(1, 3)                        # size_bits 3 -> 8px blocks
+    bw.write(0, 1)                        # sub-image: no color cache
     _groups_literal(bw)                   # mode image groups
     _lit(bw, 0, mode, 0)                  # 1x1 mode image
     bw.write(0, 1)                        # no more transforms
