@@ -1862,6 +1862,76 @@ def q_image_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_letterbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Letterbox (aspect-preserving resize + center pad to 64x48) under
+    the driver gate — the fixed-size model-input prep step. Pins:
+    scale and pad offsets are exact closed-form values per source shape
+    (the fixture's four shapes hit no rounding ties); the pad region of
+    the REAL canvas bytes is verified pixel-by-pixel against pad_rgb;
+    identity rows (64x48 rgb8 sources, scale 1.0, nearest) must emit a
+    canvas byte-identical to the source — pinned cross-engine via
+    md5(hex(bytes)) on both sides."""
+    _prep(spark)
+    import numpy as np
+    import pandas as pd
+
+    from chronon_spark.operators.multimodal import letterbox_images
+
+    OW, OH = 64, 48
+    images = spark.read.parquet(_image_fixture_path())
+    lb = letterbox_images(images, OW, OH, method="nearest")
+    src = images.select(
+        "image_id", F.col("fmt").alias("src_fmt"),
+        F.col("w").alias("src_w"), F.col("h").alias("src_h"))
+    j = lb.join(F.broadcast(src), "image_id")
+
+    def check(it):
+        for pdf in it:
+            out_ok = []
+            pad_ok = []
+            for data, px_, py_, sc, sw, sh, dok in zip(
+                    pdf["bytes"], pdf["pad_x"], pdf["pad_y"], pdf["scale"],
+                    pdf["src_w"], pdf["src_h"], pdf["decode_ok"]):
+                if not dok or data is None or len(data) != OW * OH * 3:
+                    out_ok.append(False)
+                    pad_ok.append(False)
+                    continue
+                out_ok.append(True)
+                arr = np.frombuffer(data, dtype=np.uint8).reshape(OH, OW, 3)
+                iw = max(1, int(round(int(sw) * float(sc))))
+                ih = max(1, int(round(int(sh) * float(sc))))
+                mask = np.ones((OH, OW), dtype=bool)
+                mask[int(py_):int(py_) + ih, int(px_):int(px_) + iw] = False
+                pad_ok.append(bool((arr[mask] == 0).all()))
+            yield pd.DataFrame({
+                "image_id": pdf["image_id"], "src_fmt": pdf["src_fmt"],
+                "scale": pdf["scale"], "pad_x": pdf["pad_x"],
+                "pad_y": pdf["pad_y"], "out_ok": out_ok, "pad_ok": pad_ok,
+                "bytes": pdf["bytes"], "src_w": pdf["src_w"],
+                "src_h": pdf["src_h"],
+            })
+
+    checked = j.select(
+        "image_id", "src_fmt", "bytes", "pad_x", "pad_y", "scale",
+        "src_w", "src_h", "decode_ok",
+    ).mapInPandas(
+        check,
+        schema="image_id string, src_fmt string, scale double, pad_x int, "
+               "pad_y int, out_ok boolean, pad_ok boolean, bytes binary, "
+               "src_w int, src_h int",
+    )
+    return checked.select(
+        "image_id", "src_fmt",
+        F.round(F.col("scale"), 6).alias("scale"),
+        F.col("pad_x").cast("int").alias("pad_x"),
+        F.col("pad_y").cast("int").alias("pad_y"),
+        "out_ok", "pad_ok",
+        F.when((F.col("src_w") == OW) & (F.col("src_h") == OH)
+               & (F.col("src_fmt") == "rgb8"),
+               F.md5(F.hex(F.col("bytes")))).alias("ident_md5"),
+    )
+
+
 BPE_N, BPE_SEED = 1_200, 171
 _BPE_FIXTURE_PATH = (
     f"/root/repo/.fixtures/bpe_docs_v1_n{BPE_N}_s{BPE_SEED}.parquet"
@@ -3466,7 +3536,7 @@ _COMPOSITE_SPECS: dict[str, list[str]] = {
     "dedup_incremental_suite": ["dedup_incremental", "image_phash_incremental"],
     "image_decode_suite": ["image_pixel_features", "image_real_decode",
                            "image_exif_scrub", "image_quality_gate",
-                           "image_exif_dedup"],
+                           "image_exif_dedup", "image_letterbox"],
     # synthetic pcm16 sidecar contract + the real WAV/RIFF encoding matrix
     "audio_suite": ["audio_clip_features", "audio_real_decode"],
     # synthetic vraw sidecar contract + real animated-GIF frame decode
@@ -3641,6 +3711,10 @@ _QCOLS: dict[str, list[str]] = {
         "image_id", "fmt", "laplacian_var", "entropy_bits",
         "colorfulness", "saturation", "clip_frac", "decode_ok", "keep",
     ],
+    "image_letterbox": [
+        "image_id", "src_fmt", "scale", "pad_x", "pad_y", "out_ok",
+        "pad_ok", "ident_md5",
+    ],
     "corpus_bpe": ["doc_id", "n_tokens", "tokens_joined"],
     "image_exif_dedup": ["image_id", "meta_key", "dup_count"],
     "image_phash_incremental": ["new_id", "corpus_id", "hamming"],
@@ -3671,6 +3745,7 @@ _BOOL_COLS: dict[str, set[str]] = {
     "image_exif_scrub": {"parse_ok", "has_exif", "gps_after", "clean_exif",
                          "pix_ok"},
     "image_quality_gate": {"decode_ok", "keep"},
+    "image_letterbox": {"out_ok", "pad_ok"},
     "corpus_repetition": {"repetitive"},
     "corpus_decontaminate": {"contaminated"},
 }
@@ -3820,6 +3895,7 @@ def _granular_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_real_decode": q_image_real_decode,
         "image_exif_scrub": q_image_exif_scrub,
         "image_quality_gate": q_image_quality_gate,
+        "image_letterbox": q_image_letterbox,
         "corpus_bpe": q_corpus_bpe,
         "image_exif_dedup": q_image_exif_dedup,
         "image_asof_features": q_image_asof_features,
@@ -4746,6 +4822,24 @@ def _oracle_sql_granular() -> dict[str, str]:
                    (q_ok AND q_lap >= 50.0 AND q_ent >= 1.0
                          AND q_clip <= 0.1) AS keep
             FROM '{_QUALITY_FIXTURE_PATH}'
+        """,
+        # letterbox 64x48: the fixture's four source shapes give exact
+        # closed-form scale/pad values (no rounding ties); identity rows
+        # (64x48 rgb8) pin the canvas BYTES cross-engine via
+        # md5(hex(bytes)) — Spark hex() and DuckDB hex() both emit
+        # uppercase; pad-region pixel checks are engine-side booleans
+        "image_letterbox": rf"""
+            SELECT image_id, fmt AS src_fmt,
+                   ROUND(LEAST(64.0 / w, 48.0 / h), 6) AS scale,
+                   CAST(CASE WHEN w = 32 AND h = 32 THEN 8
+                             WHEN w = 48 AND h = 64 THEN 14
+                             ELSE 0 END AS INT) AS pad_x,
+                   CAST(0 AS INT) AS pad_y,
+                   TRUE AS out_ok,
+                   TRUE AS pad_ok,
+                   CASE WHEN w = 64 AND h = 48 AND fmt = 'rgb8'
+                        THEN md5(hex(bytes)) END AS ident_md5
+            FROM '{_FIXTURE_PATH}'
         """,
         # BPE: sidecars are the reference tokenization computed at
         # generation time by the same published algorithm on exact local
