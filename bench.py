@@ -167,6 +167,8 @@ def run_bench(sf_dir: str, cpus: str, names: list[str], runs: int = 1) -> dict:
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     steal: dict[str, int] = {}
+    pass_walls: dict[str, list] = {}
+    pass_steal: dict[str, list] = {}
     for name in names:
         run_q = (
             (lambda s, _sf, f=LOCAL_WORKLOADS[name]: f(s))
@@ -190,12 +192,19 @@ def run_bench(sf_dir: str, cpus: str, names: list[str], runs: int = 1) -> dict:
         saved = {c: spark.conf.get(c, None) for c in _ISOLATED_CONFS}
         best = None
         st0 = steal_jiffies()
+        pw = []
+        ps = []
         for _ in range(runs):
+            sp0 = steal_jiffies()
             t0 = time.perf_counter()
             materialize(run_q(spark, sf_dir))
             dt = time.perf_counter() - t0
+            pw.append(round(dt, 3))
+            ps.append(steal_jiffies() - sp0)
             best = dt if best is None else min(best, dt)
         steal[name] = steal_jiffies() - st0
+        pass_walls[name] = pw
+        pass_steal[name] = ps
         timings[name] = round(best, 3)
         rows[name] = run_q(spark, sf_dir).count()  # untimed
         for c, v in saved.items():
@@ -216,6 +225,10 @@ def run_bench(sf_dir: str, cpus: str, names: list[str], runs: int = 1) -> dict:
         "rows": rows,
         "rows_per_sec": rps,
         "steal_jiffies": steal,
+        # per-pass walls + steal: round-over-round deltas are only
+        # interpretable against the pass distribution, not best-of-N
+        "pass_walls": pass_walls,
+        "pass_steal": pass_steal,
         "headline_rows_per_sec": rps.get("temporal_join_asof"),
         "north_image_rows_per_sec": rps.get("image_asof_fused"),
         "sf": sf_dir,
@@ -234,6 +247,20 @@ def main() -> None:
     args = ap.parse_args()
     names = [q for q in args.queries.split(",") if q]
     result = run_bench(args.sf, args.cpus, names, args.runs)
+    # self-evidencing history: every bench run appends its per-pass data
+    # to the same log the scaling harness writes
+    try:
+        rec = {"kind": "bench", "sf": args.sf, "cpus": args.cpus,
+               "runs": args.runs, "pass_walls": result["pass_walls"],
+               "pass_steal": result["pass_steal"],
+               "queries": result["queries"]}
+        log_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH")
+        os.makedirs(log_dir, exist_ok=True)
+        with open(os.path.join(log_dir, "scaling_runs.jsonl"), "a") as f:
+            f.write(json.dumps(rec) + "\n")
+    except OSError:
+        pass
     print(json.dumps(result))
 
 

@@ -274,27 +274,30 @@ def _lz77_value(code: int, br: _BitReader) -> int:
     return offset + br.read(extra) + 1
 
 
-# The spec's 120-entry (dx, dy) near-distance table. The published table
-# is exactly the 120 closest offsets above-or-left of the current pixel,
-# ordered by (squared distance, larger dy first, smaller |dx| first,
-# positive dx before negative) — verified entry-by-entry against the
-# table in the WebP Lossless Bitstream Specification across every
-# distance class up to d^2=64 — so it is generated here instead of
-# transcribed (a 123-entry hand transcription had tail errors).
-def _gen_dist_map() -> list:
-    cands = []
-    for dy in range(0, 9):
-        for dx in range(-8, 9):
-            if dy == 0 and dx <= 0:
-                continue
-            cands.append((dx * dx + dy * dy, -dy, abs(dx), 0 if dx > 0 else 1,
-                          dx, dy))
-    cands.sort()
-    return [(dx, dy) for *_k, dx, dy in cands[:120]]
-
-
-_DIST_MAP = _gen_dist_map()
-assert len(_DIST_MAP) == 120
+# The spec's 120-entry (dx, dy) near-distance table, stored as the
+# published plane codes (yoff<<4 | 8-xoff with yoff in 0..7 and xoff in
+# -7..8 — note the ASYMMETRIC domain: no dy=8 row, dx reaches +8 but
+# only -7). An earlier build GENERATED the table by sorting the
+# symmetric neighborhood on (d^2, -dy, |dx|, sign) — that reproduces
+# the first 96 entries but diverges on the last 24 (the generated
+# domain admitted dy=8 / dx=-8 offsets the spec's packing cannot even
+# express), which mis-mapped long LZ77 distances: real-encoder streams
+# decoded small contiguous runs of wrong residuals or tripped the
+# distance-before-start guard. This literal is byte-verified against
+# real libwebp output (tests/test_webp.py pixel-exact round trips
+# through the system encoder).
+_PLANE_CODES = bytes([
+    24, 7, 23, 25, 40, 6, 39, 41, 22, 26, 38, 42, 56, 5, 55, 57,
+    21, 27, 54, 58, 37, 43, 72, 4, 71, 73, 20, 28, 53, 59, 70, 74,
+    36, 44, 88, 69, 75, 52, 60, 3, 87, 89, 19, 29, 86, 90, 35, 45,
+    68, 76, 85, 91, 51, 61, 104, 2, 103, 105, 18, 30, 102, 106, 34, 46,
+    84, 92, 67, 77, 101, 107, 50, 62, 120, 1, 119, 121, 83, 93, 17, 31,
+    100, 108, 66, 78, 118, 122, 33, 47, 117, 123, 49, 63, 99, 109, 82, 94,
+    0, 116, 124, 65, 79, 16, 32, 98, 110, 48, 115, 125, 81, 95, 64, 114,
+    126, 97, 111, 80, 113, 127, 96, 112,
+])
+_DIST_MAP = [(8 - (b & 0xF), b >> 4) for b in _PLANE_CODES]
+assert len(_DIST_MAP) == 120 and len(set(_DIST_MAP)) == 120
 
 
 def _map_distance(dist_code: int, xsize: int) -> int:
@@ -534,9 +537,13 @@ def _inv_color_transform(px: np.ndarray, w: int, h: int, bits: int,
     elts = elts_img.reshape(-1)
     ys, xs = np.divmod(np.arange(w * h), w)
     e = elts[(ys >> bits) * mw + (xs >> bits)]
-    g2r = ((e >> 16) & 0xFF).astype(np.int8).astype(np.int64)
+    # ColorTransformElement packing per the spec: the element PIXEL's
+    # red component is red_to_blue, green is green_to_blue, and blue is
+    # green_to_red (verified against real libwebp-encoded streams —
+    # the reversed mapping decodes green correctly but shifts red/blue)
+    r2b = ((e >> 16) & 0xFF).astype(np.int8).astype(np.int64)
     g2b = ((e >> 8) & 0xFF).astype(np.int8).astype(np.int64)
-    r2b = (e & 0xFF).astype(np.int8).astype(np.int64)
+    g2r = (e & 0xFF).astype(np.int8).astype(np.int64)
     gs = g.astype(np.int8).astype(np.int64)
     r = (r + ((g2r * gs) >> 5)) & 0xFF
     rs = r.astype(np.uint8).astype(np.int8).astype(np.int64)

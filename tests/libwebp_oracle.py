@@ -1,0 +1,124 @@
+"""Test-only ctypes bridge to the system libwebp (ground-truth oracle).
+
+The ENGINE's codecs stay from-scratch pure Python; this module exists so
+tests can (a) generate REAL libwebp-encoded bitstreams — lossless VP8L
+streams that use transforms/color-cache/meta-prefix the way an actual
+encoder emits them, and lossy VP8 key frames — and (b) fetch libwebp's
+own decoded pixels as the reference output. Skip tests gracefully when
+the shared library is absent (`HAVE_LIBWEBP`)."""
+
+from __future__ import annotations
+
+import ctypes
+import ctypes.util
+
+import numpy as np
+
+_LIB = None
+for _name in ("libwebp.so.7", "libwebp.so", ctypes.util.find_library("webp")):
+    if not _name:
+        continue
+    try:
+        _LIB = ctypes.CDLL(_name)
+        break
+    except OSError:
+        continue
+
+HAVE_LIBWEBP = _LIB is not None
+
+if HAVE_LIBWEBP:
+    _LIB.WebPEncodeLosslessRGB.restype = ctypes.c_size_t
+    _LIB.WebPEncodeLosslessRGB.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+    ]
+    _LIB.WebPEncodeRGB.restype = ctypes.c_size_t
+    _LIB.WebPEncodeRGB.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+    ]
+    _LIB.WebPDecodeRGB.restype = ctypes.POINTER(ctypes.c_uint8)
+    _LIB.WebPDecodeRGB.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    _LIB.WebPDecodeYUV.restype = ctypes.POINTER(ctypes.c_uint8)
+    _LIB.WebPDecodeYUV.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    _LIB.WebPFree.restype = None
+    _LIB.WebPFree.argtypes = [ctypes.c_void_p]
+
+
+def encode_lossless(pix: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> real libwebp VP8L lossless bytes."""
+    h, w = pix.shape[:2]
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = _LIB.WebPEncodeLosslessRGB(
+        np.ascontiguousarray(pix).tobytes(), w, h, w * 3, ctypes.byref(out))
+    if n == 0:
+        raise RuntimeError("WebPEncodeLosslessRGB failed")
+    data = ctypes.string_at(out, n)
+    _LIB.WebPFree(out)
+    return data
+
+
+def encode_lossy(pix: np.ndarray, quality: float = 80.0) -> bytes:
+    """(h, w, 3) uint8 -> real libwebp lossy VP8 bytes."""
+    h, w = pix.shape[:2]
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = _LIB.WebPEncodeRGB(
+        np.ascontiguousarray(pix).tobytes(), w, h, w * 3,
+        ctypes.c_float(quality), ctypes.byref(out))
+    if n == 0:
+        raise RuntimeError("WebPEncodeRGB failed")
+    data = ctypes.string_at(out, n)
+    _LIB.WebPFree(out)
+    return data
+
+
+def decode_rgb(data: bytes) -> np.ndarray:
+    """libwebp's own decode -> (h, w, 3) uint8 (the reference pixels)."""
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    p = _LIB.WebPDecodeRGB(data, len(data), ctypes.byref(w), ctypes.byref(h))
+    if not p:
+        raise RuntimeError("WebPDecodeRGB failed")
+    buf = ctypes.string_at(p, w.value * h.value * 3)
+    _LIB.WebPFree(p)
+    return np.frombuffer(buf, dtype=np.uint8).reshape(h.value, w.value, 3)
+
+
+def decode_yuv(data: bytes):
+    """libwebp decode to Y/U/V planes -> (y, u, v) uint8 arrays with
+    shapes (h, w), (ceil(h/2), ceil(w/2)) x2 — the pre-RGB-conversion
+    reference for the lossy pipeline."""
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    u = ctypes.POINTER(ctypes.c_uint8)()
+    v = ctypes.POINTER(ctypes.c_uint8)()
+    stride = ctypes.c_int()
+    uv_stride = ctypes.c_int()
+    p = _LIB.WebPDecodeYUV(data, len(data), ctypes.byref(w), ctypes.byref(h),
+                           ctypes.byref(u), ctypes.byref(v),
+                           ctypes.byref(stride), ctypes.byref(uv_stride))
+    if not p:
+        raise RuntimeError("WebPDecodeYUV failed")
+    W, H = w.value, h.value
+    cw, ch = (W + 1) // 2, (H + 1) // 2
+    y_arr = np.frombuffer(
+        ctypes.string_at(p, stride.value * H), dtype=np.uint8
+    ).reshape(H, stride.value)[:, :W].copy()
+    u_arr = np.frombuffer(
+        ctypes.string_at(u, uv_stride.value * ch), dtype=np.uint8
+    ).reshape(ch, uv_stride.value)[:, :cw].copy()
+    v_arr = np.frombuffer(
+        ctypes.string_at(v, uv_stride.value * ch), dtype=np.uint8
+    ).reshape(ch, uv_stride.value)[:, :cw].copy()
+    _LIB.WebPFree(p)
+    return y_arr, u_arr, v_arr

@@ -404,9 +404,9 @@ def test_color_transform_inverse():
     bw.write(1, 3)                        # bits = 3
     bw.write(0, 1)                        # sub-image: no color cache
     _groups_literal(bw)
-    # element pixel: g2r in red channel? spec: red=g2r? element ARGB:
-    # b=red_to_blue, g=green_to_blue, r=green_to_red
-    _lit(bw, 32, 0, 0)                    # g2r=32, g2b=0, r2b=0
+    # element pixel per spec: red=red_to_blue, green=green_to_blue,
+    # blue=green_to_red (real-libwebp-verified channel packing)
+    _lit(bw, 0, 0, 32)                    # g2r=32 (blue), g2b=0, r2b=0
     bw.write(0, 1)
     bw.write(0, 1)
     bw.write(0, 1)
@@ -919,3 +919,38 @@ def test_lz77_absolute_distance_beyond_table():
     assert np.array_equal(dec[0, 4:6], dec[0, 0:2])
     assert dec[0, 6].tolist() == [2, 1, 3]
     assert dec[0, 7].tolist() == [5, 4, 6]
+
+
+def test_real_libwebp_lossless_streams_decode_exact():
+    """Decode REAL libwebp-encoded lossless streams (system libwebp via
+    ctypes, tests/libwebp_oracle.py) pixel-exact. These streams use
+    transforms, meta-prefix groups, color cache and long LZ77 the way
+    the actual encoder emits them — the independent-oracle fixture the
+    hand-built streams can't provide (it caught the sub-image
+    color-cache-info gate, the ColorTransformElement channel packing
+    and the near-distance table tail, all of which the hand-built
+    suite shared with the decoder)."""
+    from libwebp_oracle import HAVE_LIBWEBP
+
+    if not HAVE_LIBWEBP:
+        pytest.skip("system libwebp not available")
+    from libwebp_oracle import encode_lossless
+
+    from chronon_spark.fixtures import gen_pixels
+
+    cases = []
+    for seed, (w, h) in [(1, (64, 40)), (3, (128, 96)), (5, (80, 60)),
+                         (6, (256, 64)), (8, (17, 333))]:
+        cases.append(gen_pixels(np.random.default_rng(seed), w, h))
+    rng = np.random.default_rng(99)
+    cases.append(rng.integers(0, 256, (45, 61, 3), dtype=np.uint8))  # noise
+    cases.append(np.full((24, 24, 3), 123, np.uint8))                # flat
+    cases.append((rng.integers(0, 8, (40, 64, 1), dtype=np.uint8)
+                  * 31).repeat(3, axis=2))                           # palette
+    cases.append(np.repeat(np.repeat(
+        rng.integers(0, 256, (6, 8, 3), dtype=np.uint8), 8, axis=0),
+        8, axis=1))                                                  # blocky
+    for pix in cases:
+        data = encode_lossless(pix)
+        dec = decode_webp(data)
+        assert np.array_equal(dec, pix), pix.shape
