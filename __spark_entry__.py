@@ -1716,7 +1716,7 @@ def q_image_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 REAL_IMG_N, REAL_IMG_SEED = 200, 42
 _REAL_FIXTURE_PATH = (
-    f"/root/repo/.fixtures/images_real_v5_n{REAL_IMG_N}_s{REAL_IMG_SEED}.parquet"
+    f"/root/repo/.fixtures/images_real_v6_n{REAL_IMG_N}_s{REAL_IMG_SEED}.parquet"
 )
 
 

@@ -113,7 +113,8 @@ def run_real_decode(spark):
     (LZW/PackBits+predictor) / WebP-lossless (VP8L prefix codes) images
     through the fused pixel-feature Arrow pass — the from-scratch codecs
     under timing, not just under correctness. Images/s is the figure of
-    merit. (Fixture v5: ~30/30/12/8/10/8 png/jpeg/gif/bmp/tiff/webp —
+    merit. (Fixture v6: ~30/30/12/8/10/8 png/jpeg/gif/bmp/tiff/webp with
+    half the webp rows real lossy VP8 —
     not directly comparable to the v4 four-format number.)"""
     from chronon_spark.fixtures import ensure_real_image_fixture
     from chronon_spark.operators.multimodal import extract_pixel_features

@@ -85,9 +85,8 @@ def encode_image(pix: np.ndarray, fmt: str) -> bytes:
 
 def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     """Decode to (h, w, 3) uint8: the synthetic layouts (rgb8/half) plus
-    the REAL interchange formats (png/jpeg — chronon_spark.codecs,
-    from-scratch spec implementations). multimodal.decode_image routes
-    everything else (webp etc.) to the honest external-library stub."""
+    the REAL interchange formats (png/jpeg/gif/bmp/tiff/webp — all
+    from-scratch spec implementations, incl. lossy VP8 WebP)."""
     if fmt == "rgb8":
         return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
     if fmt == "half":
@@ -321,9 +320,20 @@ def gen_real_image_rows(n: int, seed: int = 42, span_days: int = 30,
                 data = encode_tiff(pix, compression="lzw", mode="gray",
                                    predictor=True)
         elif fmt == "webp":
-            from chronon_spark.webp_codec import encode_webp
+            # half the webp rows are LOSSY VP8 streams from the real
+            # system encoder (when present) — the decoder under test
+            # (vp8_codec.py) then faces genuine foreign bitstreams;
+            # qualities 88/94 keep every row above the 40 dB oracle
+            # floor. Falls back to lossless where libwebp is absent
+            # (sidecars stay generation-time truth either way).
+            data = None
+            if rng.random() < 0.5:
+                data = _encode_webp_lossy_system(
+                    pix, 88.0 if rng.random() < 0.5 else 94.0)
+            if data is None:
+                from chronon_spark.webp_codec import encode_webp
 
-            data = encode_webp(pix)
+                data = encode_webp(pix)
         elif fmt == "gif":
             # GIF is palette-limited: quantize first (sidecars follow the
             # quantized pixels — the round trip itself is lossless). The
@@ -411,6 +421,48 @@ def _real_chunk_writer(task):
     return part
 
 
+def _encode_webp_lossy_system(pix: "np.ndarray", quality: float):
+    """Real lossy VP8 bytes from the SYSTEM libwebp via ctypes, or None
+    when the shared library is unavailable. Fixture-generation tooling
+    only — the engine's decode path never touches external codecs."""
+    import ctypes
+    import ctypes.util
+
+    global _LIBWEBP_ENC
+    try:
+        lib = _LIBWEBP_ENC
+    except NameError:
+        lib = None
+        for name in ("libwebp.so.7", "libwebp.so",
+                     ctypes.util.find_library("webp")):
+            if not name:
+                continue
+            try:
+                lib = ctypes.CDLL(name)
+                lib.WebPEncodeRGB.restype = ctypes.c_size_t
+                lib.WebPEncodeRGB.argtypes = [
+                    ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+                    ctypes.c_int, ctypes.c_float,
+                    ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
+                lib.WebPFree.restype = None
+                lib.WebPFree.argtypes = [ctypes.c_void_p]
+                break
+            except OSError:
+                lib = None
+        _LIBWEBP_ENC = lib
+    if lib is None:
+        return None
+    h, w = pix.shape[:2]
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = lib.WebPEncodeRGB(np.ascontiguousarray(pix).tobytes(), w, h, w * 3,
+                          ctypes.c_float(quality), ctypes.byref(out))
+    if n == 0:
+        return None
+    data = ctypes.string_at(out, n)
+    lib.WebPFree(out)
+    return data
+
+
 def ensure_real_image_fixture(
     n: int = 200, seed: int = 42, out_dir: str = "/root/repo/.fixtures",
     n_jobs: int | None = None,
@@ -425,9 +477,11 @@ def ensure_real_image_fixture(
     # r4 codec completion); v4 adds GIF (LZW, plain + interlaced) and BMP
     # (24-bit + 8-bit palette) rows; v5 adds TIFF (none/LZW/PackBits x
     # predictor x strips x byte order x rgb/palette/gray) and
-    # WebP-lossless rows — the complete six-format surface. The version
-    # tag invalidates caches whose bytes predate the layout spread.
-    path = os.path.join(out_dir, f"images_real_v5_n{n}_s{seed}.parquet")
+    # WebP-lossless rows — the complete six-format surface; v6 makes
+    # half the webp rows REAL LOSSY VP8 (system-encoder bitstreams,
+    # decoded by the from-scratch vp8_codec). The version tag
+    # invalidates caches whose bytes predate the layout spread.
+    path = os.path.join(out_dir, f"images_real_v6_n{n}_s{seed}.parquet")
     if os.path.exists(path):
         return path
     os.makedirs(out_dir, exist_ok=True)

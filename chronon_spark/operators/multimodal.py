@@ -44,10 +44,11 @@ def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     Huffman + IDCT for baseline JPEG)."""
     if fmt in NATIVE_FORMATS:
         return _decode_native(data, w, h, fmt)
-    # STUB: remaining codecs (webp, heic, ...) need an external image
-    # library not present in this container. A real deployment implements
-    # this branch with PIL.Image.open(io.BytesIO(data)); everything
-    # downstream is unchanged.
+    # STUB: remaining codecs (heic, avif, jxl, ...) need an external
+    # image library not present in this container (webp — lossless AND
+    # lossy — is native now, webp_codec/vp8_codec). A real deployment
+    # implements this branch with PIL.Image.open(io.BytesIO(data));
+    # everything downstream is unchanged.
     raise NotImplementedError(
         f"codec '{fmt}' requires an external image library (PIL) — "
         f"not available in this environment"

@@ -16,10 +16,14 @@ encoders decode:
     (3.5-bit signed fixed point), subtract-green, color indexing
     (palette) with sub-byte index bundling (1/2/4-bit packs)
 
-Lossy VP8 stays an honest NotImplementedError stub (it needs a full
-DCT video intra decoder); VP8X extended containers are walked for the
-lossless payload and give WebP an EXIF metadata channel — exif_codec
-routes fmt='webp' through `webp_exif_chunk` / `webp_scrub`.
+Lossy VP8 key frames decode through chronon_spark.vp8_codec (from-
+scratch RFC 6386 boolean decoder, token lattice, iDCT/iWHT, intra
+predictors, loop filter — bit-exact YUV AND RGB against libwebp across
+the size x quality battery in tests/test_vp8.py); VP8X extended
+containers are walked for the payload and give WebP an EXIF metadata
+channel — exif_codec routes fmt='webp' through `webp_exif_chunk` /
+`webp_scrub`. An ALPH chunk's alpha plane is ignored (color decodes
+opaque).
 
 The encoder emits the plain literal subset (no transforms, no LZ77 —
 prefix-coded ARGB literals with an 8-bit flat code, constant-alpha via
@@ -680,18 +684,20 @@ def _riff_chunks(data: bytes):
 
 
 def decode_webp(data: bytes) -> np.ndarray:
-    """-> (h, w, 3) uint8 over-white composite. Lossless (VP8L) only;
-    lossy VP8 raises NotImplementedError (needs a video intra decoder —
-    honest stub, same policy as h264). A still decode of an ANIMATED
-    file returns its first frame (the APNG default-image convention)."""
+    """-> (h, w, 3) uint8 over-white composite. Lossless (VP8L) and
+    lossy (VP8 key frame, vp8_codec.py — bit-exact YUV and RGB vs
+    libwebp) are both decoded from scratch. Lossy files carrying an
+    ALPH chunk decode their color plane with alpha ignored (treated
+    opaque). A still decode of an ANIMATED file returns its first
+    frame (the APNG default-image convention)."""
     has_anim = False
     for tag, _s, ds, dl in _riff_chunks(data):
         if tag == b"VP8L":
             return _decode_vp8l(data[ds:ds + dl])
         if tag == b"VP8 ":
-            raise NotImplementedError(
-                "lossy WebP (VP8) requires a full intra-frame DCT decoder"
-            )
+            from chronon_spark.vp8_codec import decode_vp8_rgb
+
+            return decode_vp8_rgb(data[ds:ds + dl])
         if tag == b"ANMF":
             has_anim = True
     if has_anim:
@@ -918,8 +924,12 @@ def decode_webp_frames(data: bytes,
             if tag == b"VP8L":
                 rgba = _decode_vp8l_rgba(sub[pos + 8:pos + 8 + ln])
             elif tag == b"VP8 ":
-                raise NotImplementedError(
-                    "lossy VP8 animation frames are stubbed")
+                from chronon_spark.vp8_codec import decode_vp8_rgb
+
+                rgb = decode_vp8_rgb(sub[pos + 8:pos + 8 + ln])
+                rgba = np.concatenate(
+                    [rgb, np.full(rgb.shape[:2] + (1,), 255, np.uint8)],
+                    axis=2)
             pos += 8 + ln + (ln & 1)
         if rgba is None:
             raise ValueError("ANMF frame with no image subchunk")

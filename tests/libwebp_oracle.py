@@ -122,3 +122,98 @@ def decode_yuv(data: bytes):
     ).reshape(ch, uv_stride.value)[:, :cw].copy()
     _LIB.WebPFree(p)
     return y_arr, u_arr, v_arr
+
+
+# ---------------------------------------------------------------------------
+# advanced decoder API (for bypass_filtering: the UNFILTERED reference)
+# ---------------------------------------------------------------------------
+class _Features(ctypes.Structure):
+    _fields_ = [("width", ctypes.c_int), ("height", ctypes.c_int),
+                ("has_alpha", ctypes.c_int), ("has_animation", ctypes.c_int),
+                ("format", ctypes.c_int), ("pad", ctypes.c_uint32 * 5)]
+
+
+class _Options(ctypes.Structure):
+    _fields_ = [("bypass_filtering", ctypes.c_int),
+                ("no_fancy_upsampling", ctypes.c_int),
+                ("use_cropping", ctypes.c_int),
+                ("crop_left", ctypes.c_int), ("crop_top", ctypes.c_int),
+                ("crop_width", ctypes.c_int), ("crop_height", ctypes.c_int),
+                ("use_scaling", ctypes.c_int),
+                ("scaled_width", ctypes.c_int), ("scaled_height", ctypes.c_int),
+                ("use_threads", ctypes.c_int),
+                ("dithering_strength", ctypes.c_int),
+                ("flip", ctypes.c_int),
+                ("alpha_dithering_strength", ctypes.c_int),
+                ("pad", ctypes.c_uint32 * 5)]
+
+
+class _YUVA(ctypes.Structure):
+    _fields_ = [("y", ctypes.POINTER(ctypes.c_uint8)),
+                ("u", ctypes.POINTER(ctypes.c_uint8)),
+                ("v", ctypes.POINTER(ctypes.c_uint8)),
+                ("a", ctypes.POINTER(ctypes.c_uint8)),
+                ("y_stride", ctypes.c_int), ("u_stride", ctypes.c_int),
+                ("v_stride", ctypes.c_int), ("a_stride", ctypes.c_int),
+                ("y_size", ctypes.c_size_t), ("u_size", ctypes.c_size_t),
+                ("v_size", ctypes.c_size_t), ("a_size", ctypes.c_size_t)]
+
+
+class _RGBA(ctypes.Structure):
+    _fields_ = [("rgba", ctypes.POINTER(ctypes.c_uint8)),
+                ("stride", ctypes.c_int), ("size", ctypes.c_size_t)]
+
+
+class _BufUnion(ctypes.Union):
+    _fields_ = [("RGBA", _RGBA), ("YUVA", _YUVA)]
+
+
+class _DecBuffer(ctypes.Structure):
+    _fields_ = [("colorspace", ctypes.c_int), ("width", ctypes.c_int),
+                ("height", ctypes.c_int), ("is_external_memory", ctypes.c_int),
+                ("u", _BufUnion), ("pad", ctypes.c_uint32 * 4),
+                ("private_memory", ctypes.POINTER(ctypes.c_uint8))]
+
+
+class _DecoderConfig(ctypes.Structure):
+    _fields_ = [("input", _Features), ("options", _Options),
+                ("output", _DecBuffer)]
+
+
+_MODE_YUV = 11  # MODE_YUV in decode.h
+_ABI = 0x0209
+
+if HAVE_LIBWEBP:
+    _LIB.WebPInitDecoderConfigInternal.restype = ctypes.c_int
+    _LIB.WebPInitDecoderConfigInternal.argtypes = [
+        ctypes.POINTER(_DecoderConfig), ctypes.c_int]
+    _LIB.WebPDecode.restype = ctypes.c_int
+    _LIB.WebPDecode.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                ctypes.POINTER(_DecoderConfig)]
+    _LIB.WebPFreeDecBuffer.restype = None
+    _LIB.WebPFreeDecBuffer.argtypes = [ctypes.POINTER(_DecBuffer)]
+
+
+def decode_yuv_opts(data: bytes, bypass_filtering=False,
+                    no_fancy=False):
+    """Advanced-API YUV decode with options; returns (y, u, v)."""
+    cfg = _DecoderConfig()
+    if not _LIB.WebPInitDecoderConfigInternal(ctypes.byref(cfg), _ABI):
+        raise RuntimeError("WebPInitDecoderConfig failed (ABI?)")
+    cfg.options.bypass_filtering = int(bypass_filtering)
+    cfg.options.no_fancy_upsampling = int(no_fancy)
+    cfg.output.colorspace = _MODE_YUV
+    rc = _LIB.WebPDecode(data, len(data), ctypes.byref(cfg))
+    if rc != 0:
+        raise RuntimeError(f"WebPDecode rc={rc}")
+    yv = cfg.output.u.YUVA
+    H, W = cfg.output.height, cfg.output.width
+    ch, cw = (H + 1) // 2, (W + 1) // 2
+    y_arr = np.frombuffer(ctypes.string_at(yv.y, yv.y_stride * H),
+                          dtype=np.uint8).reshape(H, yv.y_stride)[:, :W].copy()
+    u_arr = np.frombuffer(ctypes.string_at(yv.u, yv.u_stride * ch),
+                          dtype=np.uint8).reshape(ch, yv.u_stride)[:, :cw].copy()
+    v_arr = np.frombuffer(ctypes.string_at(yv.v, yv.v_stride * ch),
+                          dtype=np.uint8).reshape(ch, yv.v_stride)[:, :cw].copy()
+    _LIB.WebPFreeDecBuffer(ctypes.byref(cfg.output))
+    return y_arr, u_arr, v_arr

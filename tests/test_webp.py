@@ -436,10 +436,12 @@ def test_container_and_exif():
     assert np.array_equal(decode_webp(s_gps), pix)
 
 
-def test_lossy_vp8_is_honest_stub():
+def test_lossy_vp8_garbage_rejected():
+    """Lossy VP8 now decodes for real (vp8_codec.py, see test_vp8.py);
+    a garbage VP8 chunk must fail with the codec's ValueError class."""
     fake = (b"RIFF" + struct.pack("<I", 16) + b"WEBP"
             + b"VP8 " + struct.pack("<I", 4) + b"\x00\x00\x00\x00")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_webp(fake)
 
 
