@@ -320,16 +320,21 @@ def gen_real_image_rows(n: int, seed: int = 42, span_days: int = 30,
                 data = encode_tiff(pix, compression="lzw", mode="gray",
                                    predictor=True)
         elif fmt == "webp":
-            # half the webp rows are LOSSY VP8 streams from the real
-            # system encoder (when present) — the decoder under test
-            # (vp8_codec.py) then faces genuine foreign bitstreams;
-            # qualities 88/94 keep every row above the 40 dB oracle
-            # floor. Falls back to lossless where libwebp is absent
-            # (sidecars stay generation-time truth either way).
+            # webp rows split three ways: our literal-subset lossless
+            # encoder, the REAL system encoder's lossless output (which
+            # uses predictor/cross-color transforms, color cache and
+            # meta-prefix groups our encoder never emits), and REAL
+            # lossy VP8 at qualities 88/94 (above the 40 dB oracle
+            # floor) — so the gate decodes genuine foreign bitstreams
+            # on both webp paths. Falls back to our encoder where
+            # libwebp is absent (sidecars stay generation-time truth).
+            wv = rng.random()
             data = None
-            if rng.random() < 0.5:
+            if wv < 0.4:
                 data = _encode_webp_lossy_system(
                     pix, 88.0 if rng.random() < 0.5 else 94.0)
+            elif wv < 0.7:
+                data = _encode_webp_lossless_system(pix)
             if data is None:
                 from chronon_spark.webp_codec import encode_webp
 
@@ -421,35 +426,70 @@ def _real_chunk_writer(task):
     return part
 
 
-def _encode_webp_lossy_system(pix: "np.ndarray", quality: float):
-    """Real lossy VP8 bytes from the SYSTEM libwebp via ctypes, or None
-    when the shared library is unavailable. Fixture-generation tooling
-    only — the engine's decode path never touches external codecs."""
+def _libwebp_enc_handle():
+    """ctypes handle to the system libwebp encoder, cached; None when
+    the shared library is unavailable."""
     import ctypes
     import ctypes.util
 
     global _LIBWEBP_ENC
     try:
-        lib = _LIBWEBP_ENC
+        return _LIBWEBP_ENC
     except NameError:
-        lib = None
-        for name in ("libwebp.so.7", "libwebp.so",
-                     ctypes.util.find_library("webp")):
-            if not name:
-                continue
-            try:
-                lib = ctypes.CDLL(name)
-                lib.WebPEncodeRGB.restype = ctypes.c_size_t
-                lib.WebPEncodeRGB.argtypes = [
-                    ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
-                    ctypes.c_int, ctypes.c_float,
-                    ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
-                lib.WebPFree.restype = None
-                lib.WebPFree.argtypes = [ctypes.c_void_p]
-                break
-            except OSError:
-                lib = None
-        _LIBWEBP_ENC = lib
+        pass
+    lib = None
+    for name in ("libwebp.so.7", "libwebp.so",
+                 ctypes.util.find_library("webp")):
+        if not name:
+            continue
+        try:
+            lib = ctypes.CDLL(name)
+            lib.WebPEncodeRGB.restype = ctypes.c_size_t
+            lib.WebPEncodeRGB.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_float,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
+            lib.WebPEncodeLosslessRGB.restype = ctypes.c_size_t
+            lib.WebPEncodeLosslessRGB.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
+            lib.WebPFree.restype = None
+            lib.WebPFree.argtypes = [ctypes.c_void_p]
+            break
+        except OSError:
+            lib = None
+    _LIBWEBP_ENC = lib
+    return lib
+
+
+def _encode_webp_lossless_system(pix: "np.ndarray"):
+    """Real VP8L lossless bytes from the SYSTEM libwebp (transforms,
+    color cache, meta-prefix — streams our subset encoder never
+    produces), or None when unavailable."""
+    import ctypes
+
+    lib = _libwebp_enc_handle()
+    if lib is None:
+        return None
+    h, w = pix.shape[:2]
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = lib.WebPEncodeLosslessRGB(
+        np.ascontiguousarray(pix).tobytes(), w, h, w * 3, ctypes.byref(out))
+    if n == 0:
+        return None
+    data = ctypes.string_at(out, n)
+    lib.WebPFree(out)
+    return data
+
+
+def _encode_webp_lossy_system(pix: "np.ndarray", quality: float):
+    """Real lossy VP8 bytes from the SYSTEM libwebp via ctypes, or None
+    when the shared library is unavailable. Fixture-generation tooling
+    only — the engine's decode path never touches external codecs."""
+    import ctypes
+
+    lib = _libwebp_enc_handle()
     if lib is None:
         return None
     h, w = pix.shape[:2]
