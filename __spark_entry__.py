@@ -2613,6 +2613,69 @@ def q_sketch_ir_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "item", "estimate")
 
 
+def q_sketch_ir_cpc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROX_UNIQUE_COUNT IR tables in the Apache DataSketches CPC
+    wire format (reference: SimpleAggregators.scala:499-543 persists
+    CpcSketch binaries) — the r4 verdict's last documented residual,
+    closed with a from-scratch codec (chronon_spark/cpc_sketch.py).
+
+    Two jobs write per-(user-bucket, day) CPC payloads over disjoint
+    halves of the date range, a third merges the unioned IR tables to
+    ICON estimates. Pins inside the value hash: (a) the merged
+    estimate sits within the CPC error envelope of the exact distinct
+    count (deterministic booleans); (b) WIRE INTEROP — one bucket-day
+    payload is byte-compared against `CpcUnion.getResult()
+    .toByteArray()` of the datasketches-java library that ships inside
+    Spark's own jars, built from the same values through the live
+    JVM."""
+    _prep(spark)
+    from chronon_spark.operators.sketches import merge_cpc_irs, write_cpc_ir
+    from chronon_spark.sources.scan import scan_source
+
+    ev = scan_source(spark, _events_source(
+        sf_dir, {"user_id": "user_id",
+                 "cents": "CAST(round(value * 100, 0) AS BIGINT)"})
+    ).withColumn("k", (F.col("user_id") % 8).cast("string"))
+    job1 = write_cpc_ir(ev.where("ds <= '2024-01-15'"), ["k"], "cents")
+    job2 = write_cpc_ir(ev.where("ds > '2024-01-15'"), ["k"], "cents")
+    ir = job1.unionByName(job2)
+    merged = merge_cpc_irs(ir, ["k"])
+    exact = ev.groupBy("k").agg(
+        F.countDistinct("cents").alias("exact_uniques"))
+    out = merged.join(exact, "k")
+
+    # wire interop for one concrete (bucket, day) group via the JVM
+    probe_rows = [int(r["cents"]) for r in ev.where(
+        "k = '3' AND ds = '2024-01-05'").select("cents").collect()]
+    jvm = spark._jvm
+    jsk = jvm.org.apache.datasketches.cpc.CpcSketch(11)
+    for v in probe_rows:
+        jsk.update(v)
+    ju = jvm.org.apache.datasketches.cpc.CpcUnion(11)
+    ju.update(jsk)
+    lib_bytes = bytes(ju.getResult().toByteArray())
+    ours = bytes(ir.where("k = '3' AND ds = '2024-01-05'")
+                 .collect()[0]["cpc_ir"])
+    wire_ok = ours == lib_bytes
+    # and the library must accept + equally estimate our merged bytes
+    from chronon_spark.cpc_sketch import cpc_estimate, cpc_merge
+
+    day_blobs = [bytes(r["cpc_ir"])
+                 for r in ir.where("k = '3'").collect()]
+    remerged = cpc_merge(day_blobs)
+    lib_est = jvm.org.apache.datasketches.cpc.CpcSketch.heapify(
+        remerged).getEstimate()
+    lib_reads_ours = abs(lib_est - cpc_estimate(remerged)) < 1e-12
+
+    return out.select(
+        "k", "exact_uniques",
+        ((F.abs(F.col("approx_unique") - F.col("exact_uniques"))
+          / F.col("exact_uniques")) <= 0.05).alias("within_5pct"),
+        F.lit(bool(wire_ok)).alias("wire_identical"),
+        F.lit(bool(lib_reads_ours)).alias("lib_reads_ours"),
+    )
+
+
 def q_groupby_multisource_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source GroupBy (reference: GroupBy.from sources union,
     GroupBy.scala renderDataSourceQuery): the same events table split into
@@ -3567,7 +3630,8 @@ _COMPOSITE_SPECS: dict[str, list[str]] = {
     "image_asof_suite": ["image_asof_features", "image_asof_iceberg"],
     # persistable sketch IRs, both wire formats the reference uploads
     # (KLL doubles + frequency ItemsSketch)
-    "sketch_ir_suite": ["sketch_ir_quantiles", "sketch_ir_frequent"],
+    "sketch_ir_suite": ["sketch_ir_quantiles", "sketch_ir_frequent",
+                        "sketch_ir_cpc"],
 }
 
 # Output columns of every granular query a suite unions (bool columns are
@@ -3616,6 +3680,8 @@ _QCOLS: dict[str, list[str]] = {
     ],
     "sketch_ir_quantiles": ["user_id", "p50", "p90"],
     "sketch_ir_frequent": ["user_id", "item", "estimate"],
+    "sketch_ir_cpc": ["k", "exact_uniques", "within_5pct",
+                      "wire_identical", "lib_reads_ours"],
     "scan_udf_setups": ["event_id", "usd", "tier"],
     "groupby_snapshot_windows": [
         "user_id", "ds", "value_sum_7d", "value_sum", "value_count_7d",
@@ -3747,6 +3813,7 @@ _BOOL_COLS: dict[str, set[str]] = {
     "image_quality_gate": {"decode_ok", "keep"},
     "image_letterbox": {"out_ok", "pad_ok"},
     "corpus_repetition": {"repetitive"},
+    "sketch_ir_cpc": {"within_5pct", "wire_identical", "lib_reads_ours"},
     "corpus_decontaminate": {"contaminated"},
 }
 
@@ -3936,6 +4003,7 @@ def _granular_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "model_transform_score": q_model_transform_score,
         "sketch_ir_quantiles": q_sketch_ir_quantiles,
         "sketch_ir_frequent": q_sketch_ir_frequent,
+        "sketch_ir_cpc": q_sketch_ir_cpc,
         "groupby_multisource_union": q_groupby_multisource_union,
         "joinsource_chained": q_joinsource_chained,
         "temporal_join_salted": q_temporal_join_salted,
@@ -5302,6 +5370,18 @@ def _oracle_sql_granular() -> dict[str, str]:
                       ORDER BY estimate DESC, item DESC) AS rn
                   FROM c)
             SELECT user_id, item, estimate FROM r WHERE rn <= 2
+        """,
+        # CPC IRs: exact distinct counts from SQL; the estimate-envelope,
+        # wire-identity (vs the Spark-bundled datasketches-java) and
+        # library-reads-ours checks are engine-side booleans pinned TRUE
+        "sketch_ir_cpc": """
+            SELECT CAST(user_id % 8 AS VARCHAR) AS k,
+                   CAST(COUNT(DISTINCT CAST(round(value * 100, 0) AS BIGINT))
+                        AS BIGINT) AS exact_uniques,
+                   TRUE AS within_5pct,
+                   TRUE AS wire_identical,
+                   TRUE AS lib_reads_ours
+            FROM events GROUP BY 1
         """,
         "groupby_multisource_union": f"""
             WITH {_SNAP_DAYS},

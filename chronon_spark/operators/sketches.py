@@ -672,3 +672,78 @@ def merge_frequent_irs(
         .groupBy(*keys)
         .applyInPandas(combine, schema=out_schema)
     )
+
+
+# ---------------------------------------------------------------------------
+# CPC sketch IRs — the reference's APPROX_UNIQUE_COUNT wire format
+# (SimpleAggregators.scala:499-543 persists CpcSketch binaries)
+# ---------------------------------------------------------------------------
+
+def write_cpc_ir(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    ds_col: str = "ds",
+    lg_k: int = 11,
+    out_col: str = "cpc_ir",
+) -> DataFrame:
+    """One DataSketches CPC payload per (keys..., ds) — BYTE-IDENTICAL
+    to `CpcUnion.getResult().toByteArray()` of the datasketches-java
+    library that ships with Spark (pinned in tests/test_cpc.py), so a
+    reference deployment can union/estimate our IR tables and vice
+    versa. Values hash exactly as `CpcSketch.update` (long vs string
+    typed like the source column). Same IR-table discipline as the
+    KLL/frequency writers: payload size is O(K), one shuffle on the
+    group keys, raw values never leave the executor."""
+    from chronon_spark.cpc_sketch import cpc_from_values
+
+    out_schema = ", ".join(
+        [f"`{c}` {t}" for c, t in df.select(*keys, ds_col).dtypes]
+        + [f"`{out_col}` binary"]
+    )
+    group_cols = list(keys) + [ds_col]
+    integral = dict(df.dtypes)[value_col] in (
+        "int", "bigint", "smallint", "tinyint")
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        col = pdf[value_col].dropna()
+        vals = (col.astype(np.int64) if integral else col.astype(str))
+        head = pdf.iloc[:1][group_cols].reset_index(drop=True)
+        head[out_col] = [cpc_from_values(vals.tolist(), lg_k)]
+        return head
+
+    return (
+        df.select(*group_cols, value_col)
+        .groupBy(*group_cols)
+        .applyInPandas(build, schema=out_schema)
+    )
+
+
+def merge_cpc_irs(
+    ir_df: DataFrame,
+    keys: list[str],
+    ir_col: str = "cpc_ir",
+    out_col: str = "approx_unique",
+) -> DataFrame:
+    """Merge CPC payloads (ours or a reference deployment's — live
+    HIP-updated sketches decompress to the same coupon matrix) down to
+    one ICON estimate per key. Associative matrix-OR merge inside each
+    Arrow batch; the shuffle carries O(K) sketches, never raw values."""
+    from chronon_spark.cpc_sketch import cpc_estimate, cpc_merge
+
+    out_schema = ", ".join(
+        [f"`{c}` {t}" for c, t in ir_df.select(*keys).dtypes]
+        + [f"`{out_col}` double"]
+    )
+
+    def combine(pdf: pd.DataFrame) -> pd.DataFrame:
+        merged = cpc_merge([bytes(p) for p in pdf[ir_col]])
+        head = pdf.iloc[:1][list(keys)].reset_index(drop=True)
+        head[out_col] = [cpc_estimate(merged)]
+        return head
+
+    return (
+        ir_df.select(*keys, ir_col)
+        .groupBy(*keys)
+        .applyInPandas(combine, schema=out_schema)
+    )

@@ -115,3 +115,53 @@ def test_salted_join_matches_unsalted(spark):
             assert ss is None
         else:
             assert ss == pytest.approx(bs), k
+
+
+def test_targeted_salted_join_matches_unsalted(spark):
+    """spark.chronon.join.salt.keys restricts the split/replication to
+    the listed hot keys — the scalable mode (a global salt multiplies
+    the WHOLE right shuffle by S). Results must match unsalted exactly,
+    including keys NOT in the list and hot-key rows themselves."""
+    rng = np.random.default_rng(47)
+    n = 6000
+    keys = np.where(rng.random(n) < 0.7, 7, rng.integers(0, 20, n))
+    ts = np.sort(rng.integers(0, 10 * DAY, n)) + BASE
+    ev = [(int(k), int(t), float(round(rng.uniform(0, 10), 2)))
+          for k, t in zip(keys, ts)]
+    right = spark.createDataFrame(ev, "user_id int, ts long, value double")
+    q = [(int(rng.integers(0, 20)), int(BASE + rng.integers(0, 10 * DAY)))
+         for _ in range(300)] + [(7, int(BASE + rng.integers(0, 10 * DAY)))
+                                 for _ in range(200)]
+    left = spark.createDataFrame(q, "user_id int, ts long")
+    parts = [
+        AggregationPart("value", Operation.SUM, window=Window(7)),
+        AggregationPart("value", Operation.COUNT, window=None),
+        AggregationPart("value", Operation.LAST_K, arg_map={"k": 3},
+                        window=Window(7)),
+    ]
+
+    def run():
+        out = temporal_features(left, right, ["user_id"], ["user_id"], parts)
+        return {
+            (r["user_id"], r["ts"]): (r["value_sum_7d"], r["value_count"],
+                                      tuple(r["value_last3_7d"]))
+            for r in out.collect()
+        }
+
+    base = run()
+    spark.conf.set("spark.chronon.join.salt", "4")
+    spark.conf.set("spark.chronon.join.salt.keys", "7")
+    try:
+        salted = run()
+    finally:
+        spark.conf.unset("spark.chronon.join.salt")
+        spark.conf.unset("spark.chronon.join.salt.keys")
+    assert set(base) == set(salted)
+    for k in base:
+        bs, bc, bl = base[k]
+        ss, sc, sl = salted[k]
+        assert (bc, bl) == (sc, sl), k
+        if bs is None:
+            assert ss is None
+        else:
+            assert ss == pytest.approx(bs), k

@@ -23,9 +23,11 @@ def main() -> None:
     ap.add_argument("--workload",
                     choices=["join", "groupby", "image", "image_fused",
                              "image_iceberg", "video_fused", "curate",
-                             "real_decode"],
+                             "real_decode", "join_skew"],
                     default="join")
     ap.add_argument("--passes", type=int, default=2)
+    ap.add_argument("--salt", type=int, default=1,
+                    help="spark.chronon.join.salt for join_skew")
     args = ap.parse_args()
 
     from chronon_spark.api import (
@@ -99,6 +101,37 @@ def main() -> None:
         def run():
             temporal_self_features(ev, ["user_id"], parts).write.format(
                 "noop").mode("overwrite").save()
+            return n_rows
+    elif args.workload == "join_skew":
+        # skew torture for the headline as-of join (the reference's
+        # UnionJoin "skew-free" claim, README.md:82): ~3% of ALL rows
+        # (left queries AND right events) collapse onto ONE monster key,
+        # then the two-sided cogroup join runs with the configured salt.
+        # salt=1 serializes the monster key's kernel batch on one core;
+        # salt=S spreads its left rows across S batches with the right
+        # side replicated — identical output (oracle-pinned by
+        # temporal_join_salted + checksum below), parallel wall.
+        from pyspark.sql import functions as Fn
+
+        from chronon_spark.operators.temporal_join import temporal_features
+
+        spark.conf.set("spark.chronon.join.salt", str(args.salt))
+        # targeted mode: only the monster key is split/replicated
+        spark.conf.set("spark.chronon.join.salt.keys", "0")
+        ev = spark.read.parquet(args.input).select("user_id", "ts", "value")
+        ev = ev.withColumn(
+            "user_id",
+            Fn.when(Fn.pmod(Fn.hash("ts", "value"), Fn.lit(33)) == 0,
+                    Fn.lit(0)).otherwise(Fn.col("user_id")),
+        )
+        left = ev.select("user_id", "ts")
+        n_rows = left.count()
+        parts = [p for a in gb.aggregations for p in a.unpack()]
+
+        def run():
+            temporal_features(left, ev, ["user_id"], ["user_id"],
+                              parts).write.format("noop").mode(
+                "overwrite").save()
             return n_rows
     elif args.workload.startswith("image"):
         # the north_star pipeline itself: decode binary images, extract
