@@ -184,6 +184,8 @@ def best_per_level() -> dict:
     with open(LOG) as f:
         for line in f:
             r = json.loads(line)
+            if "workload" not in r:     # bench.py per-pass records
+                continue
             k = (r["workload"], r["cpus"])
             cur = out.setdefault(k, {"wall": float("inf"), "rows": r["rows"],
                                      "n_passes": 0, "steal": 0})

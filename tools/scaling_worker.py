@@ -119,9 +119,14 @@ def main() -> None:
         # targeted mode: only the monster key is split/replicated
         spark.conf.set("spark.chronon.join.salt.keys", "0")
         ev = spark.read.parquet(args.input).select("user_id", "ts", "value")
+        # ~1/3 of all rows on ONE key: at 16 cores a fair share is
+        # 1/16 of the data, so this key IS a straggler (the first
+        # measurement used a 3% key — SMALLER than a core's share, no
+        # straggler, salting could only add overhead; both runs stay in
+        # the log as the negative control)
         ev = ev.withColumn(
             "user_id",
-            Fn.when(Fn.pmod(Fn.hash("ts", "value"), Fn.lit(33)) == 0,
+            Fn.when(Fn.pmod(Fn.hash("ts", "value"), Fn.lit(3)) == 0,
                     Fn.lit(0)).otherwise(Fn.col("user_id")),
         )
         left = ev.select("user_id", "ts")
