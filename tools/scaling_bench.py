@@ -338,34 +338,48 @@ corpus — where decode, the stage that actually scales with data, is the
 wall — the pipeline shows the efficiency above. `best_per_level` counts
 only the largest-input entries per level; the smaller runs stay logged.
 """
-    skew = None
-    if ("join_skew_salt1", 16) in levels and ("join_skew_salt8", 16) in levels:
-        s1 = levels[("join_skew_salt1", 16)]
-        s8 = levels[("join_skew_salt8", 16)]
-        skew = {"rows": s1["rows"],
-                "s1_wall": round(s1["wall"], 2), "s1_n": s1["n_passes"],
-                "s8_wall": round(s8["wall"], 2), "s8_n": s8["n_passes"],
-                "gain": round(s1["wall"] / s8["wall"], 2)}
-    skew_block = "" if skew is None else f"""
-### Skew torture: one monster key, salt=1 vs salt=8 (16 cores)
+    def _skew_best(run_tag, workload):
+        best = None
+        with open(LOG) as f:
+            for line in f:
+                r = json.loads(line)
+                if r.get("run") == run_tag and r.get("workload") == workload:
+                    w = min(r["passes"])
+                    best = w if best is None else min(best, w)
+        return best
+
+    v1 = _skew_best("r5skew-viral", "join_skew_salt1")
+    v8 = _skew_best("r5skew-viral", "join_skew_salt8")
+    m1 = _skew_best("r5skew-monster", "join_skew_salt1")
+    m8 = _skew_best("r5skew-monster", "join_skew_salt8")
+    c1 = _skew_best("r5skew-targeted", "join_skew_salt1")
+    c8 = _skew_best("r5skew-targeted", "join_skew_salt8")
+    g8 = _skew_best("r5skew", "join_skew_salt8")
+    skew_block = "" if v1 is None or v8 is None else f"""
+### Skew torture: one monster key, salt=1 vs targeted salt=8 (16 cores, 32M rows)
 
 The reference's skew-free-join claim (README.md:82, UnionJoin.scala:28-198)
-under deliberate abuse: ~3% of ALL {skew["rows"]:,} rows — queries AND
-events — collapse onto a single user before the two-sided as-of join.
-With `spark.chronon.join.salt=1` the monster key's entire window state
-serializes into one kernel batch on one core; `salt=8` spreads its query
-rows across 8 salted cogroup keys (right side replicated per salt), same
-output bit-for-bit (checksum-verified at sf0.01 on this exact shape, and
-oracle-pinned by the `temporal_join_salted` gate query).
+probed across THREE deliberately different skew regimes on the same 32M-row
+input, alternated passes, best per config (all walls in
+`BENCH/scaling_runs.jsonl` under run tags r5skew*). `spark.chronon.join.salt.keys`
+restricts the split to the listed hot keys — only their query rows spread
+across S salted cogroup keys and only their event rows replicate. Output is
+hash-identical in every mode (checksum-verified on the exact skew shape at
+sf0.01 before each run, plus the `temporal_join_salted` oracle gate row and
+the targeted-mode equality pytest).
 
-| config | best wall (s) | passes | feature vectors/sec |
-|---|---|---|---|
-| salt=1 | {skew["s1_wall"]} | {skew["s1_n"]} | {round(skew["rows"]/skew["s1_wall"]):,} |
-| salt=8 | {skew["s8_wall"]} | {skew["s8_n"]} | {round(skew["rows"]/skew["s8_wall"]):,} |
+| regime | hot key shape | salt=1 wall | salt=8 wall | verdict |
+|---|---|---|---|---|
+| viral (query-heavy) | 1/3 of QUERY rows on one key, its own events ~1% | {v1}s | **{v8}s** | **{round(v1/v8, 2)}x faster — the case salting exists for** |
+| event-heavy | 1/3 of rows on one key on BOTH sides | {m1}s | {m8}s | no win by construction: every salt slice still processes ALL the hot key's events; this shape wants skew-key exclusion (supported, `temporal_join_skewfilter`) or snapshot accuracy |
+| 3% key (control) | 3% of rows on one key | {c1}s | {c8}s | not a straggler at 16 cores (fair share is 6%) — salting is pure overhead, don't turn it on |
 
-**Salting speeds the skewed backfill {skew["gain"]}x with hash-identical
-output** — the knob a 1000-executor deployment turns when one entity
-dominates a partition.
+The same 3% control with the old GLOBAL salt (whole right side replicated
+8x) took {g8}s — 5x SLOWER than unsalted, which is why r5 made salting
+targeted. The honest operating guidance a 1000-executor deployment needs:
+salt only named viral keys, only when their load is query-dominated, and
+reach for skew-key exclusion when an entity's EVENT history is the heavy
+side.
 """
     sat_block = "" if sat is None else f"""
 ### Saturation datapoint: the same join at 8 -> 32 cores

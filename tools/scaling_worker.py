@@ -119,17 +119,24 @@ def main() -> None:
         # targeted mode: only the monster key is split/replicated
         spark.conf.set("spark.chronon.join.salt.keys", "0")
         ev = spark.read.parquet(args.input).select("user_id", "ts", "value")
-        # ~1/3 of all rows on ONE key: at 16 cores a fair share is
-        # 1/16 of the data, so this key IS a straggler (the first
-        # measurement used a 3% key — SMALLER than a core's share, no
-        # straggler, salting could only add overhead; both runs stay in
-        # the log as the negative control)
+        # QUERY-DOMINATED monster key — the pattern salting exists for
+        # (a viral entity probed by ~1/3 of all query rows while its own
+        # event history stays modest): left collapses 1/3 of queries
+        # onto key 0; the right side keeps only ~1% of key-0's events.
+        # Two earlier regimes remain in the log as controls:
+        # r5skew/r5skew-targeted (3% key - smaller than one core's fair
+        # share at 16 cores, no straggler, salting pure overhead) and
+        # r5skew-monster (EVENT-heavy 1/3 key - each salt slice must
+        # still process ALL the hot key's events, so splitting queries
+        # cannot win; that shape wants skew-key exclusion or snapshot
+        # accuracy instead, both supported).
+        hot = Fn.pmod(Fn.hash("ts", "value"), Fn.lit(3)) == 0
+        left = ev.withColumn(
+            "user_id", Fn.when(hot, Fn.lit(0)).otherwise(Fn.col("user_id"))
+        ).select("user_id", "ts")
         ev = ev.withColumn(
-            "user_id",
-            Fn.when(Fn.pmod(Fn.hash("ts", "value"), Fn.lit(3)) == 0,
-                    Fn.lit(0)).otherwise(Fn.col("user_id")),
-        )
-        left = ev.select("user_id", "ts")
+            "user_id", Fn.when(hot, Fn.lit(0)).otherwise(Fn.col("user_id"))
+        ).where(~hot | (Fn.pmod(Fn.hash("value", "ts"), Fn.lit(100)) == 0))
         n_rows = left.count()
         parts = [p for a in gb.aggregations for p in a.unpack()]
 
