@@ -114,8 +114,13 @@ def run_real_decode(spark):
     through the fused pixel-feature Arrow pass — the from-scratch codecs
     under timing, not just under correctness. Images/s is the figure of
     merit. (Fixture v6: ~30/30/12/8/10/8 png/jpeg/gif/bmp/tiff/webp with
-    half the webp rows real lossy VP8 —
-    not directly comparable to the v4 four-format number.)"""
+    ~40% of webp rows REAL LOSSY VP8 from the system encoder — r5. The
+    v6 wall is ~2x the v5 wall ENTIRELY from those ~1.6k lossy rows:
+    the from-scratch RFC 6386 decode (bool decoder + per-MB intra loop)
+    costs ~30ms/image in pure Python vs ~1ms for VP8L — the price of
+    proving the capability inside the timed path; embarrassingly
+    parallel, so it scales, and a native codec swap removes it in a
+    real deployment. Not comparable across fixture versions.)"""
     from chronon_spark.fixtures import ensure_real_image_fixture
     from chronon_spark.operators.multimodal import extract_pixel_features
 
