@@ -141,3 +141,31 @@ def test_decode_image_routes_lossy_webp():
     ref = z["rgb_0"]
     out = decode_image(data, ref.shape[1], ref.shape[0], "webp")
     assert np.array_equal(out, ref)
+
+
+def test_mutation_fuzz_never_escapes_valueerror():
+    """The integrity-gate contract extended to lossy WebP: 150
+    mutations (bit flips, truncations, insertions) of real VP8 files
+    either decode to a well-formed array or raise ValueError
+    (VP8Error is one) — never crash, hang, or return garbage types."""
+    z = np.load(_FIXTURE)
+    base = [z["webp_0"].tobytes(), z["webp_2"].tobytes()]
+    rng = np.random.default_rng(99)
+    for i in range(150):
+        data = bytearray(base[i % len(base)])
+        mode = i % 3
+        if mode == 0:
+            for _ in range(int(rng.integers(1, 4))):
+                data[int(rng.integers(12, len(data)))] ^= 1 << int(
+                    rng.integers(0, 8))
+        elif mode == 1:
+            data = data[:int(rng.integers(8, len(data)))]
+        else:
+            pos = int(rng.integers(12, len(data)))
+            data[pos:pos] = bytes(rng.integers(0, 256, 7, dtype=np.uint8))
+        try:
+            out = decode_webp(bytes(data))
+        except (ValueError, NotImplementedError):
+            continue
+        assert isinstance(out, np.ndarray) and out.dtype == np.uint8
+        assert out.ndim == 3 and out.shape[2] == 3
