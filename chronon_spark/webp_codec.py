@@ -22,8 +22,9 @@ predictors, loop filter — bit-exact YUV AND RGB against libwebp across
 the size x quality battery in tests/test_vp8.py); VP8X extended
 containers are walked for the payload and give WebP an EXIF metadata
 channel — exif_codec routes fmt='webp' through `webp_exif_chunk` /
-`webp_scrub`. An ALPH chunk's alpha plane is ignored (color decodes
-opaque).
+`webp_scrub`. An ALPH chunk's alpha plane decodes too (raw or
+headerless-VP8L green channel, all four prediction filters) and
+composites over white like the PNG path.
 
 The encoder emits the plain literal subset (no transforms, no LZ77 —
 prefix-coded ARGB literals with an 8-bit flat code, constant-alpha via
@@ -587,7 +588,19 @@ def _decode_vp8l_rgba(payload: bytes) -> np.ndarray:
     br.read(1)                            # alpha hint
     if br.read(3) != 0:
         raise ValueError("unsupported VP8L version")
+    px = _decode_lossless_body(br, w, h)
+    a = ((px >> 24) & 0xFF).astype(np.uint8)
+    r = ((px >> 16) & 0xFF).astype(np.uint8)
+    g = ((px >> 8) & 0xFF).astype(np.uint8)
+    b = (px & 0xFF).astype(np.uint8)
+    return np.stack([r, g, b, a], axis=1).reshape(h, w, 4)
 
+
+def _decode_lossless_body(br: _BitReader, w: int, h: int) -> np.ndarray:
+    """Everything after the VP8L size header: transforms +
+    spatially-coded image + inverse transforms -> flat ARGB pixels.
+    Shared by the main VP8L path and the headerless ALPH stream (whose
+    grammar is the same minus signature/dimensions)."""
     transforms = []                       # (type, data...) in read order
     seen_types = set()
     xsize = w
@@ -660,11 +673,7 @@ def _decode_vp8l_rgba(payload: bytes) -> np.ndarray:
                 raise ValueError("palette index out of range")
             px = pal[idx]
 
-    a = ((px >> 24) & 0xFF).astype(np.uint8)
-    r = ((px >> 16) & 0xFF).astype(np.uint8)
-    g = ((px >> 8) & 0xFF).astype(np.uint8)
-    b = (px & 0xFF).astype(np.uint8)
-    return np.stack([r, g, b, a], axis=1).reshape(h, w, 4)
+    return px
 
 
 def _riff_chunks(data: bytes):
@@ -683,21 +692,83 @@ def _riff_chunks(data: bytes):
         pos += 8 + ln + (ln & 1)
 
 
+def _decode_alpha(data: bytes, w: int, h: int) -> np.ndarray:
+    """ALPH chunk -> (h, w) uint8 alpha plane. Per the container spec:
+    1 header byte (bits 0-1 compression: 0 raw / 1 lossless, bits 2-3
+    the prediction filter, bits 4-5 preprocessing — a lossy pre-step
+    with no decode-side inverse), then either w*h raw bytes or a
+    HEADERLESS VP8L image-stream (spatially-coded-image: color-cache
+    info + meta-prefix + data, NO signature/dimensions) whose GREEN
+    channel carries the alpha values."""
+    if not data:
+        raise ValueError("empty ALPH chunk")
+    hdr = data[0]
+    comp = hdr & 3
+    filt = (hdr >> 2) & 3
+    if comp == 0:
+        if len(data) < 1 + w * h:
+            raise ValueError("raw ALPH plane truncated")
+        plane = np.frombuffer(data, dtype=np.uint8, count=w * h,
+                              offset=1).reshape(h, w).astype(np.int64)
+    elif comp == 1:
+        # headerless VP8L: same grammar as the main stream minus the
+        # signature/dimension header — transforms included
+        br = _BitReader(data[1:])
+        px = _decode_lossless_body(br, w, h)
+        plane = ((px >> np.uint32(8)) & np.uint32(0xFF)).astype(
+            np.int64).reshape(h, w)
+    else:
+        raise ValueError(f"reserved ALPH compression {comp}")
+    if filt:
+        # inverse prediction, PNG-style: 1=left, 2=top, 3=gradient
+        # clip(left + top - topleft); borders predict from 0
+        for y in range(h):
+            for x in range(w):
+                if x == 0 and y == 0:
+                    pred = 0
+                elif y == 0:
+                    pred = plane[0, x - 1]
+                elif x == 0:
+                    pred = plane[y - 1, 0]
+                elif filt == 1:
+                    pred = plane[y, x - 1]
+                elif filt == 2:
+                    pred = plane[y - 1, x]
+                else:
+                    pred = max(0, min(255, plane[y, x - 1]
+                                      + plane[y - 1, x]
+                                      - plane[y - 1, x - 1]))
+                plane[y, x] = (plane[y, x] + pred) & 0xFF
+    return plane.astype(np.uint8)
+
+
 def decode_webp(data: bytes) -> np.ndarray:
     """-> (h, w, 3) uint8 over-white composite. Lossless (VP8L) and
     lossy (VP8 key frame, vp8_codec.py — bit-exact YUV and RGB vs
     libwebp) are both decoded from scratch. Lossy files carrying an
-    ALPH chunk decode their color plane with alpha ignored (treated
-    opaque). A still decode of an ANIMATED file returns its first
+    ALPH chunk decode the alpha plane too (raw or headerless-VP8L,
+    all four prediction filters) and composite over white like the
+    PNG path. A still decode of an ANIMATED file returns its first
     frame (the APNG default-image convention)."""
     has_anim = False
+    alpha_chunk = None
     for tag, _s, ds, dl in _riff_chunks(data):
         if tag == b"VP8L":
             return _decode_vp8l(data[ds:ds + dl])
         if tag == b"VP8 ":
             from chronon_spark.vp8_codec import decode_vp8_rgb
 
-            return decode_vp8_rgb(data[ds:ds + dl])
+            rgb = decode_vp8_rgb(data[ds:ds + dl])
+            if alpha_chunk is not None:
+                h, w = rgb.shape[:2]
+                a = _decode_alpha(alpha_chunk, w, h)
+                af = a[:, :, None].astype(np.float64) / 255.0
+                rgb = np.clip(np.round(
+                    rgb.astype(np.float64) * af + 255.0 * (1.0 - af)),
+                    0, 255).astype(np.uint8)
+            return rgb
+        if tag == b"ALPH":
+            alpha_chunk = data[ds:ds + dl]
         if tag == b"ANMF":
             has_anim = True
     if has_anim:

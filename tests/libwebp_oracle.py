@@ -217,3 +217,41 @@ def decode_yuv_opts(data: bytes, bypass_filtering=False,
                           dtype=np.uint8).reshape(ch, yv.v_stride)[:, :cw].copy()
     _LIB.WebPFreeDecBuffer(ctypes.byref(cfg.output))
     return y_arr, u_arr, v_arr
+
+
+if HAVE_LIBWEBP:
+    _LIB.WebPEncodeRGBA.restype = ctypes.c_size_t
+    _LIB.WebPEncodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
+    _LIB.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+    _LIB.WebPDecodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+
+
+def encode_lossy_rgba(rgba: np.ndarray, quality: float = 80.0) -> bytes:
+    """(h, w, 4) uint8 -> lossy VP8 + ALPH chunk bytes."""
+    h, w = rgba.shape[:2]
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = _LIB.WebPEncodeRGBA(np.ascontiguousarray(rgba).tobytes(), w, h,
+                            w * 4, ctypes.c_float(quality),
+                            ctypes.byref(out))
+    if n == 0:
+        raise RuntimeError("WebPEncodeRGBA failed")
+    data = ctypes.string_at(out, n)
+    _LIB.WebPFree(out)
+    return data
+
+
+def decode_rgba(data: bytes) -> np.ndarray:
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    p = _LIB.WebPDecodeRGBA(data, len(data), ctypes.byref(w),
+                            ctypes.byref(h))
+    if not p:
+        raise RuntimeError("WebPDecodeRGBA failed")
+    buf = np.frombuffer(ctypes.string_at(p, w.value * h.value * 4),
+                        dtype=np.uint8).reshape(h.value, w.value, 4).copy()
+    _LIB.WebPFree(p)
+    return buf
