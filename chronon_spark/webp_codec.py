@@ -987,6 +987,7 @@ def decode_webp_frames(data: bytes,
         sub = body[16:]
         pos = 0
         rgba = None
+        frame_alpha = None
         while pos + 8 <= len(sub):
             tag = sub[pos:pos + 4]
             (ln,) = struct.unpack_from("<I", sub, pos + 4)
@@ -994,13 +995,18 @@ def decode_webp_frames(data: bytes,
                 raise ValueError("ANMF subchunk past end")
             if tag == b"VP8L":
                 rgba = _decode_vp8l_rgba(sub[pos + 8:pos + 8 + ln])
+            elif tag == b"ALPH":
+                frame_alpha = sub[pos + 8:pos + 8 + ln]
             elif tag == b"VP8 ":
                 from chronon_spark.vp8_codec import decode_vp8_rgb
 
                 rgb = decode_vp8_rgb(sub[pos + 8:pos + 8 + ln])
-                rgba = np.concatenate(
-                    [rgb, np.full(rgb.shape[:2] + (1,), 255, np.uint8)],
-                    axis=2)
+                if frame_alpha is not None:
+                    a = _decode_alpha(frame_alpha, rgb.shape[1],
+                                      rgb.shape[0])[:, :, None]
+                else:
+                    a = np.full(rgb.shape[:2] + (1,), 255, np.uint8)
+                rgba = np.concatenate([rgb, a], axis=2)
             pos += 8 + ln + (ln & 1)
         if rgba is None:
             raise ValueError("ANMF frame with no image subchunk")

@@ -255,3 +255,23 @@ def decode_rgba(data: bytes) -> np.ndarray:
                         dtype=np.uint8).reshape(h.value, w.value, 4).copy()
     _LIB.WebPFree(p)
     return buf
+
+
+if HAVE_LIBWEBP:
+    _LIB.WebPEncodeLosslessRGBA.restype = ctypes.c_size_t
+    _LIB.WebPEncodeLosslessRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
+
+
+def encode_lossless_rgba(rgba: np.ndarray) -> bytes:
+    h, w = rgba.shape[:2]
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = _LIB.WebPEncodeLosslessRGBA(
+        np.ascontiguousarray(rgba).tobytes(), w, h, w * 4,
+        ctypes.byref(out))
+    if n == 0:
+        raise RuntimeError("WebPEncodeLosslessRGBA failed")
+    data = ctypes.string_at(out, n)
+    _LIB.WebPFree(out)
+    return data

@@ -956,3 +956,26 @@ def test_real_libwebp_lossless_streams_decode_exact():
         data = encode_lossless(pix)
         dec = decode_webp(data)
         assert np.array_equal(dec, pix), pix.shape
+
+
+def test_real_libwebp_lossless_rgba_composites_exact():
+    """VP8L with true per-pixel alpha INSIDE the stream (the system
+    encoder's lossless-RGBA output): decode + over-white composite must
+    equal libwebp's own RGBA decode composited with the same formula."""
+    from libwebp_oracle import HAVE_LIBWEBP
+
+    if not HAVE_LIBWEBP:
+        pytest.skip("system libwebp not available")
+    from libwebp_oracle import decode_rgba, encode_lossless_rgba
+
+    rng = np.random.default_rng(9)
+    for w, h in [(40, 28), (17, 33), (64, 64)]:
+        pix = gen_pixels(rng, w, h)
+        alpha = rng.integers(1, 256, (h, w), dtype=np.uint8)  # avoid a=0
+        data = encode_lossless_rgba(np.dstack([pix, alpha]))
+        ref = decode_rgba(data)
+        af = ref[:, :, 3:4].astype(np.float64) / 255.0
+        expect = np.clip(np.round(ref[:, :, :3].astype(np.float64) * af
+                                  + 255.0 * (1.0 - af)),
+                         0, 255).astype(np.uint8)
+        assert np.array_equal(decode_webp(data), expect), (w, h)
