@@ -171,3 +171,80 @@ def test_spark_ir_surface(spark):
     ours = bytes(ir.where("k = 'a' AND ds = '2024-01-01'")
                  .collect()[0]["cpc_ir"])
     assert ours == jb
+
+
+def test_nosv_format_roundtrip(spark):
+    """Formats 4 (PINNED_SLIDING_MERGED_NOSV): a coupon matrix whose
+    rows are exactly default-low-bits | window byte leaves ZERO
+    surprising values. Our serializer must emit the NoSv layout and the
+    library must heapify it to the identical estimate."""
+    lgk = 11
+    k = 1 << lgk
+    # c chosen so flavor > HYBRID and offset > 0
+    c = 5 * k  # SLIDING regime, offset = (8*5K - 19K) >> (lgk+3) = 21K>>14
+    from chronon_spark.cpc_sketch import (determine_correct_offset,
+                                          icon_estimate, serialize,
+                                          _state_from_matrix)
+    off = determine_correct_offset(lgk, c)
+    assert off > 0
+    base = (1 << off) - 1
+    # distribute c coupons: every row gets the default low mask plus
+    # window bits chosen to make popcount exactly c
+    per_row = c // k            # coupons per row
+    assert per_row > off
+    m = np.full(k, base | (((1 << (per_row - off)) - 1) << off),
+                dtype=np.uint64)
+    st = _state_from_matrix(m, lgk)
+    assert st["numCoupons"] == c
+    assert st["pairs"] == []    # the NoSv condition
+    blob = serialize(st)
+    assert not blob[5] & 8      # SUP_VAL flag clear
+    assert blob[5] & 16         # WINDOW flag set
+    jvm = spark._jvm
+    jsk = jvm.org.apache.datasketches.cpc.CpcSketch.heapify(blob)
+    assert jsk.getEstimate() == icon_estimate(lgk, c)
+
+
+def test_live_hip_formats_deserialize(spark):
+    """Live (HIP-updated, mergeFlag=false) sketches serialize to the
+    *_HIP formats (3/7); our deserializer must recover the exact coupon
+    matrix for every one."""
+    from chronon_spark.cpc_sketch import deserialize, matrix_from_state, \
+        matrix_from_values
+
+    jvm = spark._jvm
+    CpcSketch = jvm.org.apache.datasketches.cpc.CpcSketch
+    for n in (1, 100, 400, 1500, 9000, 50000):
+        sk = CpcSketch(11)
+        for v in range(n):
+            sk.update(v)
+        st = deserialize(bytes(sk.toByteArray()))
+        assert st["mergeFlag"] is False
+        assert st["kxp"] is not None    # HIP fields present
+        assert np.array_equal(matrix_from_state(st),
+                              matrix_from_values(range(n), 11)), n
+
+
+def test_cpc_mutation_fuzz():
+    """Corrupted CPC payloads either deserialize to a well-formed state
+    or raise ValueError — never crash or hang."""
+    from chronon_spark.cpc_sketch import cpc_from_values, deserialize
+
+    base = cpc_from_values(range(2000))
+    rng = np.random.default_rng(5)
+    for i in range(120):
+        data = bytearray(base)
+        if i % 2:
+            data = data[:int(rng.integers(1, len(data)))]
+        else:
+            for _ in range(int(rng.integers(1, 4))):
+                data[int(rng.integers(0, len(data)))] ^= 1 << int(
+                    rng.integers(0, 8))
+        try:
+            st = deserialize(bytes(data))
+        except (ValueError, struct.error, IndexError):
+            continue
+        assert isinstance(st, dict) and "numCoupons" in st
+
+
+import struct  # noqa: E402  (used by the fuzz except clause)
