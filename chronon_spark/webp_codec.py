@@ -937,8 +937,8 @@ def decode_webp_frames(data: bytes,
     Compositing follows the container spec: sub-rect frames at even
     (2x, 2y) offsets, blending method 0 = alpha-blend over the canvas /
     1 = overwrite, disposal 0 = keep / 1 = fill the frame rect with the
-    ANIM background color. Lossless (VP8L) frame payloads only — a VP8
-    (lossy) frame raises NotImplementedError like the still path."""
+    ANIM background color. Frame payloads may be lossless (VP8L, alpha
+    in-stream) or lossy (VP8 key frames, optional ALPH alpha chunk)."""
     vp8x = None
     anim = None
     frames = []

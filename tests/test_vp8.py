@@ -250,3 +250,70 @@ def test_alpha_chunk_raw_filters():
         _decode_alpha(b"\x02" + b"\x00" * (w * h), w, h)  # reserved comp
     with pytest.raises(ValueError):
         _decode_alpha(bytes([0]) + b"\x01" * 5, w, h)     # truncated
+
+
+def test_animated_lossy_frames_with_alpha():
+    """ANMF frames carrying VP8 (+ALPH) payloads: a hand-assembled
+    two-frame animation from real encoder chunks must composite each
+    frame like the still path (frame 1 full-canvas lossy+alpha, frame 2
+    an opaque lossy overwrite)."""
+    import struct as st
+
+    from libwebp_oracle import HAVE_LIBWEBP
+
+    if not HAVE_LIBWEBP:
+        pytest.skip("system libwebp not available")
+    from libwebp_oracle import decode_rgba, encode_lossy, encode_lossy_rgba
+
+    from chronon_spark.webp_codec import decode_webp_frames
+
+    rng = np.random.default_rng(12)
+    w, h = 32, 16
+    pix1 = gen_pixels(rng, w, h)
+    alpha1 = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    f1 = encode_lossy_rgba(np.dstack([pix1, alpha1]), 80)
+    pix2 = gen_pixels(rng, w, h)
+    f2 = encode_lossy(pix2, 80)
+
+    def subchunks(webp):
+        out = b""
+        from chronon_spark.webp_codec import _riff_chunks
+        for tag, _s, ds, dl in _riff_chunks(webp):
+            if tag in (b"ALPH", b"VP8 "):
+                body = webp[ds:ds + dl]
+                out += tag + st.pack("<I", dl) + body
+                if dl & 1:
+                    out += b"\x00"
+        return out
+
+    def anmf(payload, blend_none):
+        hdr = b""
+        for v in (0, 0):                       # frame x/2, y/2
+            hdr += st.pack("<I", v)[:3]
+        hdr += st.pack("<I", w - 1)[:3] + st.pack("<I", h - 1)[:3]
+        hdr += st.pack("<I", 40)[:3]           # duration
+        hdr += bytes([0x02 if blend_none else 0x00])
+        body = hdr + payload
+        ch = b"ANMF" + st.pack("<I", len(body)) + body
+        if len(body) & 1:
+            ch += b"\x00"
+        return ch
+
+    vp8x = (b"VP8X" + st.pack("<I", 10)
+            + bytes([0x02, 0, 0, 0])           # ANIM flag
+            + st.pack("<I", w - 1)[:3] + st.pack("<I", h - 1)[:3])
+    anim = b"ANIM" + st.pack("<I", 6) + st.pack("<I", 0xFFFFFFFF) + b"\x00\x00"
+    chunks = vp8x + anim + anmf(subchunks(f1), False) + \
+        anmf(subchunks(f2), True)
+    data = b"RIFF" + st.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
+
+    frames = decode_webp_frames(data)
+    assert frames.shape == (2, h, w, 3)
+    ref1 = decode_rgba(f1)
+    af = ref1[:, :, 3:4].astype(np.float64) / 255.0
+    exp1 = np.clip(np.round(ref1[:, :, :3].astype(np.float64) * af
+                            + 255.0 * (1.0 - af)), 0, 255).astype(np.uint8)
+    assert np.array_equal(frames[0], exp1)
+    from libwebp_oracle import decode_rgb
+
+    assert np.array_equal(frames[1], decode_rgb(f2))
