@@ -2761,9 +2761,11 @@ def q_joinsource_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_temporal_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key salting equivalence under the driver gate: the SAME as-of
-    join as temporal_join_asof with spark.chronon.join.salt=4 (right side
-    replicated 4x, left spread by ts-hash) — must hash-match the plain
-    SQL oracle exactly, proving salting never changes results."""
+    join as temporal_join_asof with spark.chronon.join.salt=4 in the r5
+    TARGETED mode (salt.keys lists users 0-2: only their query rows
+    spread across salts, only their event rows replicate; every other
+    key takes the plain path) — must hash-match the plain SQL oracle
+    exactly, proving salting never changes results on either path."""
     _prep(spark)
     from chronon_spark.operators.temporal_join import compute_temporal_join
 
@@ -2785,15 +2787,19 @@ def q_temporal_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         join_parts=[JoinPart(gb)],
         name="salted",
     )
-    _old_salt = spark.conf.get("spark.chronon.join.salt", None)
-    spark.conf.set("spark.chronon.join.salt", "4")
+    _confs = {"spark.chronon.join.salt": "4",
+              "spark.chronon.join.salt.keys": "0,1,2"}
+    _old = {k: spark.conf.get(k, None) for k in _confs}
+    for k, v in _confs.items():
+        spark.conf.set(k, v)
     try:
         out = compute_temporal_join(spark, join)
     finally:
-        if _old_salt is None:
-            spark.conf.unset("spark.chronon.join.salt")
-        else:
-            spark.conf.set("spark.chronon.join.salt", _old_salt)
+        for k, v in _old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     return out.select(
         "event_id", "user_id", "ts",
         F.col("f_cents_count_1d").alias("count_1d"),
