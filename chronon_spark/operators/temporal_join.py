@@ -268,7 +268,60 @@ def temporal_features(
     # either way (temporal_join_salted gate query,
     # test_salted_join_matches_unsalted).
     salt = int(spark.conf.get("spark.chronon.join.salt", "1"))
-    if salt > 1:
+    # EVENT-heavy hot keys (spark.chronon.join.salt.time_days = D, with
+    # salt.keys): query-side salting cannot help a key whose EVENT
+    # history dominates (every salt slice re-processes all its events —
+    # measured flat on the 32M-row torture). When every part is
+    # WINDOWED, time-sharding solves it exactly: the hot key's queries
+    # shard by ts into D-day chunks and each event replicates into at
+    # most ceil(max_window/D)+1 chunks (the only ones whose queries can
+    # see it) — per-chunk kernel input is bounded by the chunk's own
+    # traffic plus one window of lookback, regardless of total history.
+    time_days = int(spark.conf.get("spark.chronon.join.salt.time_days",
+                                   "0"))
+    if time_days > 0:
+        salt_keys = [
+            s for s in spark.conf.get(
+                "spark.chronon.join.salt.keys", "").split(",") if s != ""
+        ]
+        if not salt_keys:
+            raise ValueError(
+                "spark.chronon.join.salt.time_days requires salt.keys")
+        unbounded = [p.output_name for p in parts if p.window is None]
+        if unbounded:
+            raise ValueError(
+                "time-sharded salting needs every part windowed; "
+                f"unbounded: {unbounded}")
+        span = time_days * 86_400_000
+        max_w = max(p.window.millis for p in parts)
+        # an event at ts serves query chunks floor(ts/span) ..
+        # floor((ts + max_w + hop)/span): the sawtooth tail rounds the
+        # window start DOWN by up to one hop (hop <= 1 day for every
+        # window size), so the visibility horizon is max_w + hop, not
+        # max_w — bound with a full day to stay safe for all hops
+        reps = (max_w + 86_400_000) // span + 2
+        l_hot = F.col(left_keys[0]).cast("string").isin(salt_keys)
+        r_hot = F.col(right_keys[0]).cast("string").isin(salt_keys)
+        left_df = left_df.withColumn(
+            "__salt",
+            F.when(l_hot, F.floor(F.col(time_col) / F.lit(span)))
+            .otherwise(F.lit(0)).cast("long"),
+        )
+        # event at ts serves query chunks floor(ts/span) ..
+        # floor((ts+max_w)/span); emit the distinct chunk ids
+        chunk0 = F.floor(F.col(TIME_COLUMN) / F.lit(span)).cast("long")
+        right_df = right_df.withColumn(
+            "__salt",
+            F.explode(F.when(
+                r_hot,
+                F.array_distinct(F.array(*[
+                    chunk0 + F.lit(i).cast("long") for i in range(reps)
+                ])),
+            ).otherwise(F.array(F.lit(0).cast("long")))),
+        )
+        left_keys = list(left_keys) + ["__salt"]
+        right_keys = list(right_keys) + ["__salt"]
+    elif salt > 1:
         salt_keys = [
             s for s in spark.conf.get(
                 "spark.chronon.join.salt.keys", "").split(",") if s != ""

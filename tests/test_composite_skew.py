@@ -165,3 +165,59 @@ def test_targeted_salted_join_matches_unsalted(spark):
             assert ss is None
         else:
             assert ss == pytest.approx(bs), k
+
+
+def test_time_sharded_salting_matches_unsalted(spark):
+    """spark.chronon.join.salt.time_days shards an EVENT-heavy hot key
+    by query time chunk; each event replicates only into the chunks
+    whose queries can see it (bounded by the max window). Exact for
+    windowed-only parts; unbounded parts are rejected loudly."""
+    rng = np.random.default_rng(53)
+    n = 8000
+    keys = np.where(rng.random(n) < 0.6, 7, rng.integers(0, 20, n))
+    ts = np.sort(rng.integers(0, 20 * DAY, n)) + BASE
+    ev = [(int(k), int(t), float(round(rng.uniform(0, 10), 2)))
+          for k, t in zip(keys, ts)]
+    right = spark.createDataFrame(ev, "user_id int, ts long, value double")
+    q = [(int(rng.integers(0, 20)), int(BASE + rng.integers(0, 20 * DAY)))
+         for _ in range(400)] + [(7, int(BASE + rng.integers(0, 20 * DAY)))
+                                 for _ in range(300)]
+    left = spark.createDataFrame(q, "user_id int, ts long")
+    parts = [
+        AggregationPart("value", Operation.SUM, window=Window(7)),
+        AggregationPart("value", Operation.COUNT, window=Window(1)),
+        AggregationPart("value", Operation.LAST_K, arg_map={"k": 3},
+                        window=Window(7)),
+    ]
+
+    def run():
+        out = temporal_features(left, right, ["user_id"], ["user_id"], parts)
+        return {
+            (r["user_id"], r["ts"]): (r["value_sum_7d"],
+                                      r["value_count_1d"],
+                                      tuple(r["value_last3_7d"]))
+            for r in out.collect()
+        }
+
+    base = run()
+    spark.conf.set("spark.chronon.join.salt.time_days", "3")
+    spark.conf.set("spark.chronon.join.salt.keys", "7")
+    try:
+        sharded = run()
+        # unbounded part -> loud failure, not silent wrong results
+        bad = parts + [AggregationPart("value", Operation.COUNT,
+                                       window=None)]
+        with pytest.raises(ValueError):
+            temporal_features(left, right, ["user_id"], ["user_id"], bad)
+    finally:
+        spark.conf.unset("spark.chronon.join.salt.time_days")
+        spark.conf.unset("spark.chronon.join.salt.keys")
+    assert set(base) == set(sharded)
+    for k in base:
+        bs, bc, bl = base[k]
+        ss, sc, sl = sharded[k]
+        assert (bc, bl) == (sc, sl), k
+        if bs is None:
+            assert ss is None
+        else:
+            assert ss == pytest.approx(bs), k

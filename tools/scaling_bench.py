@@ -45,7 +45,7 @@ def ensure_input(replicas: int, sf_dir: str) -> str:
 
 
 def run_level(cpus: int, inp: str, workload: str = "join", passes: int = 2,
-              salt: int = 1) -> dict:
+              salt: int = 1, extra: list = ()) -> dict:
     """Pin the ENTIRE process tree (JVM task threads + python workers +
     GC) to `cpus` physical cores — a faithful N-core-cluster proxy.
     Without the pin, local[N]'s python workers overflow onto spare host
@@ -54,7 +54,7 @@ def run_level(cpus: int, inp: str, workload: str = "join", passes: int = 2,
         ["taskset", "-c", f"0-{cpus - 1}",
          sys.executable, os.path.join(REPO, "tools", "scaling_worker.py"),
          "--cpus", str(cpus), "--input", inp, "--workload", workload,
-         "--passes", str(passes), "--salt", str(salt)],
+         "--passes", str(passes), "--salt", str(salt), *extra],
         capture_output=True, text=True, timeout=3600,
     )
     line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
@@ -355,6 +355,8 @@ only the largest-input entries per level; the smaller runs stay logged.
     c1 = _skew_best("r5skew-targeted", "join_skew_salt1")
     c8 = _skew_best("r5skew-targeted", "join_skew_salt8")
     g8 = _skew_best("r5skew", "join_skew_salt8")
+    e1 = _skew_best("r5skew-shard", "join_skew_event_plain")
+    e5 = _skew_best("r5skew-shard", "join_skew_event_shard5d")
     skew_block = "" if v1 is None or v8 is None else f"""
 ### Skew torture: one monster key, salt=1 vs targeted salt=8 (16 cores, 32M rows)
 
@@ -371,15 +373,17 @@ the targeted-mode equality pytest).
 | regime | hot key shape | salt=1 wall | salt=8 wall | verdict |
 |---|---|---|---|---|
 | viral (query-heavy) | 1/3 of QUERY rows on one key, its own events ~1% | {v1}s | **{v8}s** | **{round(v1/v8, 2)}x faster — the case salting exists for** |
-| event-heavy | 1/3 of rows on one key on BOTH sides | {m1}s | {m8}s | no win by construction: every salt slice still processes ALL the hot key's events; this shape wants skew-key exclusion (supported, `temporal_join_skewfilter`) or snapshot accuracy |
+| event-heavy | 1/3 of rows on one key on BOTH sides | {m1}s | {m8}s | no win by construction: every salt slice still processes ALL the hot key's events |
+| event-heavy + TIME-SHARDING | same shape, `salt.time_days=5` | {e1}s | **{e5}s** | **{round(e1/e5, 2) if e1 and e5 else '-'}x** — r5's second salting mode: the hot key's queries shard by 5-day chunk and each event replicates only into the chunks whose queries can see it (exact for windowed-only parts, hop-extended bound, 7500-check dense sweep + equality pytest). The gain here is capped by the 30d window over a 30d history (every chunk still needs a full window of lookback); with years of history and bounded windows — the 100 TB regime — the per-chunk input approaches chunk+window and the speedup approaches the shard count |
 | 3% key (control) | 3% of rows on one key | {c1}s | {c8}s | not a straggler at 16 cores (fair share is 6%) — salting is pure overhead, don't turn it on |
 
 The same 3% control with the old GLOBAL salt (whole right side replicated
 8x) took {g8}s — 5x SLOWER than unsalted, which is why r5 made salting
 targeted. The honest operating guidance a 1000-executor deployment needs:
-salt only named viral keys, only when their load is query-dominated, and
-reach for skew-key exclusion when an entity's EVENT history is the heavy
-side.
+salt only named viral keys when their load is query-dominated; reach for
+time-sharded salting when the EVENT history is the heavy side and every
+part is windowed; and fall back to skew-key exclusion
+(`temporal_join_skewfilter`) or snapshot accuracy otherwise.
 """
     sat_block = "" if sat is None else f"""
 ### Saturation datapoint: the same join at 8 -> 32 cores
@@ -492,6 +496,8 @@ def main() -> None:
     ap.add_argument("--real-images", type=int, default=192_000)
     ap.add_argument("--run-tag", default="bench")
     ap.add_argument("--skew-only", action="store_true")
+    ap.add_argument("--skew-shape", choices=["viral", "event"],
+                    default="viral")
     ap.add_argument("--skew-replicas", type=int, default=320)
     args = ap.parse_args()
 
@@ -502,9 +508,18 @@ def main() -> None:
             assert skew_checksum_identical("/root/testdata/sf0.01"), \
                 "salted skew join output differs from unsalted"
             inp = ensure_input(args.skew_replicas, args.sf)
-            for salt in (1, 8, 1, 8):
-                log_level(args.run_tag, f"join_skew_salt{salt}",
-                          run_level(16, inp, "join_skew", 2, salt=salt))
+            if args.skew_shape == "event":
+                for td in (0, 5, 0, 5):
+                    tag = ("join_skew_event_shard5d" if td
+                           else "join_skew_event_plain")
+                    log_level(args.run_tag, tag,
+                              run_level(16, inp, "join_skew", 2,
+                                        extra=["--skew-shape", "event",
+                                               "--salt-time-days", str(td)]))
+            else:
+                for salt in (1, 8, 1, 8):
+                    log_level(args.run_tag, f"join_skew_salt{salt}",
+                              run_level(16, inp, "join_skew", 2, salt=salt))
         elif args.video_only:
             vid_inp = ensure_video_fixture(n=args.videos, seed=7)
             measure_pair(args.run_tag, 4, 16, vid_inp, "video_fused")

@@ -28,6 +28,10 @@ def main() -> None:
     ap.add_argument("--passes", type=int, default=2)
     ap.add_argument("--salt", type=int, default=1,
                     help="spark.chronon.join.salt for join_skew")
+    ap.add_argument("--skew-shape", choices=["viral", "event"],
+                    default="viral")
+    ap.add_argument("--salt-time-days", type=int, default=0,
+                    help="time-sharded salting span for the event shape")
     args = ap.parse_args()
 
     from chronon_spark.api import (
@@ -103,6 +107,26 @@ def main() -> None:
                 "noop").mode("overwrite").save()
             return n_rows
     elif args.workload == "join_skew":
+        if args.salt_time_days:
+            # time-sharding requires every part windowed
+            gb = GroupBy(
+                sources=[src], key_columns=["user_id"],
+                aggregations=[
+                    Aggregation("value", Operation.COUNT,
+                                windows=[Window(1), Window(7)]),
+                    Aggregation("value", Operation.SUM,
+                                windows=[Window(7), Window(30)]),
+                    Aggregation("value", Operation.AVERAGE,
+                                windows=[Window(7)]),
+                    Aggregation("value", Operation.MIN, windows=[Window(7)]),
+                    Aggregation("value", Operation.MAX, windows=[Window(7)]),
+                    Aggregation("value", Operation.VARIANCE,
+                                windows=[Window(30)]),
+                    Aggregation("value", Operation.LAST_K,
+                                arg_map={"k": 5}, windows=[Window(7)]),
+                ],
+                name="scaling",
+            )
         # skew torture for the headline as-of join (the reference's
         # UnionJoin "skew-free" claim, README.md:82): ~3% of ALL rows
         # (left queries AND right events) collapse onto ONE monster key,
@@ -115,7 +139,11 @@ def main() -> None:
 
         from chronon_spark.operators.temporal_join import temporal_features
 
-        spark.conf.set("spark.chronon.join.salt", str(args.salt))
+        if args.salt_time_days:
+            spark.conf.set("spark.chronon.join.salt.time_days",
+                           str(args.salt_time_days))
+        elif args.salt > 1:
+            spark.conf.set("spark.chronon.join.salt", str(args.salt))
         # targeted mode: only the monster key is split/replicated
         spark.conf.set("spark.chronon.join.salt.keys", "0")
         ev = spark.read.parquet(args.input).select("user_id", "ts", "value")
@@ -134,9 +162,19 @@ def main() -> None:
         left = ev.withColumn(
             "user_id", Fn.when(hot, Fn.lit(0)).otherwise(Fn.col("user_id"))
         ).select("user_id", "ts")
-        ev = ev.withColumn(
-            "user_id", Fn.when(hot, Fn.lit(0)).otherwise(Fn.col("user_id"))
-        ).where(~hot | (Fn.pmod(Fn.hash("value", "ts"), Fn.lit(100)) == 0))
+        if args.skew_shape == "viral":
+            # hot key query-dominated: its own events thinned to ~1%
+            ev = ev.withColumn(
+                "user_id",
+                Fn.when(hot, Fn.lit(0)).otherwise(Fn.col("user_id"))
+            ).where(~hot
+                    | (Fn.pmod(Fn.hash("value", "ts"), Fn.lit(100)) == 0))
+        else:
+            # event-heavy: 1/3 of rows on the key on BOTH sides — hash
+            # salting cannot win here (measured); time-sharding can
+            ev = ev.withColumn(
+                "user_id",
+                Fn.when(hot, Fn.lit(0)).otherwise(Fn.col("user_id")))
         n_rows = left.count()
         parts = [p for a in gb.aggregations for p in a.unpack()]
 
